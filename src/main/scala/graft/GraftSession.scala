@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for correctness-reproducibility (UTC, ANSI off) and for the
+  * local[32] harness while keeping every knob meaningful on a real
+  * cluster: AQE handles runtime re-planning (skew joins, shuffle
+  * coalescing) identically on 32 local threads or 1000 executors;
+  * `shuffle.partitions` is only the pre-AQE initial value.
+  */
+object GraftSession {
+  def builder(master: String = s"local[${defaultCpus}]",
+              appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", defaultCpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // parquet timestamps in the testdata are ns/ms; keep µs semantics
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    math.max(2, Runtime.getRuntime.availableProcessors()).toString)
+
+  def getOrCreate(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName = appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

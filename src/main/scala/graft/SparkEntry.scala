@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the t2 correctness corpus: one entry per operator declared
+  * in SURVEY.md §2B; `oracleSql` carries the DuckDB-equivalent SQL for
+  * every SQL-expressible entry (hash-compared by the driver at sf0.01).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    AggQueries.defs("q1_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.defs ++
+      JoinQueries.defs ++
+      AggQueries.defs ++
+      WindowQueries.defs ++
+      ScalarQueries.defs
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (driver records a weaker rows-only check for those).
+    */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++
+      JoinQueries.oracles ++
+      AggQueries.oracles ++
+      WindowQueries.oracles ++
+      ScalarQueries.oracles
 }

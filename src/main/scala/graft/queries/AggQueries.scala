@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Num
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation queries: multi-key groupBy, distinct counts, HLL,
+  * rollup/cube/grouping sets, having.
+  *
+  * All money sums go through DECIMAL(18,2) (see [[graft.functions.Num]])
+  * so results are exact and partitioning-order-independent — the property
+  * that makes the hash comparable with DuckDB and stable on a cluster.
+  */
+object AggQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: the flagship scan->hash-agg query. Map-side partial
+    // aggregation collapses 6k/60k/600k rows to 4 groups before the shuffle.
+    "q1_agg" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          Num.sumMoney(col("l_extendedprice")).as("sum_base"),
+          Num.sumDiscPrice(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (Num.sumMoney(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_count_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("n_ord"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy("l_returnflag")
+    }),
+
+    // HLL sketch — no DuckDB oracle (estimates differ per implementation);
+    // accuracy asserted as a property test in AggSpec.
+    "q_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_ord"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("sum_qty"))
+        .orderBy("flag", "status")
+    }),
+
+    "q_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"), col("sum_qty"))
+        .orderBy("flag", "status")
+    }),
+
+    "q_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                  coalesce(l_linestatus, 'ALL') AS status,
+                  sum(l_quantity) AS sum_qty
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+           ORDER BY flag, status""")
+    }),
+
+    "q_having" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 100)
+        .orderBy("l_partkey")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(l_quantity) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                sum(l_quantity) / count(*) AS avg_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_ord,
+                count(DISTINCT l_partkey) AS n_part
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY flag, status""",
+    "q_having" ->
+      """SELECT l_partkey, sum(l_quantity) AS qty FROM lineitem
+         GROUP BY l_partkey HAVING sum(l_quantity) > 100 ORDER BY l_partkey""",
+  )
+}

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Num
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join queries: all equi-join types, semi/anti, cross, non-equi range,
+  * and explicit broadcast. Dimension tables (region/nation/supplier) are
+  * broadcast — at 100 TB the fact side never shuffles for these joins.
+  */
+object JoinQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), Num.sumMoney(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_join_left" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_right" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"), "right")
+        .groupBy("o_orderkey")
+        .agg(count(col("l_orderkey")).as("n_items"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_join_full" -> ((s, d) => {
+      val a = Tables.orders(s, d).filter(col("o_totalprice") > 150000)
+        .select(col("o_custkey").as("k")).distinct()
+      val b = Tables.customer(s, d).filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("k"))
+      a.join(b, a("k") === b("k"), "full_outer")
+        .select(coalesce(a("k"), b("k")).as("k"),
+          a("k").isNotNull.as("in_orders"), b("k").isNotNull.as("in_cust"))
+        .orderBy("k")
+    }),
+
+    "q_join_semi" -> ((s, d) => {
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_anti" -> ((s, d) => {
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 100000)
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_cross" -> ((s, d) => {
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q_join_range" -> ((s, d) => {
+      // non-equi theta join: customers whose balance is within +/-500 of a
+      // supplier's. Small side (supplier) broadcast -> BroadcastNestedLoopJoin,
+      // the right physical shape for a tiny build side at any scale.
+      val sup = broadcast(Tables.supplier(s, d))
+      Tables.customer(s, d)
+        .join(sup, col("c_acctbal").between(col("s_acctbal") - 500, col("s_acctbal") + 500))
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("s_suppkey")
+    }),
+
+    "q_join_bcast" -> ((s, d) => {
+      // star-schema rollup: fact->dim->dim with explicit broadcast hints;
+      // no shuffle of the customer side at any scale factor.
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("r_name")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_join_right" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_items
+         FROM lineitem RIGHT JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "q_join_full" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
+              b AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0)
+         SELECT coalesce(a.k, b.k) AS k, a.k IS NOT NULL AS in_orders,
+                b.k IS NOT NULL AS in_cust
+         FROM a FULL JOIN b ON a.k = b.k ORDER BY k""",
+    "q_join_semi" ->
+      """SELECT c_custkey FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+         ORDER BY c_custkey""",
+    "q_join_anti" ->
+      """SELECT c_custkey FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+         ORDER BY c_custkey""",
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name""",
+    "q_join_range" ->
+      """SELECT s_suppkey, count(*) AS n
+         FROM customer JOIN supplier
+           ON c_acctbal BETWEEN s_acctbal - 500 AND s_acctbal + 500
+         GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "q_join_bcast" ->
+      """SELECT r_name, count(*) AS n_cust
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+  )
+}

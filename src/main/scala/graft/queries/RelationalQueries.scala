@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Projection/filter, sort/limit/top-k, and set-operation queries.
+  *
+  * Every query ends in an explicit orderBy over a unique key combination
+  * so output order is deterministic and matches the oracle SQL exactly.
+  */
+object RelationalQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_proj_filter" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 30 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_casewhen" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 100000, "big")
+            .when(col("o_totalprice") > 50000, "mid")
+            .otherwise("small").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status2"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_nullsafe" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      c.select(col("c_custkey"),
+          (nullif(col("c_mktsegment"), lit("BUILDING")) <=>
+            nullif(col("c_mktsegment"), lit("AUTOMOBILE"))).as("same_seg"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_sort_multi" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), nullif(col("o_orderpriority"), lit("1-URGENT")).as("prio"),
+          col("o_totalprice"))
+        .orderBy(col("prio").asc_nulls_first, col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+
+    "q_limit" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(50)
+    }),
+
+    "q_topk_group" -> ((s, d) => {
+      // top-3 orders per customer: window + filter — the scalable top-k
+      // idiom (no global sort; partial top-k per shuffle partition)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q_union_all" -> ((s, d) => {
+      Tables.nation(s, d).select(col("n_name").as("name"))
+        .unionAll(Tables.region(s, d).select(col("r_name").as("name")))
+        .orderBy("name")
+    }),
+
+    "q_union_distinct" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nkey"))
+        .union(Tables.supplier(s, d).select(col("s_nationkey").as("nkey")))
+        .distinct()
+        .orderBy("nkey")
+    }),
+
+    "q_intersect" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nkey"))
+        .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nkey")))
+        .orderBy("nkey")
+    }),
+
+    "q_except" -> ((s, d) => {
+      // customers that never placed an order
+      Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .except(Tables.orders(s, d).select(col("o_custkey").as("k")))
+        .orderBy("k")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_proj_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net_price
+         FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_casewhen" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_totalprice > 100000 THEN 'big'
+                     WHEN o_totalprice > 50000 THEN 'mid'
+                     ELSE 'small' END AS bucket,
+                coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2
+         FROM orders ORDER BY o_orderkey""",
+    "q_nullsafe" ->
+      """SELECT c_custkey,
+                (nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM
+                 nullif(c_mktsegment, 'AUTOMOBILE')) AS same_seg
+         FROM customer ORDER BY c_custkey""",
+    "q_sort_multi" ->
+      """SELECT o_orderkey, nullif(o_orderpriority, '1-URGENT') AS prio, o_totalprice
+         FROM orders
+         ORDER BY prio ASC NULLS FIRST, o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50""",
+    "q_topk_group" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_union_all" ->
+      """SELECT name FROM (
+           SELECT n_name AS name FROM nation UNION ALL SELECT r_name AS name FROM region) t
+         ORDER BY name""",
+    "q_union_distinct" ->
+      """SELECT nkey FROM (
+           SELECT c_nationkey AS nkey FROM customer UNION SELECT s_nationkey AS nkey FROM supplier) t
+         ORDER BY nkey""",
+    "q_intersect" ->
+      """SELECT c_nationkey AS nkey FROM customer
+         INTERSECT SELECT s_nationkey AS nkey FROM supplier ORDER BY nkey""",
+    "q_except" ->
+      """SELECT c_custkey AS k FROM customer
+         EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k""",
+  )
+}

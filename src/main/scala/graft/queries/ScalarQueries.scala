@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function queries: string, date, math, array, map, json.
+  * All built-ins — whole-stage-codegen'd end to end (no UDFs), so each of
+  * these stays a single narrow scan->project pipeline at any scale.
+  */
+object ScalarQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_fns" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          lower(col("c_mktsegment")).as("lo"),
+          substring(col("c_name"), 10, 9).as("pre"),
+          length(col("c_name")).cast("long").as("len"),
+          concat(col("c_name"), lit("-"), col("c_mktsegment")).as("cc"),
+          trim(concat(lit(" "), col("c_mktsegment"), lit(" "))).as("tr"),
+          col("c_name").like("%1%").as("has1"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          element_at(split(col("c_name"), "#"), 2).as("tok2"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_date_fns" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dd"),
+          date_add(to_date(col("o_orderdate")), 30).as("d30"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_math_fns" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.05).as("absd"),
+          round(col("l_extendedprice"), 1).as("r1"),
+          pow(col("l_quantity"), 2).as("q2"),
+          sqrt(col("l_extendedprice")).as("sq"),
+          floor(sqrt(col("l_extendedprice"))).cast("long").as("fl"),
+          ceil(sqrt(col("l_extendedprice"))).cast("long").as("ce"),
+          pmod(col("l_orderkey"), lit(7)).cast("long").as("pm"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_array_fns" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first"),
+          element_at(col("embedding"), 64).cast("double").as("last"),
+          array_contains(array(col("label"), col("label") * 2), 4).as("c4"),
+          round(VectorFunctions.l2Norm(col("embedding")), 6).as("norm"))
+        .orderBy("vec_id")
+    }),
+
+    "q_explode" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 4)))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").cast("double").as("val"))
+        .orderBy("vec_id", "pos")
+    }),
+
+    "q_map_fns" -> ((s, d) => {
+      val m = map(
+        lit("BUILDING"), lit(1), lit("AUTOMOBILE"), lit(2), lit("MACHINERY"), lit(3),
+        lit("HOUSEHOLD"), lit(4), lit("FURNITURE"), lit(5))
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          element_at(m, col("c_mktsegment")).cast("long").as("seg_code"),
+          size(map_keys(m)).cast("long").as("n_keys"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_json_fns" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          from_json(col("props"), lit("k INT")).getField("k").cast("long").as("k_int"))
+        .orderBy("event_id")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_string_fns" ->
+      """SELECT c_custkey, upper(c_name) AS up, lower(c_mktsegment) AS lo,
+                substr(c_name, 10, 9) AS pre, length(c_name) AS len,
+                c_name || '-' || c_mktsegment AS cc,
+                trim(' ' || c_mktsegment || ' ') AS tr,
+                c_name LIKE '%1%' AS has1,
+                regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+                string_split(c_name, '#')[2] AS tok2
+         FROM customer ORDER BY c_custkey""",
+    "q_date_fns" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+                year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS dd,
+                CAST(o_orderdate AS DATE) + 30 AS d30,
+                datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+                strftime(o_orderdate, '%Y-%m') AS ym
+         FROM orders ORDER BY o_orderkey""",
+    "q_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+                abs(l_discount - 0.05) AS absd,
+                round(l_extendedprice, 1) AS r1,
+                pow(l_quantity, 2) AS q2,
+                sqrt(l_extendedprice) AS sq,
+                CAST(floor(sqrt(l_extendedprice)) AS BIGINT) AS fl,
+                CAST(ceil(sqrt(l_extendedprice)) AS BIGINT) AS ce,
+                ((l_orderkey % 7) + 7) % 7 AS pm
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_array_fns" ->
+      """SELECT vec_id, len(embedding) AS dim,
+                CAST(embedding[1] AS DOUBLE) AS first,
+                CAST(embedding[64] AS DOUBLE) AS last,
+                list_contains([label, label * 2], 4) AS c4,
+                round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                   x -> x * x))), 6) AS norm
+         FROM embeddings ORDER BY vec_id""",
+    "q_explode" ->
+      """SELECT vec_id, CAST(g.i - 1 AS BIGINT) AS pos,
+                CAST(embedding[g.i] AS DOUBLE) AS val
+         FROM embeddings, (SELECT unnest(generate_series(1, 4)) AS i) g
+         ORDER BY vec_id, pos""",
+    "q_map_fns" ->
+      """SELECT c_custkey,
+                CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'AUTOMOBILE' THEN 2
+                     WHEN 'MACHINERY' THEN 3 WHEN 'HOUSEHOLD' THEN 4
+                     WHEN 'FURNITURE' THEN 5 END AS seg_code,
+                CAST(5 AS BIGINT) AS n_keys
+         FROM customer ORDER BY c_custkey""",
+    "q_json_fns" ->
+      """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+                CAST(json_extract(props, '$.k') AS BIGINT) AS k_int
+         FROM events ORDER BY event_id""",
+  )
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Window-function queries: ranking, lag/lead, running aggregates with
+  * ROWS and RANGE frames. All window order specs carry a unique tie-break
+  * key so results are deterministic under any partitioning.
+  */
+object WindowQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_rank" -> ((s, d) => {
+      val byPrice = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      val rankW = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(byPrice).as("rn"),
+          rank().over(rankW).as("rnk"),
+          dense_rank().over(rankW).as("drnk"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_ok"),
+          lead(col("o_orderkey"), 1).over(w).as("next_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q_window_running" -> ((s, d) => {
+      // running sum through DECIMAL so the prefix sums are exact (a running
+      // double sum would drift differently from the oracle's)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("running"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // RANGE frame over a numeric ordering — expressed in SQL (the Scala
+    // rangeBetween API takes long boundaries; SQL form keeps the double
+    // ordering column natural and matches the oracle text exactly).
+    // Partitioned by priority: an unpartitioned RANGE window would pull the
+    // whole table into one task — a non-starter at scale.
+    "q_window_range" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderkey,
+                  count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                                 RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_near
+           FROM orders ORDER BY o_orderkey""")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+                rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+                dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey) AS prev_ok,
+                lead(o_orderkey, 1) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS next_ok
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_window_range" ->
+      """SELECT o_orderkey,
+                count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                               RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_near
+         FROM orders ORDER BY o_orderkey""",
+  )
+}
