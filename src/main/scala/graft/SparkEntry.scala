@@ -21,7 +21,8 @@ object SparkEntry {
       JoinQueries.defs ++
       AggQueries.defs ++
       WindowQueries.defs ++
-      ScalarQueries.defs
+      ScalarQueries.defs ++
+      KMeansQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -32,5 +33,6 @@ object SparkEntry {
       JoinQueries.oracles ++
       AggQueries.oracles ++
       WindowQueries.oracles ++
-      ScalarQueries.oracles
+      ScalarQueries.oracles ++
+      KMeansQueries.oracles
 }

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Readers for the reference's delimited-text fixtures (FIXTURES.md).
+  *
+  * The reference's data model is "CSV line as untyped row"
+  * (src/Kmeans.java:226-236). Here each file gets an explicit schema and a
+  * derived `vec: array<double>` column; the original line is preserved in
+  * `raw` for byte-exact golden replay.
+  */
+object Pm25 {
+
+  /** pm25.txt schema: date,station,metric + 24 hourly readings. */
+  val schema: StructType = StructType(
+    StructField("date", StringType) ::
+    StructField("station", StringType) ::
+    StructField("metric", StringType) ::
+    (0 until 24).map(h => StructField(s"h$h", IntegerType)).toList)
+
+  /** Read a pm25-schema CSV; `vec` = hours as array<double> (math skips the
+    * 3 metadata cols, like the reference's j>=3 loops), `raw` = the
+    * original line.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val hours = (0 until 24).map(h => col(s"h$h").cast(DoubleType))
+    spark.read.schema(schema).csv(path)
+      .withColumn("vec", array(hours: _*))
+      .withColumn("raw", concat_ws(",",
+        (Seq(col("date"), col("station"), col("metric")) ++
+          (0 until 24).map(h => col(s"h$h"))): _*))
+  }
+
+  /** Headerless all-numeric rows (variant 2's model, kmeans.java:193-203):
+    * every comma token is a double; all columns participate in distance.
+    */
+  def readNumeric(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.text(path)
+      .select(col("value").as("raw"))
+      .filter(length(trim(col("raw"))) > 0)
+      .withColumn("vec", transform(split(col("raw"), ","), t => t.cast(DoubleType)))
+  }
+
+  /** Centers file -> driver array (k = line count, src/Kmeans.java:45). */
+  def centersFrom(spark: SparkSession, path: String, skipCols: Int): Array[Array[Double]] =
+    spark.read.text(path).collect()
+      .map(_.getString(0))
+      .filter(_.trim.nonEmpty)
+      .map(_.split(",").drop(skipCols).map(_.trim.toDouble))
+}

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.functions.MeanVector
+import graft.operators.KMeans
+import graft.operators.KMeans.{Normalized, SqEuclidean}
+import graft.sources.{GoldenFormat, Pm25}
+import org.apache.spark.sql.functions._
+
+/** Golden replays of the reference's three checked-in artifacts
+  * (SURVEY.md §5) plus property tests for the k-means suite.
+  */
+class KMeansGoldenSpec extends SparkSpec {
+  private val base = "/root/reference/hadoop_tutorial/Kmeans"
+
+  private def lines(p: String): Seq[String] =
+    Files.readAllLines(Paths.get(p), StandardCharsets.UTF_8).asScala.toSeq.filter(_.nonEmpty)
+
+  private lazy val pm25 = Pm25.read(spark, s"$base/pm25.txt").cache()
+  private lazy val seeds =
+    Pm25.centersFrom(spark, s"$base/pm25.cluster.center.conf.txt", skipCols = 3)
+  private lazy val fit5 = KMeans.lloyd(pm25, "vec", seeds, SqEuclidean, maxIter = 5)
+
+  test("v1 golden replay: 5 iterations + labeling == kmeans.hdfs assignments") {
+    val mine = KMeans.assign(pm25, "vec", fit5.centers, SqEuclidean)
+      .select("cluster", "raw").collect()
+      .map(r => GoldenFormat.assignmentLine(r.getInt(0), r.getString(1))).toSet
+    val golden = lines(s"$base/kmeans.hdfs/part-r-00000").toSet
+    assert(mine === golden)
+    val sizes = KMeans.assign(pm25, "vec", fit5.centers, SqEuclidean)
+      .groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes === Map(1 -> 36L, 2 -> 73L, 3 -> 137L, 4 -> 119L))
+  }
+
+  test("v1 golden centroids: means after 5 iterations render byte-exact") {
+    // golden line i = cluster i+1 (single reducer, keys sorted); the date
+    // prefix is the order-dependent rep-row bug (KMeans.repRows doc) — the
+    // means section is deterministic and must match to the last digit.
+    val golden = lines(s"$base/pm25.cluster.center.conf.txt.hdfs")
+    assert(golden.size === 4)
+    fit5.centers.zipWithIndex.foreach { case (c, i) =>
+      val goldenMeans = golden(i).split(",PM25,", 2)(1)
+      val mine = GoldenFormat.centerLine("X", c).split(",PM25,", 2)(1)
+      assert(mine === goldenMeans, s"cluster ${i + 1}")
+    }
+  }
+
+  test("v2 golden replay: normalized-metric labeling reproduces output/part-r-00000") {
+    // The 34-row input's seed file isn't shipped, but the golden labels are
+    // a fixpoint of variant-2 semantics: relabeling against the clusters'
+    // own mean vectors must reproduce every label exactly.
+    val rows = lines(s"$base/output/part-r-00000").map { l =>
+      val Array(c, raw) = l.split("\t", 2); (c.toInt, raw)
+    }
+    import spark.implicits._
+    val df = rows.toDF("gold", "raw")
+      .withColumn("vec", transform(split(col("raw"), ","), t => t.cast("double")))
+    // centers from the golden grouping, via the MeanVector UDAF
+    val mv = udaf(MeanVector)
+    val centers = df.groupBy(col("gold"))
+      .agg(mv(col("vec")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val init = (1 to 4).map(centers(_)).toArray
+    val relabeled = KMeans.assign(df, "vec", init, Normalized(zeroSafe = false))
+      .select("gold", "cluster").collect()
+    assert(relabeled.forall(r => r.getInt(0) == r.getInt(1)),
+      s"mismatches: ${relabeled.count(r => r.getInt(0) != r.getInt(1))}/34")
+  }
+
+  test("v2 stop rule: zero-delta converges on fixpoint data in one extra pass") {
+    val rows = lines(s"$base/output/part-r-00000").map { l =>
+      val Array(c, raw) = l.split("\t", 2); (c.toInt, raw)
+    }
+    import spark.implicits._
+    val df = rows.toDF("gold", "raw")
+      .withColumn("vec", transform(split(col("raw"), ","), t => t.cast("double")))
+    val mv = udaf(MeanVector)
+    val centers = df.groupBy(col("gold")).agg(mv(col("vec")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val init = (1 to 4).map(centers(_)).toArray
+    val fit = KMeans.lloyd(df, "vec", init, Normalized(zeroSafe = false),
+      maxIter = 10, stopOnZeroDelta = true)
+    assert(fit.converged && fit.iterations === 1)
+  }
+
+  test("toy dataset: outlier group separates under the normalized metric") {
+    val toy = Pm25.readNumeric(spark, s"$base/kmeans_input_file.txt")
+    val toySeeds = Pm25.centersFrom(spark, s"$base/cluster.center.conf.txt", skipCols = 0)
+    val fit = KMeans.lloyd(toy, "vec", toySeeds, Normalized(), maxIter = 5)
+    val labeled = KMeans.assign(toy, "vec", fit.centers, Normalized())
+      .select(element_at(col("vec"), 1).as("x"), col("cluster")).collect()
+    val outlierClusters = labeled.filter(_.getDouble(0) > 50).map(_.getInt(1)).toSet
+    val smallClusters = labeled.filter(_.getDouble(0) <= 50).map(_.getInt(1)).toSet
+    assert(outlierClusters.size === 1)
+    assert(!smallClusters.contains(outlierClusters.head))
+  }
+
+  test("WCSS non-increasing across Lloyd iterations (squared-Euclidean)") {
+    var centers = seeds
+    var prev = Double.MaxValue
+    (1 to 5).foreach { _ =>
+      val w = KMeans.wcss(pm25, "vec", centers, SqEuclidean)
+      assert(w <= prev + 1e-6, s"WCSS increased: $prev -> $w")
+      prev = w
+      val byId = KMeans.assign(pm25, "vec", centers, SqEuclidean)
+      centers = {
+        val m = KMeans.meanVectors(byId, "vec", 24)
+        centers.zipWithIndex.map { case (old, i) => m.getOrElse(i + 1, old) }
+      }
+    }
+  }
+
+  test("mean_vector UDAF equals per-column avg") {
+    val df = Tables.embeddings(spark, sf)
+      .select((col("vec_id") % 3).as("g"), col("embedding").cast("array<double>").as("v"))
+    val mv = udaf(MeanVector)
+    val viaUdaf = df.groupBy("g").agg(mv(col("v")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaAvg = df.groupBy("g")
+      .agg((1 to 64).map(i => avg(element_at(col("v"), i)).as(s"m$i")).head,
+        (1 to 64).map(i => avg(element_at(col("v"), i)).as(s"m$i")).tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 64).map(r.getDouble)).toMap
+    viaUdaf.foreach { case (g, m) =>
+      m.zip(viaAvg(g)).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+    }
+  }
+
+  test("argmin ties break to the lowest center index") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq(1.0, 1.0))).toDF("vec")
+    val centers = Array(Array(0.0, 0.0), Array(1.0, 1.0), Array(1.0, 1.0))
+    val c = KMeans.assign(df, "vec", centers, SqEuclidean).select("cluster").head.getInt(0)
+    assert(c === 2) // centers 2 and 3 tie at distance 0 -> first wins
+  }
+
+  test("repRows: correct mode picks nearest row, bugCompat picks last in order") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(5.0, 5.0)), (3L, Seq(1.0, 1.0)))
+      .toDF("id", "vec")
+    val centers = Array(Array(0.0, 0.0))
+    val assigned = KMeans.assign(df, "vec", centers, SqEuclidean)
+    val correct = KMeans.repRows(assigned, "vec", "id", centers, SqEuclidean)
+      .select("id").head.getLong(0)
+    val buggy = KMeans.repRows(assigned, "vec", "id", centers, SqEuclidean, bugCompat = true)
+      .select("id").head.getLong(0)
+    assert(correct === 1L)
+    assert(buggy === 3L)
+  }
+}
