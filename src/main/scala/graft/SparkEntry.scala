@@ -22,7 +22,8 @@ object SparkEntry {
       AggQueries.defs ++
       WindowQueries.defs ++
       ScalarQueries.defs ++
-      KMeansQueries.defs
+      KMeansQueries.defs ++
+      PipelineQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -34,5 +35,6 @@ object SparkEntry {
       AggQueries.oracles ++
       WindowQueries.oracles ++
       ScalarQueries.oracles ++
-      KMeansQueries.oracles
+      KMeansQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media payloads ride through the engine as
+  * opaque `BinaryType` blobs with a typed metadata struct alongside —
+  * Spark never interprets the bytes, so parquet encodes/splits/shuffles
+  * them like any other column and the plan stays columnar end-to-end.
+  *
+  * Decode/feature-extraction runs batch-at-a-time inside `mapPartitions`
+  * (one decoder instance per partition, streaming through rows — constant
+  * memory, no driver involvement, scales with partition count). The codec
+  * itself is STUBBED deterministically (this container ships no image/audio
+  * libs); the Spark-side contract — schema, batching, partitioning — is
+  * real and tested.
+  *
+  * Reference scope: not in the reference repo; north-star addition
+  * (BASELINE.json multimodal row).
+  */
+object MultiModal {
+
+  /** Typed media record: opaque payload + structured metadata. */
+  case class MediaMeta(kind: String, lang: String, nChars: Long)
+  case class MediaRecord(docId: Long, payload: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(docId: Long, nBytes: Int, headerByte: Int,
+                           width: Int, height: Int, checksum: Long)
+
+  /** Attach a payload/meta pair to the documents table. The blob is the
+    * UTF-8 text bytes (a stand-in for real media bytes — deterministic and
+    * content-derived, so downstream checks are meaningful).
+    */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(lit("text/fake").as("kind"), col("lang"),
+        col("n_chars").cast("long").as("nChars")).as("meta"))
+
+  /** STUB decoder — deterministic fake in place of a real image/audio
+    * codec. Reads "dimensions" from the first payload bytes and computes a
+    * rolling checksum; a real deployment swaps only this function body.
+    */
+  private def decodeStub(payload: Array[Byte]): (Int, Int, Long) = {
+    val w = 1 + (if (payload.length > 0) (payload(0) & 0x7f) else 0)
+    val h = 1 + (if (payload.length > 1) (payload(1) & 0x7f) else 0)
+    var cs = 0L
+    var i = 0
+    while (i < payload.length) { cs = cs * 131 + (payload(i) & 0xffL); i += 1 }
+    (w, h, cs)
+  }
+
+  /** Batch feature extraction: one pass per partition, decoder state
+    * initialized once per partition (the `it =>` prologue), rows streamed.
+    * This is the shape a heavyweight codec needs — amortized init, bounded
+    * memory — and it parallelizes by repartitioning upstream.
+    */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here (e.g. native lib handle)
+      it.map { rec =>
+        val (w, h, cs) = decodeStub(rec.payload)
+        val hb = if (rec.payload.nonEmpty) rec.payload(0) & 0xff else -1
+        MediaFeatures(rec.docId, rec.payload.length, hb, w, h, cs)
+      }
+    }
+  }
+
+  /** End-to-end: documents → payload+meta → partition-parallel decode. */
+  def features(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    val media = withPayload(docs).select(
+      col("doc_id").as("docId"), col("payload"), col("meta")).as[MediaRecord]
+    extractFeatures(spark, media)
+  }
+}

@@ -1,0 +1,295 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, MultiModal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM training-data pipeline corpus: deduplication (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard), embedding similarity search, text analysis,
+  * and multimodal column plumbing — the north-star operator group
+  * (BASELINE.json; none of these exist in the reference repo).
+  *
+  * Oracle notes: the MinHash query's OUTPUT is the exact-verified pair set
+  * (LSH only prunes candidates; recall at these parameters is 1-2.6e-11),
+  * so its DuckDB oracle is the all-pairs ground truth. SimHash and LSH-ANN
+  * are approximate by construction → no SQL oracle (rows-only check +
+  * recall property tests in PipelineSpec). FP-sensitive outputs either use
+  * integer/rational arithmetic replicated exactly in the oracle SQL (same
+  * left-to-right fold order) or are rounded to 6 decimals.
+  */
+object PipelineQueries {
+
+  private val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash shuffle on the full text key; min-id row survives.
+    "q_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy("doc_id")
+    }),
+
+    // Keyed dedup: first event per (user, type) via row_number=1 — the
+    // "keep one representative per key" pattern over a big fact table.
+    "q_dedup_keyed" -> ((s, d) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // Exact all-pairs n-gram Jaccard ≥ 0.8 via the inverted-index join
+    // (explode shingles → equi-join on shingle → count intersections) —
+    // exact but scalable: the shuffle key is the shingle, never a crossJoin.
+    "q_jaccard_pairs" -> ((s, d) => {
+      val sets = Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+        .withColumn("sz", size(col("sh")))
+      val inv = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
+      inv.as("a").join(inv.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.sz").as("sza"), col("b.sz").as("szb"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // MinHash+LSH near-dup: signature (narrow) → band join → exact verify.
+    // Output = verified pairs, so the oracle is the same ground truth as
+    // q_jaccard_pairs — but the plan only ever touches LSH candidates.
+    "q_minhash_neardup" -> ((s, d) =>
+      Dedup.nearDupPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
+        .orderBy("a_id", "b_id")),
+
+    // SimHash near-dup (approximate; rows-only check + property tests).
+    "q_simhash_neardup" -> ((s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
+        .orderBy("a_id", "b_id")),
+
+    // Exact cosine top-5 per vector, brute force (the correctness anchor
+    // for the ANN path). Double-precision left-to-right folds — replicated
+    // op-for-op in the oracle SQL.
+    "q_cosine_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rank")),
+
+    // LSH-bucketed approximate top-k (the 100 TB path; recall measured in
+    // PipelineSpec against the brute-force anchor).
+    "q_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 5, dim = 64, tables = 8, bitsPerTable = 8)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rank")),
+
+    // Embedding near-dup pairs at cosine ≥ 0.45 (testdata max ≈ 0.51).
+    "q_embed_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("a_id", "b_id")),
+
+    "q_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_bpe"),
+          size(TextFunctions.tokens(col("text"))).as("n_ws"))
+        .orderBy("doc_id")),
+
+    "q_quality_score" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // TF-IDF: explode → two hash aggs (term-frequency per doc, doc-
+    // frequency per term) + a broadcast scalar N. All shuffles are on
+    // term/doc keys — map-side partial aggregation applies.
+    "q_tfidf" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .filter(!col("term").isInCollection(TextFunctions.stopwords))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+      tf.join(dfreq, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") * (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+        .orderBy("doc_id", "term")
+    }),
+
+    // Multimodal plumbing: BinaryType payload + metadata struct; the
+    // SQL-checkable projection (byte length, header byte, meta fields).
+    // The mapPartitions decode path is exercised in PipelineSpec.
+    "q_multimodal_meta" -> ((s, d) =>
+      MultiModal.withPayload(Tables.documents(s, d))
+        .select(col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          ascii(substring(col("payload").cast("string"), 1, 1)).as("header_byte"),
+          col("meta.lang").as("lang"), col("meta.nChars").as("n_chars"))
+        .orderBy("doc_id")),
+  )
+
+  /** Shared ground-truth SQL for the near-dup pair set (all-pairs exact
+    * n-gram Jaccard over the inverted index; data guarantee: every doc has
+    * ≥ 3 words, so the Spark short-doc fallback branch never fires).
+    */
+  private val jaccardGroundTruth: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM tok),
+       sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT a_id, b_id,
+              CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+       FROM inter
+       JOIN sz sa ON inter.a_id = sa.doc_id
+       JOIN sz sb ON inter.b_id = sb.doc_id
+       WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8
+       ORDER BY a_id, b_id"""
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY doc_id""",
+    "q_dedup_keyed" ->
+      """SELECT user_id, event_type, event_id FROM (
+           SELECT user_id, event_type, event_id,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY event_id) AS rn
+           FROM events) t
+         WHERE rn = 1 ORDER BY user_id, event_type""",
+    "q_jaccard_pairs" -> jaccardGroundTruth,
+    "q_minhash_neardup" -> jaccardGroundTruth,
+    "q_cosine_topk" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+                  sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm
+           FROM v),
+         pairs AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+                  list_reduce(list_prepend(0.0,
+                    list_transform(generate_series(1, len(q.v)),
+                      i -> q.v[i] * c.v[i])), (a,b) -> a+b)
+                  / (q.nrm * c.nrm) AS sim
+           FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT qid, nid, sim,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, nid) AS rank
+           FROM pairs)
+         SELECT qid, rank, nid, round(sim, 6) AS sim
+         FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "q_embed_neardup" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+                  sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm
+           FROM v)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                round(list_reduce(list_prepend(0.0,
+                    list_transform(generate_series(1, len(a.v)),
+                      i -> a.v[i] * b.v[i])), (x,y) -> x+y)
+                  / (a.nrm * b.nrm), 6) AS sim
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_reduce(list_prepend(0.0,
+                 list_transform(generate_series(1, len(a.v)),
+                   i -> a.v[i] * b.v[i])), (x,y) -> x+y)
+               / (a.nrm * b.nrm) >= 0.45
+         ORDER BY a_id, b_id""",
+    "q_token_count" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe,
+                len(string_split(text, ' ')) AS n_ws
+         FROM documents ORDER BY doc_id""",
+    "q_quality_score" ->
+      s"""WITH m AS (
+           SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+                  CAST(len(text) AS DOUBLE) AS n_char,
+                  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains([$stopList], t))) AS DOUBLE) AS n_stop
+           FROM documents)
+         SELECT doc_id,
+                round(least(n_tok/50.0, 1.0) * 0.4
+                  + (CASE WHEN n_char/greatest(n_tok, 1.0) BETWEEN 3.0 AND 10.0
+                          THEN 1.0 ELSE 0.5 END) * 0.2
+                  + least(n_stop/greatest(n_tok, 1.0) * 4.0, 1.0) * 0.2
+                  + (1.0 - least(n_punct/greatest(n_char, 1.0) * 10.0, 1.0)) * 0.2,
+                  6) AS quality
+         FROM m ORDER BY doc_id""",
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id,
+           len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS s_en,
+           len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein','zu','mit','von','nicht'], x))) AS s_de,
+           len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','un','es','por','con'], x))) AS s_es,
+           len(list_filter(w, x -> list_contains(['le','la','de','et','un','est','que','pour','dans','ce'], x))) AS s_fr,
+           len(list_filter(w, x -> list_contains(['的','是','在','了','和','有','我','不','这','人'], x))) AS s_zh
+           FROM t)
+         SELECT doc_id, CASE
+           WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           WHEN s_fr > 0 AND s_fr >= s_zh THEN 'fr'
+           WHEN s_zh > 0 THEN 'zh'
+           ELSE 'und' END AS lang_pred
+         FROM s ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(generate_series(1, len(text)),
+                      i -> CAST(ascii(text[i]) AS BIGINT))),
+                  (acc, c) -> (acc * 131 + c) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q_tfidf" ->
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         f AS (SELECT * FROM tok WHERE term NOT IN ($stopList)),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY 1, 2),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM f GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                round(tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS tfidf
+         FROM tf JOIN dfq USING (term) CROSS JOIN n
+         ORDER BY doc_id, term""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+                ascii(substr(text, 1, 1)) AS header_byte, lang, n_chars
+         FROM documents ORDER BY doc_id""",
+  )
+}
