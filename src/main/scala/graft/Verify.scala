@@ -23,7 +23,10 @@ object Verify {
       .foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          // repartition(1), NOT coalesce(1): coalesce collapses the whole
+          // upstream stage into one task when there is no shuffle boundary
+          // (e.g. the O(n²) join queries), serializing the computation.
+          fn(spark, sfDir).repartition(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           System.err.println(f"[verify] $name ok ${(System.nanoTime()-t0)/1e9}%.1fs")
         } catch { case e: Throwable =>

@@ -34,6 +34,55 @@ object Dedup {
       .otherwise(array(text))
   }
 
+  /** 64-bit hash of a string via two 32-bit murmur passes — the shared
+    * shingle/token hash basis for [[shingleHashes]], [[minhashBandKeys]]
+    * and [[simhash64]]. Deterministic across executors/runs.
+    */
+  private def hash64(s: String): Long = {
+    import scala.util.hashing.MurmurHash3
+    val h1 = MurmurHash3.stringHash(s, 0x9747b28c)
+    val h2 = MurmurHash3.stringHash(s, 0x85ebca6b)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** Distinct shingle hashes, computed in one compiled pass per row.
+    *
+    * Semantically `shingles(text).map(hash64).distinct` — same word
+    * splitting (`split(" ", -1)`, trailing empties kept, matching Spark's
+    * `split` and DuckDB's `string_split`), same short-doc fallback. Join
+    * on the hash, not the string: the [[shingles]] expression tree is
+    * interpreted (higher-order functions) and gets re-evaluated up to 3×
+    * per row when `explode` infers its size/null filter — measured as the
+    * dominant cost of the inverted-index join. Hash collisions across
+    * distinct shingles are ~2⁻⁶⁴·pairs and oracle-checked downstream.
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    val f = udf { (t: String) =>
+      if (t == null) Array(0L)
+      else {
+        val w = t.split(" ", -1)
+        if (w.length < n) Array(hash64(t))
+        else {
+          val seen = new java.util.HashSet[java.lang.Long]()
+          val out = new Array[Long](w.length - n + 1)
+          var m = 0
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i + n <= w.length) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) { if (j > 0) sb.append(' '); sb.append(w(i + j)); j += 1 }
+            val h = hash64(sb.toString)
+            if (seen.add(h)) { out(m) = h; m += 1 }
+            i += 1
+          }
+          java.util.Arrays.copyOf(out, m)
+        }
+      }
+    }
+    f(text)
+  }
+
   /** Fixed affine hash family h_i(x) = a_i*x + b_i over a 31-bit base hash,
     * with 31-bit coefficients — products stay < 2^62, so the arithmetic is
     * overflow-free under ANSI mode (no dependence on session config).
@@ -46,7 +95,8 @@ object Dedup {
     IndexedSeq.fill(k)((next() | 1L, next()))
   }
 
-  /** MinHash-LSH band keys for a shingle array column: the k = bands×rows
+  /** MinHash-LSH band keys straight from the text column: distinct shingle
+    * hashes (same shingling as [[shingleHashes]]), the k = bands×rows
     * signature minima, then one 64-bit mix per band of r consecutive
     * signature entries. Two docs share a band key iff that signature slice
     * is identical — P(share ≥1 band | Jaccard=s) = 1-(1-s^r)^bands.
@@ -58,25 +108,44 @@ object Dedup {
     * froze Catalyst/codegen for minutes; the closure keeps the plan tiny
     * and does the same O(shingles·k) work in a tight loop.
     */
-  def minhashBandKeys(shingleCol: Column, bands: Int, rows: Int,
+  def minhashBandKeys(text: Column, shingleN: Int, bands: Int, rows: Int,
                       seed: Long = 42L): Column = {
     val coeffs = hashCoeffs(bands * rows, seed).toArray
-    val bandKeys = udf { (shingles: Seq[String]) =>
-      import scala.util.hashing.MurmurHash3
+    val n = shingleN
+    val bandKeys = udf { (t: String) =>
       val k = coeffs.length
       val sig = Array.fill(k)(Long.MaxValue)
-      shingles.foreach { s =>
-        // 31-bit base hash; with 31-bit affine coeffs a*h+b stays < 2^62
-        // (overflow-free under ANSI; deterministic across executors).
-        val h1 = MurmurHash3.stringHash(s, 0x9747b28c)
-        val h2 = MurmurHash3.stringHash(s, 0x85ebca6b)
-        val base = ((h1.toLong << 32) | (h2.toLong & 0xffffffffL)) & Long.MaxValue
-        val h = base % 2147483647L
+      val seen = new java.util.HashSet[java.lang.Long]()
+      def feed(h64v: Long): Unit = if (seen.add(h64v)) {
+        // Universal hash family (a_i*h + b_i) mod p, p = 2^31-1: the mod is
+        // ESSENTIAL — without it a_i*h+b_i is monotone in h, every
+        // "permutation" shares one argmin, and the whole signature
+        // degenerates to a function of min(h) (recall ≈ J instead of ≈ 1;
+        // measured 253/256 pairs at sf0.1). 31-bit h and coeffs keep
+        // a*h+b < 2^62 — overflow-free under ANSI, deterministic across
+        // executors.
+        val h = (h64v & Long.MaxValue) % 2147483647L
         var i = 0
         while (i < k) {
-          val v = coeffs(i)._1 * h + coeffs(i)._2
+          val v = (coeffs(i)._1 * h + coeffs(i)._2) % 2147483647L
           if (v < sig(i)) sig(i) = v
           i += 1
+        }
+      }
+      if (t == null) feed(0L)
+      else {
+        val w = t.split(" ", -1)
+        if (w.length < n) feed(hash64(t))
+        else {
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i + n <= w.length) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) { if (j > 0) sb.append(' '); sb.append(w(i + j)); j += 1 }
+            feed(hash64(sb.toString))
+            i += 1
+          }
         }
       }
       Array.tabulate(bands) { j =>
@@ -90,7 +159,7 @@ object Dedup {
         acc
       }
     }
-    bandKeys(shingleCol)
+    bandKeys(text)
   }
 
   /** Candidate near-dup pairs from LSH banding.
@@ -105,7 +174,7 @@ object Dedup {
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
                     shingleN: Int = 3, bands: Int = 32, rows: Int = 4,
                     seed: Long = 42L): DataFrame = {
-    val keys = minhashBandKeys(shingles(col(textCol), shingleN), bands, rows, seed)
+    val keys = minhashBandKeys(col(textCol), shingleN, bands, rows, seed)
     val banded = df
       .select(col(idCol).as("id"), explode(keys).as("bh"))
     banded.as("l").join(banded.as("r"),
@@ -115,14 +184,15 @@ object Dedup {
   }
 
   /** Exact word-n-gram Jaccard similarity for given (a_id, b_id) pairs.
-    * Joins the pair list back to per-doc shingle sets (shuffle join on id —
-    * broadcast-able when the candidate set is small, which LSH guarantees)
-    * and evaluates |A∩B|/|A∪B| with codegen'd array intersects.
+    * Joins the pair list back to per-doc shingle-hash sets (shuffle join on
+    * id — broadcast-able when the candidate set is small, which LSH
+    * guarantees) and evaluates |A∩B|/|A∪B| with array intersects over the
+    * long hashes (cheaper than string arrays; collision-exact in practice).
     */
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
                       textCol: String, shingleN: Int = 3): DataFrame = {
     val sets = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
+      shingleHashes(col(textCol), shingleN).as("sh"))
     pairs
       .join(sets.withColumnRenamed("sh", "sh_a"), col("a_id") === col("id"))
       .drop("id")

@@ -28,6 +28,21 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Compiled dot product for the O(pairs) hot path. Same left-to-right
+    * IEEE fold as [[dot]] (bit-identical results), but a tight JIT'd loop.
+    * The higher-order-function expressions are interpreted per element
+    * (~5× slower over the 4M-pair brute-force join), and `Array[Double]`
+    * params matter: they deserialize via the primitive `toDoubleArray`
+    * fast path, where `Seq[Double]` boxes every element per call.
+    */
+  private val dotUdf = udf { (x: Array[Double], y: Array[Double]) =>
+    var acc = 0.0
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) { acc += x(i) * y(i); i += 1 }
+    acc
+  }
+
   def l2Norm(v: Column): Column =
     sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
 
@@ -36,23 +51,67 @@ object Similarity {
     dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
   }
 
-  /** Exact cosine top-k neighbors for every vector (self-join, excluding
-    * the identity pair). Norms are computed once per row BEFORE the join,
-    * so the O(n²) part is one dot product + one divide per pair; per-query
-    * ranking is a window top-k (partial top-k runs map-side under AQE).
-    * Deterministic tie-break on neighbor id.
+  /** Exact cosine top-k neighbors for every vector (excluding the identity
+    * pair), deterministic tie-break on neighbor id.
+    *
+    * Broadcast + mapPartitions, NOT a self-join: the candidate matrix
+    * (id, vec, norm) is broadcast once per executor and each query row
+    * keeps a k-bounded insertion list while streaming the candidates.
+    * The join formulation materializes n² rows each carrying BOTH 64-dim
+    * vectors through the exchange (~4 GB at 2000 vectors) plus an n²-row
+    * window sort; this path materializes only n·k result rows and sorts
+    * nothing. Exact KNN inherently requires the candidate side to fit in
+    * executor memory — [[lshTopK]] is the path past that (the broadcast
+    * ceiling, ~millions of vectors, is a physical limit of exact KNN, not
+    * of this operator).
+    *
+    * IEEE-order note: the dot fold is the same left-to-right loop as
+    * [[dot]]/dotUdf, so results are bit-identical to the join formulation
+    * (and to the DuckDB oracle's list_reduce fold).
     */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      k: Int): DataFrame = {
-    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).as("id").cast("long"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    val pairs = v.as("q").join(v.as("c"), col("q.id") =!= col("c.id"))
-      .select(col("q.id").as("qid"), col("c.id").as("nid"),
-        (dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+      .as[(Long, Array[Double], Double)]
+    val bc = spark.sparkContext.broadcast(v.collect())
+    v.mapPartitions { it =>
+      val cands = bc.value
+      it.flatMap { case (qid, qv, qn) =>
+        // k-bounded insertion list ordered by (sim desc, nid asc) — exact
+        // double comparisons, so identical to a full sort's ranking.
+        val topSim = new Array[Double](k)
+        val topNid = new Array[Long](k)
+        var filled = 0
+        var c = 0
+        while (c < cands.length) {
+          val (nid, cv, cn) = cands(c)
+          if (nid != qid) {
+            var acc = 0.0
+            var i = 0
+            val n = math.min(qv.length, cv.length)
+            while (i < n) { acc += qv(i) * cv(i); i += 1 }
+            val sim = acc / (qn * cn)
+            val beatsLast = filled < k || sim > topSim(filled - 1) ||
+              (sim == topSim(filled - 1) && nid < topNid(filled - 1))
+            if (beatsLast) {
+              var pos = if (filled < k) filled else k - 1
+              while (pos > 0 && (sim > topSim(pos - 1) ||
+                  (sim == topSim(pos - 1) && nid < topNid(pos - 1)))) {
+                topSim(pos) = topSim(pos - 1); topNid(pos) = topNid(pos - 1)
+                pos -= 1
+              }
+              topSim(pos) = sim; topNid(pos) = nid
+              if (filled < k) filled += 1
+            }
+          }
+          c += 1
+        }
+        (0 until filled).map(r => (qid, r + 1, topNid(r), topSim(r)))
+      }
+    }.toDF("qid", "rank", "nid", "sim")
   }
 
   /** Random-hyperplane sign signature: one bit per hyperplane, packed into
@@ -77,8 +136,7 @@ object Similarity {
     // expression-based version, so bucket assignments are unchanged.
     val planes: Array[Array[Double]] =
       Array.fill(tables * bitsPerTable)(Array.fill(dim)(comp()))
-    val bucketize = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
+    val bucketize = udf { (arr: Array[Double]) =>
       Array.tabulate(tables) { t =>
         var packed = 0L
         var b = 0
@@ -119,7 +177,7 @@ object Similarity {
       .join(slim.as("q"), col("qid") === col("q.id")).drop("id")
       .join(slim.as("c"), col("nid") === col("c.id")).drop("id")
       .select(col("qid"), col("nid"),
-        (dot(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
+        (dotUdf(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -127,16 +185,32 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, exact brute-force
-    * over the (a<b) half-matrix. The LSH variant above is the scale path;
-    * this exact form is the oracle-checkable baseline.
+    * over the (a<b) half-matrix. Same broadcast + mapPartitions shape as
+    * [[bruteForceTopK]] (and the same IEEE fold order): each row scans only
+    * candidates with larger id and emits surviving pairs — no n²-row join
+    * materialization, output is just the matching pairs. The LSH variant
+    * above is the path past the exact-KNN broadcast ceiling.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).as("id").cast("long"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
-      .filter(col("sim") >= threshold)
+      .as[(Long, Array[Double], Double)]
+    val bc = spark.sparkContext.broadcast(v.collect())
+    v.mapPartitions { it =>
+      val cands = bc.value
+      it.flatMap { case (aid, av, an) =>
+        cands.iterator.filter(_._1 > aid).flatMap { case (bid, bv, bn) =>
+          var acc = 0.0
+          var i = 0
+          val n = math.min(av.length, bv.length)
+          while (i < n) { acc += av(i) * bv(i); i += 1 }
+          val sim = acc / (an * bn)
+          if (sim >= threshold) Some((aid, bid, sim)) else None
+        }
+      }
+    }.toDF("a_id", "b_id", "sim")
   }
 }

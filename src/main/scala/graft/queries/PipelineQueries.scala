@@ -48,13 +48,21 @@ object PipelineQueries {
     // Exact all-pairs n-gram Jaccard ≥ 0.8 via the inverted-index join
     // (explode shingles → equi-join on shingle → count intersections) —
     // exact but scalable: the shuffle key is the shingle, never a crossJoin.
+    // Scale refinements: shingle-hash in ONE compiled UDF pass (the
+    // interpreted shingle expression tree was re-evaluated 3× per row by
+    // explode's inferred size/null filter — the measured dominant cost)
+    // and join on the 64-bit hash, not the string. (A doc-frequency>1
+    // prune before the self-join was measured counterproductive on this
+    // corpus: 99% of shingles are shared, so the prune only added another
+    // evaluation of the inverted index.)
     "q_jaccard_pairs" -> ((s, d) => {
       val sets = Tables.documents(s, d)
-        .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+        .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("sh"))
         .withColumn("sz", size(col("sh")))
-      val inv = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("s"))
-      inv.as("a").join(inv.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      val inv2 = sets.select(col("doc_id"), col("sz"),
+        explode(col("sh")).as("h"))
+      inv2.as("a").join(inv2.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
           col("a.sz").as("sza"), col("b.sz").as("szb"))
         .agg(count(lit(1)).as("inter"))
