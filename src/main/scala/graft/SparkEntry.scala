@@ -23,7 +23,8 @@ object SparkEntry {
       WindowQueries.defs ++
       ScalarQueries.defs ++
       KMeansQueries.defs ++
-      PipelineQueries.defs
+      PipelineQueries.defs ++
+      StreamQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -36,5 +37,6 @@ object SparkEntry {
       WindowQueries.oracles ++
       ScalarQueries.oracles ++
       KMeansQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++
+      StreamQueries.oracles
 }

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY.md §2B streaming row): file
+  * source, tumbling & sliding event-time windows, watermark with
+  * late-data drop, append & update output modes, and a custom keyed-state
+  * operator via `mapGroupsWithState`.
+  *
+  * Every transform here is defined ONCE over an unbound DataFrame — the
+  * identical function composes over `spark.read` (batch) and
+  * `spark.readStream` (incremental). That is the parity contract: the
+  * streaming result on a fully-processed bounded input must equal the
+  * batch result of the same function (StreamingSpec asserts it), and it is
+  * also the 100 TB posture — windowed aggregation state is bounded by
+  * (windows in watermark horizon × keys), never by input size, and the
+  * watermark bounds state eviction exactly like a shuffle-partition-local
+  * GC. No DStream API anywhere (SURVEY.md §1 Spark mapping).
+  *
+  * Reference scope: the reference repo (swguo/NCHU.BigData) has no
+  * streaming; this group is mandated by BASELINE.json / SURVEY §2B.
+  */
+object Streams {
+
+  /** Tumbling event-time window aggregation (count + sum per event_type).
+    * Works unchanged on batch and streaming inputs; on a stream, pair with
+    * [[watermarked]] so state for closed windows is evicted.
+    */
+  def tumblingAgg(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Sliding event-time windows: each event lands in width/slide windows.
+    * Spark expands the window set per row (a Generate, narrow) and then
+    * hash-aggregates — the shuffle key is (window, event_type), so partial
+    * aggregation applies exactly as in the tumbling case.
+    */
+  def slidingAgg(events: DataFrame, width: String = "1 hour",
+                 slide: String = "30 minutes"): DataFrame =
+    events.groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Event-time watermark: rows more than `delay` behind the max observed
+    * event time are dropped by stateful operators, which is what lets a
+    * 100 TB/day stream run with bounded state.
+    */
+  def watermarked(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** File-source stream over a parquet directory. Streaming sources don't
+    * infer schemas (a listing race could silently change the plan), so the
+    * caller supplies one — normally `batchDf.schema`.
+    */
+  def parquetStream(spark: SparkSession, dir: String, schema: StructType,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
+
+  /** Start a query into an in-memory table `name` (test/debug sink; the
+    * production sinks are `parquet`/`kafka` via the same writeStream).
+    */
+  def toMemorySink(df: DataFrame, name: String, mode: OutputMode,
+                   checkpointDir: String): StreamingQuery =
+    df.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(mode).start()
+
+  case class UserMax(user_id: Long, max_value: Double)
+
+  /** Custom keyed state via `mapGroupsWithState`: running max value per
+    * user, state = one double per key (constant per key — the bounded-
+    * state discipline from SURVEY §2A's anti-pattern note). Emits the
+    * updated max for every key seen in the micro-batch (update mode).
+    * The same function on a batch Dataset (empty initial state, one
+    * "batch") degenerates to groupBy(user).max(value) — parity-tested.
+    */
+  def runningMaxPerUser(spark: SparkSession, events: DataFrame): Dataset[UserMax] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Double)], state: GroupState[Double]) =>
+          var mx = state.getOption.getOrElse(Double.NegativeInfinity)
+          it.foreach { case (_, v) => if (v > mx) mx = v }
+          state.update(mx)
+          UserMax(uid, mx)
+      }
+  }
+}

@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming group (SURVEY §2B last row), oracle=parity: the streaming
+  * result of each transform on a bounded input must equal the batch result
+  * of the SAME function; watermark late-drop and cross-batch state are
+  * exercised with deterministic MemoryStream micro-batch sequences (file
+  * sources with fixed event times for the parity runs — no rate source,
+  * per SURVEY §7 risk notes).
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** events at sf0.001 re-written as plain-µs parquet (streaming reader
+    * has no nanosAsLong escape hatch), split into 4 files so the file
+    * source actually sees multiple input splits.
+    */
+  private lazy val eventsDir: String = {
+    val dir = tmp("graft-stream-events")
+    Tables.events(spark, sf)
+      .select("ts", "user_id", "event_type", "value")
+      .repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def batchEvents = spark.read.parquet(eventsDir)
+
+  private def runToCompletion(name: String, mode: OutputMode)
+                             (mkQuery: => org.apache.spark.sql.DataFrame): Unit = {
+    val q = Streams.toMemorySink(mkQuery, name, mode, tmp(s"ckpt-$name"))
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq.sorted
+
+  test("tumbling window parity: stream == batch") {
+    runToCompletion("t_tumbling", OutputMode.Complete()) {
+      Streams.tumblingAgg(
+        Streams.parquetStream(spark, eventsDir, batchEvents.schema))
+    }
+    val got = canon(spark.table("t_tumbling"))
+    val want = canon(Streams.tumblingAgg(batchEvents))
+    assert(got.nonEmpty && got === want)
+  }
+
+  test("sliding window parity: stream == batch, multi-file micro-batches") {
+    runToCompletion("t_sliding", OutputMode.Complete()) {
+      Streams.slidingAgg(
+        Streams.parquetStream(spark, eventsDir, batchEvents.schema,
+          maxFilesPerTrigger = Some(1)))
+    }
+    val got = canon(spark.table("t_sliding"))
+    val want = canon(Streams.slidingAgg(batchEvents))
+    assert(got.nonEmpty && got === want)
+    // sliding invariant: each event lands in width/slide = 2 windows
+    val nTum = spark.table("t_tumbling")
+    val sumSliding = spark.table("t_sliding").agg(sum("n")).head.getLong(0)
+    assert(sumSliding === 2 * batchEvents.count())
+  }
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("watermark drops late data (append mode emits only closed windows)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = Streams.toMemorySink(
+      Streams.tumblingAgg(
+        Streams.watermarked(
+          in.toDF().toDF("ts", "event_type", "value"), "10 minutes"),
+        "10 minutes"),
+      "t_late_append", OutputMode.Append(), tmp("ckpt-late"))
+
+    // batch 1: one event in window [00:00,00:10), one at 01:00 that will
+    // push the watermark to 00:50 for the NEXT batch.
+    in.addData((ts("2024-01-01 00:05:00"), "a", 1.0),
+               (ts("2024-01-01 01:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event for the already-closed 00:00 window (00:06 <
+    // watermark 00:50 → dropped), plus 02:00 to advance the watermark.
+    in.addData((ts("2024-01-01 00:06:00"), "a", 9.0),
+               (ts("2024-01-01 02:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    // batch 3: only advances the watermark so [01:00,01:10) also closes.
+    in.addData((ts("2024-01-01 03:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("t_late_append")
+      .select(col("w_start").cast("string"), col("n"), col("total"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // the late 00:06/9.0 event must NOT appear: n stays 1, total stays 1.0
+    assert(rows.get("2024-01-01 00:00:00") === Some((1L, 1.0)))
+    assert(rows.get("2024-01-01 01:00:00") === Some((1L, 1.0)))
+    // [02:00,02:10) closes in the trailing no-data batch (watermark 02:50)
+    assert(rows.get("2024-01-01 02:00:00") === Some((1L, 1.0)))
+    // [03:00,03:10) ends after the final watermark → still open → absent
+    assert(!rows.contains("2024-01-01 03:00:00"))
+  }
+
+  test("watermark drops late data (update mode re-emits open windows)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = Streams.toMemorySink(
+      Streams.tumblingAgg(
+        Streams.watermarked(
+          in.toDF().toDF("ts", "event_type", "value"), "10 minutes"),
+        "10 minutes"),
+      "t_late_update", OutputMode.Update(), tmp("ckpt-late-upd"))
+
+    in.addData((ts("2024-01-01 00:05:00"), "a", 1.0),
+               (ts("2024-01-01 01:00:00"), "a", 1.0))
+    q.processAllAvailable()
+    in.addData((ts("2024-01-01 00:06:00"), "a", 9.0), // late → dropped
+               (ts("2024-01-01 01:01:00"), "a", 2.0)) // open window → re-emit
+    q.processAllAvailable()
+    q.stop()
+
+    val byWindow = spark.table("t_late_update")
+      .select(col("w_start").cast("string"), col("n"), col("total"))
+      .collect().groupBy(_.getString(0))
+    // update mode emitted [00:00] once (batch 1) and never again — the
+    // late event was dropped before reaching the aggregation state.
+    assert(byWindow("2024-01-01 00:00:00").map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      === Seq((1L, 1.0)))
+    // [01:00] emitted in batch 1 (n=1) and re-emitted updated in batch 2
+    assert(byWindow("2024-01-01 01:00:00").map(r => (r.getLong(1), r.getDouble(2))).toSet
+      === Set((1L, 1.0), (2L, 3.0)))
+  }
+
+  test("mapGroupsWithState running max: batch parity") {
+    val got = Streams.runningMaxPerUser(spark, batchEvents)
+      .collect().map(um => um.user_id -> um.max_value).toMap
+    val want = batchEvents.groupBy("user_id").agg(max("value"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === want && got.nonEmpty)
+  }
+
+  test("mapGroupsWithState carries state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val q = Streams.toMemorySink(
+      Streams.runningMaxPerUser(spark, in.toDF().toDF("user_id", "value")).toDF(),
+      "t_state", OutputMode.Update(), tmp("ckpt-state"))
+    in.addData((1L, 5.0), (2L, 2.0))
+    q.processAllAvailable()
+    in.addData((1L, 3.0)) // lower than the stored max → emitted max stays 5
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("t_state")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(emitted.count { case (u, _) => u == 1L } === 2)
+    assert(emitted.filter(_._1 == 1L).map(_._2).toSet === Set(5.0))
+    assert(emitted.filter(_._1 == 2L).map(_._2).toSet === Set(2.0))
+  }
+}
