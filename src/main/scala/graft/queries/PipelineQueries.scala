@@ -94,10 +94,13 @@ object PipelineQueries {
         .orderBy("qid", "rank")),
 
     // LSH-bucketed approximate top-k (the 100 TB path; recall measured in
-    // PipelineSpec against the brute-force anchor).
+    // PipelineSpec against the brute-force anchor). 6 bits/table: these
+    // embeddings are near-random (max pairwise cos ≈ 0.51), so 8-bit
+    // buckets are too fine — measured recall@5 0.15 at 8 bits vs ~0.5 at
+    // 6 bits with a candidate set ~12% of the corpus.
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-          k = 5, dim = 64, tables = 8, bitsPerTable = 8)
+          k = 5, dim = 64, tables = 8, bitsPerTable = 6)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rank")),
 

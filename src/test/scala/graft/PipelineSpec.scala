@@ -1,0 +1,138 @@
+package graft
+
+import graft.operators.{Dedup, MultiModal, Similarity}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Property tests for the LLM-pipeline operators whose outputs are
+  * approximate or not SQL-expressible (SURVEY §2B: oracle=property):
+  * LSH-ANN recall against the brute-force anchor, MinHash recall against
+  * exact Jaccard, SimHash invariants, hash/expression shingle parity, and
+  * the multimodal mapPartitions plumbing.
+  */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+  private lazy val embeddings = Tables.embeddings(spark, sf).cache()
+
+  test("minhash near-dup pairs == exact jaccard pairs (recall ~1 by design)") {
+    val exact = SparkEntry.queries("q_jaccard_pairs")(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh === exact)
+  }
+
+  test("shingleHashes UDF == shingles expression + hash (incl. edge cases)") {
+    import spark.implicits._
+    import scala.util.hashing.MurmurHash3
+    val edge = Seq("", "a", "a b", "a b c", "a b c d",
+      "x x x x x", "a b c  d", "a b c d ").toDF("text")
+    def h64(s: String): Long = {
+      val h1 = MurmurHash3.stringHash(s, 0x9747b28c)
+      val h2 = MurmurHash3.stringHash(s, 0x85ebca6b)
+      (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    }
+    val viaExpr = edge.select(col("text"), Dedup.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[String](1).map(h64).distinct.toSeq).toMap
+    val viaUdf = edge.select(col("text"), Dedup.shingleHashes(col("text")).as("sh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(viaExpr === viaUdf)
+  }
+
+  test("lsh ann recall@5 against the brute-force anchor") {
+    val exact = Similarity.bruteForceTopK(embeddings, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val ann = Similarity.lshTopK(embeddings, "vec_id", "embedding",
+        k = 5, dim = 64, tables = 8, bitsPerTable = 6)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hits = exact.map { case (q, want) =>
+      (want intersect ann.getOrElse(q, Set.empty)).size
+    }.sum
+    val recall = hits.toDouble / exact.map(_._2.size).sum
+    info(f"ann recall@5 = $recall%.3f over ${exact.size} queries")
+    assert(recall >= 0.30, f"recall $recall%.3f below floor")
+  }
+
+  test("ann results are a subset of valid neighbors with exact sims") {
+    // every (qid,nid,sim) from the ANN path must carry the TRUE cosine —
+    // approximation may lose neighbors, never report a wrong similarity.
+    val ann = Similarity.lshTopK(embeddings, "vec_id", "embedding",
+      k = 3, dim = 64, tables = 4, bitsPerTable = 8)
+    val joined = ann.join(embeddings.select(col("vec_id").as("qid"),
+        col("embedding").as("qe")), "qid")
+      .join(embeddings.select(col("vec_id").as("nid"),
+        col("embedding").as("ne")), "nid")
+      .withColumn("true_sim", Similarity.cosine(col("qe"), col("ne")))
+    val bad = joined.filter(abs(col("sim") - col("true_sim")) > 1e-9).count()
+    assert(bad === 0)
+  }
+
+  test("simhash: identical texts collide, near-dup text is close, random is far") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val aNear = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val b = "completely unrelated content about database engines and query planners"
+    val fp = Seq(a, a, aNear, b).toDF("text")
+      .select(Dedup.simhash64(split(col("text"), " ")).as("fp"))
+      .collect().map(_.getLong(0))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(fp(0), fp(1)) === 0)
+    assert(ham(fp(0), fp(2)) < ham(fp(0), fp(3)))
+  }
+
+  test("simhash near-dup contains every exact duplicate pair") {
+    // sf0.001 has no exact-dup texts — plant them: copy 5 docs under
+    // shifted ids and require every (orig, copy) pair to be recovered
+    // (hamming 0 always shares all four 16-bit chunks).
+    val planted = docs.limit(5)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val withDups = docs.select("doc_id", "text").unionAll(planted)
+    val want = docs.limit(5).select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    val sim = Dedup.simhashNearDups(withDups, "doc_id", "text", maxHamming = 0)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.subsetOf(sim))
+  }
+
+  test("multimodal features: deterministic, partition-independent, checksum-correct") {
+    val f1 = MultiModal.features(spark, docs).collect().map(f => f.docId -> f).toMap
+    val f2 = MultiModal.features(spark, docs.repartition(7)).collect()
+      .map(f => f.docId -> f).toMap
+    assert(f1.keySet === f2.keySet)
+    f1.foreach { case (id, f) => assert(f === f2(id)) }
+    // driver-side recomputation of one checksum
+    val sample = docs.select("doc_id", "text").head()
+    val bytes = sample.getString(1).getBytes("UTF-8")
+    var cs = 0L
+    bytes.foreach(b => cs = cs * 131 + (b & 0xffL))
+    assert(f1(sample.getLong(0)).checksum === cs)
+    assert(f1(sample.getLong(0)).nBytes === bytes.length)
+  }
+
+  test("exact dedup partitions the table: sum(n_copies) == row count") {
+    val dd = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    assert(dd.agg(sum("n_copies")).head.getLong(0) === docs.count())
+  }
+
+  test("text functions: bounded quality, known langs, stable fingerprint") {
+    val t = docs.select(
+      TextFunctions.qualityScore(col("text")).as("q"),
+      TextFunctions.langId(col("text")).as("l"),
+      TextFunctions.tokenCount(col("text")).as("bpe"),
+      size(TextFunctions.tokens(col("text"))).as("ws"))
+    assert(t.filter(col("q") < 0 || col("q") > 1).count() === 0)
+    val langs = t.select("l").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de", "es", "fr", "zh", "und")))
+    // BPE-ish tokenization splits punctuation off words → never fewer
+    // tokens than the whitespace count
+    assert(t.filter(col("bpe") < col("ws")).count() === 0)
+    val fp1 = SparkEntry.queries("q_fingerprint")(spark, sf).collect().toSeq.map(_.toString)
+    val fp2 = SparkEntry.queries("q_fingerprint")(spark, sf).collect().toSeq.map(_.toString)
+    assert(fp1 === fp2)
+  }
+}
