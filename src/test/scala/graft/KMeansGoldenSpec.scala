@@ -36,6 +36,21 @@ class KMeansGoldenSpec extends SparkSpec {
     assert(sizes === Map(1 -> 36L, 2 -> 73L, 3 -> 137L, 4 -> 119L))
   }
 
+  test("single-file text sink: written part file is byte-identical to golden") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-golden-sink").toString
+    val assigned = KMeans.assign(pm25, "vec", fit5.centers, SqEuclidean)
+      .select("cluster", "raw")
+      .map(r => GoldenFormat.assignmentLine(r.getInt(0), r.getString(1)))
+    GoldenFormat.writeSingleFile(assigned, out)
+    // golden line ORDER encodes MR shuffle internals (cluster-grouped,
+    // non-input order) — byte-fidelity is asserted per line, layout per
+    // file; content equality incl. order-irrelevance is the replay test.
+    assert(GoldenFormat.readLines(out).sorted ===
+      lines(s"$base/kmeans.hdfs/part-r-00000").sorted)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")))
+  }
+
   test("v1 golden centroids: means after 5 iterations render byte-exact") {
     // golden line i = cluster i+1 (single reducer, keys sorted); the date
     // prefix is the order-dependent rep-row bug (KMeans.repRows doc) — the
