@@ -223,13 +223,10 @@ object Dedup {
     * weighted. Scala UDF (simple bit loop — not worth a codegen Expression
     * at 64 iterations/token); deterministic MurmurHash3 basis.
     */
-  val simhash64 = udf { (tokens: Seq[String]) =>
-    import scala.util.hashing.MurmurHash3
+  def simhash64Value(tokens: Seq[String]): Long = {
     val counts = new Array[Int](64)
     if (tokens != null) tokens.foreach { t =>
-      val h1 = MurmurHash3.stringHash(t, 0x9747b28c)
-      val h2 = MurmurHash3.stringHash(t, 0x85ebca6b)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      val h = hash64(t)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
@@ -241,6 +238,8 @@ object Dedup {
     while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
     out
   }
+
+  val simhash64 = udf(simhash64Value _)
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
     * chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk identical), join

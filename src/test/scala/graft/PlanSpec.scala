@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Machine-checked physical-plan properties — the scale contract from
+  * SURVEY §4/§7: filters reach the parquet scan, scans prune columns,
+  * aggregations run partial+final, small dimensions broadcast, and nothing
+  * falls back to a cartesian product outside the declared cross join.
+  * These run on the sf0.001 tables but assert PLAN SHAPE, which is what
+  * survives the 1000-executor scale-up.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // AQE: codegen stages appear only in the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def sourceOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.sparkPlan.toString
+  }
+
+  test("filters are pushed down to the parquet scan") {
+    val p = planOf("q_proj_filter")
+    assert(p.contains("PushedFilters: ["), p.take(800))
+    // at least one real pushed predicate, not just the empty list
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p).isDefined, p.take(800))
+  }
+
+  test("scans prune to referenced columns only") {
+    // q_dedup_exact touches doc_id + text; the scan must not read
+    // lang/source/n_chars
+    val p = planOf("q_dedup_exact")
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("n_chars") && !read.contains("source"), read)
+  }
+
+  test("aggregations run map-side partial + final (two HashAggregates)") {
+    val p = planOf("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
+  }
+
+  test("small-dimension joins broadcast") {
+    val p = planOf("q_join_bcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("no cartesian product outside the declared cross join") {
+    val offenders = SparkEntry.queries.keys.filter { name =>
+      name != "q_join_cross" && sourceOf(name).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"unexpected cartesian products: $offenders")
+  }
+
+  test("whole-stage codegen covers the relational hot paths") {
+    // "*(n)" is the WholeStageCodegen stage marker in the final AQE plan
+    Seq("q1_agg", "q_proj_filter", "q_join_inner", "q_window_rank").foreach { n =>
+      assert(planOf(n).contains("*("), s"$n lost codegen")
+    }
+  }
+
+  test("exact dedup shuffles once on the dedup key (no extra exchanges)") {
+    val p = sourceOf("q_dedup_exact")
+    // groupBy(text) agg + global sort = exactly 2 exchanges
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(1200))
+  }
+
+  test("brute-force knn materializes no join: broadcast + mapPartitions") {
+    val df = graft.operators.Similarity.bruteForceTopK(
+      Tables.embeddings(spark, sf), "vec_id", "embedding", 5)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"), p.take(800))
+  }
+}

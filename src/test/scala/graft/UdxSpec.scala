@@ -1,0 +1,66 @@
+package graft
+
+import graft.functions.{Udx, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+/** SQL-registered UDx surface (SURVEY §2B UDx row): each registration must
+  * be callable from spark.sql and agree with its Column-API hot path.
+  */
+class UdxSpec extends SparkSpec {
+
+  test("registered functions agree with the Column API") {
+    Udx.registerAll(spark)
+    Tables.embeddings(spark, sf).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .limit(50).createOrReplaceTempView("emb_v")
+
+    val viaSql = spark.sql(
+      """SELECT a.vec_id AS qa, b.vec_id AS qb,
+                vec_dot(a.v, b.v) AS d, vec_cosine(a.v, b.v) AS c,
+                vec_sqdist(a.v, b.v) AS s
+         FROM emb_v a JOIN emb_v b ON a.vec_id < b.vec_id""")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+
+    val viaCol = spark.table("emb_v").as("a")
+      .join(spark.table("emb_v").as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        VectorFunctions.dot(col("a.v"), col("b.v")).as("d"),
+        VectorFunctions.cosine(col("a.v"), col("b.v")).as("c"),
+        VectorFunctions.sqDist(col("a.v"), col("b.v")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+
+    assert(viaSql.nonEmpty && viaSql.keySet === viaCol.keySet)
+    viaSql.foreach { case (k, (d, c, s)) =>
+      val (d2, c2, s2) = viaCol(k)
+      assert(math.abs(d - d2) < 1e-9 && math.abs(c - c2) < 1e-9 &&
+        math.abs(s - s2) < 1e-9, s"$k")
+    }
+  }
+
+  test("mean_vector UDAF callable from SQL") {
+    Udx.registerAll(spark)
+    Tables.embeddings(spark, sf)
+      .select((col("vec_id") % 2).as("g"),
+        col("embedding").cast("array<double>").as("v"))
+      .createOrReplaceTempView("emb_g")
+    val m = spark.sql("SELECT g, mean_vector(v) AS m FROM emb_g GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val avg0 = spark.sql(
+      "SELECT g, avg(v[0]) FROM emb_g GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.keySet === Set(0L, 1L))
+    m.foreach { case (g, vec) =>
+      assert(vec.size === 64)
+      assert(math.abs(vec.head - avg0(g)) < 1e-9)
+    }
+  }
+
+  test("simhash64 callable from SQL, equals the operator value") {
+    Udx.registerAll(spark)
+    val viaSql = spark.sql(
+      "SELECT simhash64(split('a b c', ' ')) AS fp").head.getLong(0)
+    assert(viaSql === graft.operators.Dedup.simhash64Value(Seq("a", "b", "c")))
+  }
+}
