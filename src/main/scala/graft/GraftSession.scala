@@ -22,8 +22,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // parquet timestamps in the testdata are ns/ms; keep µs semantics
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+  // NOTE: spark.sql.parquet.outputTimestampType stays at its default.
+  // TIMESTAMP_MICROS writes isAdjustedToUTC=true parquet, which external
+  // readers (DuckDB oracle) surface as tz-AWARE values while oracle SQL
+  // yields naive ones — hash mismatch on every timestamp column.
 
   def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
     math.max(2, Runtime.getRuntime.availableProcessors()).toString)
