@@ -28,20 +28,15 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Compiled dot product for the O(pairs) hot path. Same left-to-right
-    * IEEE fold as [[dot]] (bit-identical results), but a tight JIT'd loop.
-    * The higher-order-function expressions are interpreted per element
-    * (~5× slower over the 4M-pair brute-force join), and `Array[Double]`
-    * params matter: they deserialize via the primitive `toDoubleArray`
-    * fast path, where `Seq[Double]` boxes every element per call.
+  /** Codegen'd dot product for the O(pairs) join hot path: the native
+    * [[graft.functions.DotProduct]] expression (same left-to-right IEEE
+    * fold as [[dot]] — bit-identical results). The built-in HOF composition
+    * is interpreted per element (~5× slower over a 4M-pair join) and a
+    * Scala UDF pays per-call array conversion; the native expression
+    * indexes both unsafe arrays inline in the generated stage.
     */
-  private val dotUdf = udf { (x: Array[Double], y: Array[Double]) =>
-    var acc = 0.0
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) { acc += x(i) * y(i); i += 1 }
-    acc
-  }
+  private def dotFast(a: Column, b: Column): Column =
+    graft.functions.DotProduct(a, b)
 
   def l2Norm(v: Column): Column =
     sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
@@ -66,7 +61,7 @@ object Similarity {
     * of this operator).
     *
     * IEEE-order note: the dot fold is the same left-to-right loop as
-    * [[dot]]/dotUdf, so results are bit-identical to the join formulation
+    * [[dot]]/dotFast, so results are bit-identical to the join formulation
     * (and to the DuckDB oracle's list_reduce fold).
     */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
@@ -177,7 +172,7 @@ object Similarity {
       .join(slim.as("q"), col("qid") === col("q.id")).drop("id")
       .join(slim.as("c"), col("nid") === col("c.id")).drop("id")
       .select(col("qid"), col("nid"),
-        (dotUdf(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
+        (dotFast(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

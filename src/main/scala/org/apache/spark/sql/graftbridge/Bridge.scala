@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made these converters
+  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`); custom
+  * native expressions still need them to surface as `Column`s, so this
+  * one-file subpackage of org.apache.spark.sql re-exports the two calls.
+  * No Spark internals are modified or copied.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

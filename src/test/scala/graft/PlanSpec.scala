@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
 class PlanSpec extends SparkSpec {
 
   private def planOf(name: String): String = {
+    // other suites cache tables (shared session); a cached full-schema
+    // InMemoryRelation would mask scan-level pruning/pushdown
+    spark.catalog.clearCache()
     val df = SparkEntry.queries(name)(spark, sf)
     df.collect() // AQE: codegen stages appear only in the final plan
     df.queryExecution.executedPlan.toString
   }
 
   private def sourceOf(name: String): String = {
+    spark.catalog.clearCache()
     val df = SparkEntry.queries(name)(spark, sf)
     df.queryExecution.sparkPlan.toString
   }
