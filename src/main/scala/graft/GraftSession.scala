@@ -22,6 +22,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // bucketed-table home (co-located joins); keep out of the repo tree
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
   // NOTE: spark.sql.parquet.outputTimestampType stays at its default.
   // TIMESTAMP_MICROS writes isAdjustedToUTC=true parquet, which external
   // readers (DuckDB oracle) surface as tz-AWARE values while oracle SQL

@@ -74,4 +74,50 @@ object MultiModal {
       col("doc_id").as("docId"), col("payload"), col("meta")).as[MediaRecord]
     extractFeatures(spark, media)
   }
+
+  case class Frame(docId: Long, frameIdx: Int, bytes: Array[Byte])
+
+  /** Frame sampling: slice each payload into fixed-size frames and keep
+    * every `every`-th one (a video keyframe-sampling stand-in). A flatMap —
+    * narrow, output rows ≈ len/(frameSize·every) per record, no shuffle;
+    * downstream ops see frames as ordinary rows and parallelize by
+    * repartitioning if frame counts are skewed.
+    */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRecord],
+                   frameSize: Int, every: Int = 1): Dataset[Frame] = {
+    import spark.implicits._
+    media.flatMap { rec =>
+      val n = rec.payload.length
+      (0 until (n + frameSize - 1) / frameSize).iterator
+        .filter(_ % every == 0)
+        .map { f =>
+          val from = f * frameSize
+          Frame(rec.docId, f,
+            java.util.Arrays.copyOfRange(rec.payload, from, math.min(from + frameSize, n)))
+        }
+    }
+  }
+
+  /** Resize STUB: deterministic stride-downsample of the payload to
+    * `targetLen` bytes (a real image resampler swaps in here; the Spark
+    * contract — per-row, narrow, bounded output size — is what's tested).
+    * Payloads shorter than `targetLen` pass through unchanged.
+    */
+  def resize(spark: SparkSession, media: Dataset[MediaRecord],
+             targetLen: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.map { rec =>
+      val p = rec.payload
+      if (p.length <= targetLen) rec
+      else {
+        val out = new Array[Byte](targetLen)
+        var i = 0
+        while (i < targetLen) {
+          out(i) = p((i.toLong * p.length / targetLen).toInt)
+          i += 1
+        }
+        rec.copy(payload = out)
+      }
+    }
+  }
 }

@@ -1,0 +1,112 @@
+package graft
+
+import graft.operators.{MultiModal, Skew}
+import org.apache.spark.sql.functions._
+
+/** Planned scale techniques beyond what AQE does automatically: bucketed
+  * co-located joins (no exchange), deterministic salted aggregation for
+  * known heavy-hitter keys, and the multimodal frame/resize plumbing.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle") {
+    val n = 8
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // a fresh in-memory metastore doesn't know about leftover table dirs
+    // from an earlier JVM — clear the locations too
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("b_orders", "b_customer").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete())
+        d.delete()
+      }
+    }
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .bucketBy(n, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    Tables.customer(spark, sf).write.mode("overwrite")
+      .bucketBy(n, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    // force the sort-merge path: at this tiny sf the planner would
+    // broadcast (which rightly bypasses bucketing); the property under
+    // test is the co-located SMJ a large-large join takes at scale.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1200))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(1200))
+      assert(plan.contains("Bucketed: true"), plan.take(1200))
+      // and it computes the same thing as the plain shuffle join
+      val plain = Tables.orders(spark, sf).join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey")).count()
+      assert(joined.count() === plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val ev = Tables.events(spark, sf)
+    val direct = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val salted = Skew.saltedAgg(ev, "event_type", "event_id", salt = 16,
+        (col("value"), "v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(salted.keySet === direct.keySet)
+    salted.foreach { case (k, (n, v)) =>
+      val (n2, v2) = direct(k)
+      assert(n === n2)
+      assert(math.abs(v - v2) < 1e-6, s"$k: $v vs $v2")
+    }
+  }
+
+  test("salted plan fans the heavy key over salt partial groups") {
+    val p = Skew.saltedCount(Tables.events(spark, sf), "event_type", "event_id")
+      .queryExecution.sparkPlan.toString
+    // two aggregation layers around the salt column
+    assert("HashAggregate".r.findAllIn(p).size >= 3, p.take(1000))
+  }
+
+  test("frame sampling: coverage and determinism") {
+    import spark.implicits._
+    val media = MultiModal.withPayload(Tables.documents(spark, sf).limit(20))
+      .select(col("doc_id").as("docId"), col("payload"), col("meta"))
+      .as[MultiModal.MediaRecord]
+    val all = MultiModal.sampleFrames(spark, media, frameSize = 16, every = 1)
+      .collect().groupBy(_.docId)
+    val sampled = MultiModal.sampleFrames(spark, media, frameSize = 16, every = 3)
+      .collect().groupBy(_.docId)
+    val payloads = media.collect().map(m => m.docId -> m.payload).toMap
+    payloads.foreach { case (id, p) =>
+      val expFrames = (p.length + 15) / 16
+      assert(all(id).length === expFrames)
+      // frames reassemble to the payload exactly
+      val rejoined = all(id).sortBy(_.frameIdx).flatMap(_.bytes)
+      assert(rejoined.toSeq === p.toSeq)
+      assert(sampled(id).map(_.frameIdx).toSet ===
+        (0 until expFrames).filter(_ % 3 == 0).toSet)
+    }
+  }
+
+  test("resize: bounded output, short payloads untouched, deterministic") {
+    import spark.implicits._
+    val media = MultiModal.withPayload(Tables.documents(spark, sf).limit(20))
+      .select(col("doc_id").as("docId"), col("payload"), col("meta"))
+      .as[MultiModal.MediaRecord]
+    val orig = media.collect().map(m => m.docId -> m.payload).toMap
+    val resized = MultiModal.resize(spark, media, targetLen = 32)
+      .collect().map(m => m.docId -> m.payload).toMap
+    orig.foreach { case (id, p) =>
+      if (p.length <= 32) assert(resized(id).toSeq === p.toSeq)
+      else {
+        assert(resized(id).length === 32)
+        assert(resized(id)(0) === p(0)) // stride keeps the first byte
+      }
+    }
+    val resized2 = MultiModal.resize(spark, media, targetLen = 32)
+      .collect().map(m => m.docId -> m.payload.toSeq).toMap
+    assert(resized.map { case (k, v) => k -> v.toSeq } === resized2)
+  }
+}
