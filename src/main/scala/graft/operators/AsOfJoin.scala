@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for every left row, the most recent right
+  * row with `right.ts <= left.ts` in the same key group — the standard
+  * time-series enrichment operator (trades←quotes, events←snapshots).
+  *
+  * Spark has no native as-of join; the scalable formulation is NOT a theta
+  * join (`l.ts >= r.ts` explodes to O(|L|·|R|) per key before picking the
+  * max) but union + ordered window:
+  *
+  *   1. tag right rows 0 and left rows 1, union them (narrow),
+  *   2. one hash shuffle on the key, sort within partition by
+  *      (ts, side, seq),
+  *   3. `last(<right value>, ignoreNulls) over rowsBetween(-inf, 0)`
+  *      carries the latest right payload forward onto each left row.
+  *
+  * Cost: ONE shuffle + sort of |L|+|R| rows — same class as a regular
+  * sort-merge join, no pair explosion, no per-key driver state. Window
+  * state is one value per column (constant), so a 100 TB left side
+  * streams through.
+  *
+  * Ties: right rows sort before left rows at equal ts (side 0 < 1), so a
+  * right row AT the left timestamp matches (inclusive, like DuckDB's
+  * `ASOF JOIN ... ON l.ts >= r.ts`); among right rows with identical
+  * (key, ts) the one with the greatest `seqCol` wins — callers wanting
+  * different tie-breaks pre-aggregate the right side.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side; all its columns are preserved
+    * @param right     build side: (keyCol, tsCol, seqCol, valueCols*)
+    * @param keyCol    equi-join key present on both sides
+    * @param tsCol     event-time column present on both sides
+    * @param seqCol    right-side unique column breaking equal-ts ties
+    * @param valueCols right-side payload columns carried onto left rows
+    *                  (emitted as `asof_<name>`, null when no right row
+    *                  precedes the left row)
+    */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+           seqCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_side", lit(1))
+      .withColumn("_seq", lit(Long.MaxValue))
+      .select(Seq(col(keyCol), col(tsCol), col("_side"), col("_seq")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c")): _*)
+    val r = right
+      .withColumn("_side", lit(0))
+      .withColumn("_seq", col(seqCol).cast("long"))
+      .select(Seq(col(keyCol), col(tsCol), col("_side"), col("_seq")) ++
+        leftCols.filterNot(c => c == keyCol || c == tsCol)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"_v_$c")): _*)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("_side"), col("_seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(r.unionByName(l)) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"_v_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("_side") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+  }
+}

@@ -91,6 +91,23 @@ object JoinQueries {
         .agg(count(lit(1)).as("n_cust"))
         .orderBy("r_name")
     }),
+
+    "q_asof_join" -> ((s, d) => {
+      // point-in-time enrichment: each click gets the most recent purchase
+      // (value + its ts) by the same user at or before the click. The
+      // right side is pre-aggregated per (user, ts) with a max-event_id
+      // tie-break so semantics are deterministic on both engines.
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("seq"), max_by(col("value"), col("event_id")).as("v"))
+        .withColumn("rts", col("ts"))
+      graft.operators.AsOfJoin.asOf(clicks, purchases,
+          keyCol = "user_id", tsCol = "ts", seqCol = "seq", valueCols = Seq("v", "rts"))
+        .orderBy("event_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -135,5 +152,17 @@ object JoinQueries {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
                        JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+    "q_asof_join" ->
+      """WITH r AS (SELECT user_id, ts, max(event_id) AS seq,
+                           arg_max(value, event_id) AS v
+                    FROM events WHERE event_type = 'purchase'
+                    GROUP BY user_id, ts),
+              l AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click')
+         SELECT l.event_id, l.user_id, l.ts,
+                r.v AS asof_v, r.ts AS asof_rts
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
   )
 }
