@@ -86,13 +86,30 @@ object TextFunctions {
   }
 
   /** Polynomial rolling-hash fingerprint over the document's characters:
-    * fold of (acc*131 + ascii(char)) mod 1e9+7. Integer-only arithmetic —
+    * fold of (acc*131 + codepoint) mod 1e9+7. Integer-only arithmetic —
     * bit-identical in any engine — and content-sensitive at every position
-    * (unlike e.g. a length/prefix sketch). O(chars) per row, codegen'd.
+    * (unlike e.g. a length/prefix sketch).
+    *
+    * One compiled UDF pass per row: the expression formulation
+    * (`aggregate(transform(sequence(...), substr ...))`) is interpreted
+    * per CHARACTER and allocates a string per step — measured 4s of a 63s
+    * sf0.1 bench on its own. Max intermediate (1e9+7)·131 + c < 2^63, so
+    * the math is overflow-free; identical to the DuckDB oracle's
+    * list_reduce fold over ascii codepoints.
     */
-  def fingerprint(text: Column): Column =
-    aggregate(
-      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
-      lit(0L),
-      (acc, c) => pmod(acc * 131 + c, lit(1000000007L)))
+  def fingerprint(text: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null) 0L
+      else {
+        var acc = 0L
+        var i = 0
+        while (i < s.length) {
+          acc = (acc * 131 + s.charAt(i).toLong) % 1000000007L
+          i += 1
+        }
+        acc
+      }
+    }
+    f(text)
+  }
 }
