@@ -28,6 +28,9 @@ import org.apache.spark.sql.functions._
   * `ASOF JOIN ... ON l.ts >= r.ts`); among right rows with identical
   * (key, ts) the one with the greatest `seqCol` wins — callers wanting
   * different tie-breaks pre-aggregate the right side.
+  *
+  * Reference scope: not in the reference repo (swguo/NCHU.BigData has no
+  * joins at all — SURVEY §2A); north-star custom-operator addition.
   */
 object AsOfJoin {
 

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * key skew is known up front — e.g. a grouping key where one value holds
   * half of a 100 TB table, which otherwise funnels into one reducer task
   * exactly like the reference's single-reducer aggregation cliff
-  * (SURVEY §4).
+  * (SURVEY §4; `numReduceTasks` never set, src/Kmeans.java:137-160).
   */
 object Skew {
 
