@@ -1,5 +1,16 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR with a noop sink and emits ONE JSON metrics line.
+  *
+  * Integrity contract: a query that throws is recorded in an `errors`
+  * map (name → exception) and makes the process exit non-zero — a broken
+  * query must never masquerade as a fast success. The JSON is printed to
+  * stdout AND written to `target/bench.json`, because sbt prefixes stdout
+  * with `[info] ` which breaks naive line parsers.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,20 +25,33 @@ object Bench {
       spark.read.parquet(s"$sfDir/nation.parquet")
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune projections
       // entirely for narrow queries, under-measuring expression work;
       // noop materializes every output column.
-      try {
+      val err = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+        None
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: $e")
+        Some(e.toString.replaceAll("[\\r\\n\\t]", " ").take(300))
+      }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                  case c if c < ' ' => " "; case c => c.toString }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    Files.createDirectories(Paths.get("target"))
+    Files.writeString(Paths.get("target/bench.json"), json + "\n")
     spark.stop()
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

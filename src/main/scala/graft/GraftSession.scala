@@ -22,6 +22,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+      // parquet reader otherwise rejects; declared once here rather than
+      // as a loader side effect (Tables.events re-derives a µs column).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // bucketed-table home (co-located joins); keep out of the repo tree
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")

@@ -19,13 +19,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read it as raw nanos (legacy conf) and expose `ts` as
-    * a proper µs TimestampType column (integer `div` — a double division
+  /** events.parquet stores ts as TIMESTAMP(NANOS), read as raw nanos via
+    * `spark.sql.legacy.parquet.nanosAsLong` (declared in
+    * [[GraftSession.builder]], not mutated here); `ts` is exposed as a
+    * proper µs TimestampType column (integer `div` — a double division
     * would lose precision on 2^60-scale nanos).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

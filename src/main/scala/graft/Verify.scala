@@ -1,9 +1,31 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Sort
+import org.apache.spark.sql.graftbridge.Bridge
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Single-partition output whose row order is GUARANTEED to be the
+    * query's own orderBy. `repartition(1)` alone inserts a round-robin
+    * exchange ABOVE the query's Sort, so the final order only accidentally
+    * survives in single-process local mode (blocks fetched in mapId
+    * order); on a multi-executor cluster the driver's order-sensitive
+    * row-by-row hash compare would see nondeterministic order. Fix: pull
+    * the topmost global Sort's keys out of the analyzed plan and re-sort
+    * WITHIN the single partition after the exchange.
+    */
+  private[graft] def singleOrderedPartition(df: DataFrame): DataFrame = {
+    val sortKeys = df.queryExecution.analyzed.collectFirst {
+      case s: Sort if s.global => s.order.map(Bridge.column)
+    }.getOrElse(Seq.empty)
+    val one = df.repartition(1)
+    if (sortKeys.nonEmpty) one.sortWithinPartitions(sortKeys: _*) else one
+  }
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name filter (dev loop)
@@ -22,7 +44,7 @@ object Verify {
           // repartition(1), NOT coalesce(1): coalesce collapses the whole
           // upstream stage into one task when there is no shuffle boundary
           // (e.g. the O(n²) join queries), serializing the computation.
-          fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          singleOrderedPartition(fn(spark, sfDir)).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           System.err.println(f"[verify] $name ok ${(System.nanoTime()-t0)/1e9}%.1fs")
         } catch { case e: Throwable =>
