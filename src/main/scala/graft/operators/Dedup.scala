@@ -219,14 +219,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Oracle-portable token hash: two independent polynomial rolling hashes
+    * over the token's CODEPOINTS (not UTF-16 units — matches external
+    * engines' character indexing for all of Unicode), packed into 61 bits
+    * as (h1 << 31) | h2. Integer-only arithmetic, bit-identical in any
+    * engine: external SQL can replicate it with a list fold over
+    * per-character codepoints, which a seeded MurmurHash3 basis cannot.
+    * Bits 30/61/62/63 are structurally 0 — constant across docs, so they
+    * contribute nothing to SimHash hamming distances (documented, not a
+    * correctness issue).
+    */
+  def polyHash62(s: String): Long = {
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h1 = (h1 * 131 + cp) % 1000000007L
+      h2 = (h2 * 137 + cp) % 998244353L
+      i += Character.charCount(cp)
+    }
+    (h1 << 31) | h2
+  }
+
   /** 64-bit SimHash (Charikar 2002) over a token array, term-frequency
     * weighted. Scala UDF (simple bit loop — not worth a codegen Expression
-    * at 64 iterations/token); deterministic MurmurHash3 basis.
+    * at 64 iterations/token); [[polyHash62]] basis so an external SQL
+    * oracle can replicate the fingerprint bit-for-bit.
     */
   def simhash64Value(tokens: Seq[String]): Long = {
     val counts = new Array[Int](64)
     if (tokens != null) tokens.foreach { t =>
-      val h = hash64(t)
+      val h = polyHash62(t)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
@@ -241,19 +265,32 @@ object Dedup {
 
   val simhash64 = udf(simhash64Value _)
 
-  /** SimHash near-dup pairs: band the 64-bit fingerprint into 4×16-bit
-    * chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk identical), join
-    * on chunk equality, verify with bit_count(a^b) ≤ maxHamming.
-    * Same join-on-band scale shape as MinHash LSH.
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into
+    * maxHamming+1 chunks (pigeonhole: hamming ≤ maxHamming ⇒ at least one
+    * chunk identical — so candidate generation is COMPLETE, not
+    * probabilistic), join on chunk equality, verify with
+    * bit_count(a^b) ≤ maxHamming. The output is therefore EXACTLY the
+    * all-pairs hamming-≤-maxHamming set, which makes it checkable against
+    * an all-pairs SQL oracle, while the plan only ever shuffles by chunk
+    * key — the same join-on-band scale shape as MinHash LSH.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     val fp = df.select(col(idCol).as("id"),
       simhash64(split(col(textCol), " ")).as("fp"))
+    val nChunks = math.min(maxHamming + 1, 64)
+    val base = 64 / nChunks
+    val extra = 64 % nChunks
+    val offsets = (0 until nChunks)
+      .scanLeft(0)((acc, ci) => acc + base + (if (ci < extra) 1 else 0))
+    val chunkCols = (0 until nChunks).map { ci =>
+      val w = base + (if (ci < extra) 1 else 0)
+      val mask = if (w == 64) -1L else (1L << w) - 1L
+      struct(lit(ci).as("ci"), shiftrightunsigned(col("fp"), offsets(ci))
+        .bitwiseAND(lit(mask)).as("ck"))
+    }
     val chunked = fp.select(col("id"), col("fp"),
-      explode(array((0 until 4).map(j =>
-        struct(lit(j).as("ci"), shiftrightunsigned(col("fp"), j * 16)
-          .bitwiseAND(lit(0xffffL)).as("ck"))): _*)).as("c"))
+      explode(array(chunkCols: _*)).as("c"))
       .select(col("id"), col("fp"), col("c.ci"), col("c.ck"))
     chunked.as("l").join(chunked.as("r"),
         col("l.ci") === col("r.ci") && col("l.ck") === col("r.ck") &&

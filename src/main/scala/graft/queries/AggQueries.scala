@@ -38,12 +38,21 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
-    // HLL sketch — no DuckDB oracle (estimates differ per implementation);
-    // accuracy asserted as a property test in AggSpec.
+    // HLL sketch. Estimates differ per implementation, so the
+    // driver-checkable projection is the accuracy contract: Spark computes
+    // BOTH the sketch and the exact count and emits whether the estimate
+    // lands in the ±10% band (HLL relative_sd default is 5%); the oracle
+    // recomputes the exact count and states `true`. An HLL regression
+    // outside the band flips in_band → hash mismatch → red row.
+    // (Also accuracy-property-tested in QueryCorpusSpec.)
     "q_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_ord"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_ord"),
+          countDistinct(col("l_orderkey")).as("exact_ord"))
+        .select(col("l_returnflag"), col("exact_ord"),
+          col("approx_ord").between(col("exact_ord") * 0.9,
+            col("exact_ord") * 1.1).as("in_band"))
         .orderBy("l_returnflag")
     }),
 
@@ -100,6 +109,10 @@ object AggQueries {
     "q_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_ord,
                 count(DISTINCT l_partkey) AS n_part
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_ord,
+                true AS in_band
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,

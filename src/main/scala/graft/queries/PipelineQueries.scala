@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   *
   * Oracle notes: the MinHash query's OUTPUT is the exact-verified pair set
   * (LSH only prunes candidates; recall at these parameters is 1-2.6e-11),
-  * so its DuckDB oracle is the all-pairs ground truth. SimHash and LSH-ANN
-  * are approximate by construction → no SQL oracle (rows-only check +
-  * recall property tests in PipelineSpec). FP-sensitive outputs either use
+  * so its DuckDB oracle is the all-pairs ground truth. SimHash candidates
+  * are pigeonhole-COMPLETE (maxHamming+1 chunks), so its output equals the
+  * all-pairs hamming set and its oracle recomputes the poly-hash
+  * fingerprints from scratch. LSH-ANN is approximate by construction → its
+  * query emits the recall contract vs the in-Spark exact anchor, and the
+  * oracle states the expected constants. FP-sensitive outputs either use
   * integer/rational arithmetic replicated exactly in the oracle SQL (same
   * left-to-right fold order) or are rounded to 6 decimals.
   */
@@ -80,7 +83,9 @@ object PipelineQueries {
       Dedup.nearDupPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
         .orderBy("a_id", "b_id")),
 
-    // SimHash near-dup (approximate; rows-only check + property tests).
+    // SimHash near-dup: pigeonhole chunking makes candidates COMPLETE for
+    // hamming ≤ 8, so the output equals the all-pairs hamming set and the
+    // DuckDB oracle recomputes the identical poly-hash fingerprints.
     "q_simhash_neardup" -> ((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
         .orderBy("a_id", "b_id")),
@@ -93,16 +98,29 @@ object PipelineQueries {
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rank")),
 
-    // LSH-bucketed approximate top-k (the 100 TB path; recall measured in
-    // PipelineSpec against the brute-force anchor). 6 bits/table: these
-    // embeddings are near-random (max pairwise cos ≈ 0.51), so 8-bit
-    // buckets are too fine — measured recall@5 0.15 at 8 bits vs ~0.5 at
-    // 6 bits with a candidate set ~12% of the corpus.
-    "q_ann_lsh" -> ((s, d) =>
-      Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-          k = 5, dim = 64, tables = 8, bitsPerTable = 6)
-        .withColumn("sim", round(col("sim"), 6))
-        .orderBy("qid", "rank")),
+    // LSH-bucketed approximate top-k (the 100 TB path). 6 bits/table:
+    // these embeddings are near-random (max pairwise cos ≈ 0.51), so
+    // 8-bit buckets are too fine — measured recall@5 0.15 at 8 bits vs
+    // ~0.5 at 6 bits with a candidate set ~12% of the corpus.
+    //
+    // Oracle shape: ANN output is approximate by construction, so the
+    // driver-checkable projection is the recall contract itself — Spark
+    // measures recall@5 of the LSH path against its own exact brute-force
+    // anchor (which IS hash-verified against DuckDB in q_cosine_topk) and
+    // emits (n_queries, recall_ok); the oracle states the expected
+    // constants. A recall regression below the 0.3 floor flips recall_ok
+    // to false → hash mismatch → red CORRECTNESS row.
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+        k = 5, dim = 64, tables = 8, bitsPerTable = 6)
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5)
+      bf.join(lsh.select(col("qid"), col("nid"), lit(1).as("hit")),
+          Seq("qid", "nid"), "left")
+        .agg(countDistinct(col("qid")).as("n_queries"),
+          (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+            >= 0.3).as("recall_ok"))
+    }),
 
     // Embedding near-dup pairs at cosine ≥ 0.45 (testdata max ≈ 0.51).
     "q_embed_neardup" -> ((s, d) =>
@@ -195,6 +213,41 @@ object PipelineQueries {
          WHERE rn = 1 ORDER BY user_id, event_type""",
     "q_jaccard_pairs" -> jaccardGroundTruth,
     "q_minhash_neardup" -> jaccardGroundTruth,
+    // All-pairs recomputation of the poly-hash SimHash fingerprint: the
+    // same (h1<<31)|h2 rolling hash per token (codepoint fold), the same
+    // TF-weighted bit votes, then brute-force hamming ≤ 8. The Spark side
+    // reaches the identical set through complete chunk-join candidates.
+    "q_simhash_neardup" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+         th AS (
+           SELECT doc_id,
+             (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, len(t)), i -> CAST(ascii(t[i]) AS BIGINT))),
+                (a, c) -> (a * 131 + c) % 1000000007) << 31)
+             | list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(1, len(t)), i -> CAST(ascii(t[i]) AS BIGINT))),
+                (a, c) -> (a * 137 + c) % 998244353) AS h
+           FROM tok),
+         bits AS (
+           SELECT doc_id, j,
+                  sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+           FROM th, (SELECT unnest(generate_series(0, 63)) AS j) js
+           GROUP BY doc_id, j),
+         fp AS (
+           SELECT doc_id,
+                  CAST(sum(CASE WHEN cnt > 0 THEN (CAST(1 AS BIGINT) << j)
+                           ELSE 0 END) AS BIGINT) AS fp
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 8
+         ORDER BY a_id, b_id""",
+    // ANN recall contract: the oracle states the expected constants —
+    // every embedding is a query, and recall@5 must clear the floor.
+    "q_ann_lsh" ->
+      """SELECT count(*) AS n_queries, true AS recall_ok FROM embeddings""",
     "q_cosine_topk" ->
       """WITH v AS (
            SELECT vec_id,
