@@ -1,19 +1,26 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (ArrayType(FloatType)).
   *
-  * Brute-force cosine top-k is the exact baseline: norms are precomputed
-  * per row (narrow), then a join + dot-product + per-query top-k window.
-  * The scale path is random-hyperplane LSH: each vector gets a small bucket
-  * signature per hash table (narrow, codegen'd), candidates come from an
-  * equi-join on (table, bucket) — the same join-on-band architecture as
-  * [[Dedup]] — and only candidates pay the exact dot product. At 100 TB the
-  * brute-force O(n²) join is impossible; the LSH path shuffles by bucket
-  * key only and its cost tracks the candidate count.
+  * Three paths, by data regime:
+  *
+  *   - '''Blocked exact''' ([[bruteForceTopK]], [[cosineNearDupPairs]]):
+  *     distributed all-pairs via a block-pair grid — no driver collect, no
+  *     full-table broadcast. Each row is shuffled to `blocks` groups; each
+  *     unordered block pair scores its cross product once. Per-task memory
+  *     is O(n/blocks), so the operator scales by raising `blocks` (tasks
+  *     grow as blocks², memory per task shrinks as 1/blocks). Total work
+  *     stays O(n²) — inherent to EXACT all-pairs — but it is cluster work,
+  *     not driver work.
+  *   - '''LSH-bucketed''' ([[lshTopK]], [[lshNearDupPairs]]): hyperplane
+  *     sign buckets prune candidates before the exact dot product — the
+  *     100 TB path when the similarity threshold is high enough for the
+  *     s-curve to separate signal from background (see [[lshNearDupPairs]]
+  *     for the math and its limit).
   *
   * Reference scope: not in the reference repo; north-star LLM-pipeline
   * addition (BASELINE.json), from public LSH literature (Charikar 2002).
@@ -46,67 +53,111 @@ object Similarity {
     dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
   }
 
+  /** (id, vec, norm) rows with the id's block in [0, blocks). */
+  private def normed(df: DataFrame, idCol: String, vecCol: String) =
+    df.select(col(idCol).as("id").cast("long"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+
+  /** The canonical similarity loop — the one IEEE op order every exact
+    * path (and the DuckDB oracle's list_reduce fold) agrees on.
+    */
+  private def simOf(av: Array[Double], an: Double,
+                    bv: Array[Double], bn: Double): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(av.length, bv.length)
+    while (i < n) { acc += av(i) * bv(i); i += 1 }
+    acc / (an * bn)
+  }
+
+  /** Fan each row out to its `blocks` block-pair groups. A row in block g
+    * belongs to every group {min(g,j), max(g,j)}; two rows from blocks
+    * (ga, gb) share exactly ONE group where they are on opposite sides —
+    * {ga, gb} itself (for ga == gb, the diagonal group) — so every
+    * unordered pair of rows is scored exactly once, with no distinct() or
+    * post-dedup. One hash shuffle on the (bi, bj) key; group size is
+    * ≤ 2n/blocks rows, the per-task memory bound.
+    */
+  private def blockGroups(v: DataFrame, blocks: Int)
+      : Dataset[((Int, Int), (Long, Array[Double], Double, Int))] = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    v.as[(Long, Array[Double], Double)].flatMap { case (id, vec, nrm) =>
+      val g = java.lang.Math.floorMod(id, blocks.toLong).toInt
+      (0 until blocks).map(j =>
+        ((math.min(g, j), math.max(g, j)), (id, vec, nrm, g)))
+    }
+  }
+
   /** Exact cosine top-k neighbors for every vector (excluding the identity
     * pair), deterministic tie-break on neighbor id.
     *
-    * Broadcast + mapPartitions, NOT a self-join: the candidate matrix
-    * (id, vec, norm) is broadcast once per executor and each query row
-    * keeps a k-bounded insertion list while streaming the candidates.
-    * The join formulation materializes n² rows each carrying BOTH 64-dim
-    * vectors through the exchange (~4 GB at 2000 vectors) plus an n²-row
-    * window sort; this path materializes only n·k result rows and sorts
-    * nothing. Exact KNN inherently requires the candidate side to fit in
-    * executor memory — [[lshTopK]] is the path past that (the broadcast
-    * ceiling, ~millions of vectors, is a physical limit of exact KNN, not
-    * of this operator).
+    * Blocked distributed all-pairs, NOT a collect/broadcast and NOT a
+    * naive self-join: the join formulation materializes n² rows each
+    * carrying BOTH vectors through the exchange plus an n²-row window
+    * sort; this path shuffles each row `blocks` times, scores each pair
+    * once inside its block-pair task with a k-bounded insertion list, and
+    * only n·blocks·k local-winner rows reach the final per-query merge.
+    * No driver-side data path: building this DataFrame launches no job,
+    * and no task ever holds more than 2n/blocks vectors (PlanSpec asserts
+    * both).
     *
-    * IEEE-order note: the dot fold is the same left-to-right loop as
+    * IEEE-order note: [[simOf]] is the same left-to-right loop as
     * [[dot]]/dotFast, so results are bit-identical to the join formulation
     * (and to the DuckDB oracle's list_reduce fold).
     */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
-                     k: Int): DataFrame = {
+                     k: Int, blocks: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val v = df.select(col(idCol).as("id").cast("long"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
-      .as[(Long, Array[Double], Double)]
-    val bc = spark.sparkContext.broadcast(v.collect())
-    v.mapPartitions { it =>
-      val cands = bc.value
-      it.flatMap { case (qid, qv, qn) =>
-        // k-bounded insertion list ordered by (sim desc, nid asc) — exact
-        // double comparisons, so identical to a full sort's ranking.
-        val topSim = new Array[Double](k)
-        val topNid = new Array[Long](k)
-        var filled = 0
-        var c = 0
-        while (c < cands.length) {
-          val (nid, cv, cn) = cands(c)
-          if (nid != qid) {
-            var acc = 0.0
-            var i = 0
-            val n = math.min(qv.length, cv.length)
-            while (i < n) { acc += qv(i) * cv(i); i += 1 }
-            val sim = acc / (qn * cn)
-            val beatsLast = filled < k || sim > topSim(filled - 1) ||
-              (sim == topSim(filled - 1) && nid < topNid(filled - 1))
-            if (beatsLast) {
-              var pos = if (filled < k) filled else k - 1
-              while (pos > 0 && (sim > topSim(pos - 1) ||
-                  (sim == topSim(pos - 1) && nid < topNid(pos - 1)))) {
-                topSim(pos) = topSim(pos - 1); topNid(pos) = topNid(pos - 1)
-                pos -= 1
+    val local = blockGroups(normed(df, idCol, vecCol), blocks)
+      .groupByKey(_._1)
+      .flatMapGroups { (key: (Int, Int),
+                        it: Iterator[((Int, Int), (Long, Array[Double], Double, Int))]) =>
+        val (bi, bj) = key
+        val rows = it.map(_._2).toArray
+        // top-k insertion list per query row over this group's candidates
+        def topkOf(q: (Long, Array[Double], Double, Int),
+                   cands: Array[(Long, Array[Double], Double, Int)]) = {
+          val (qid, qv, qn, _) = q
+          val topSim = new Array[Double](k)
+          val topNid = new Array[Long](k)
+          var filled = 0
+          var c = 0
+          while (c < cands.length) {
+            val (nid, cv, cn, _) = cands(c)
+            if (nid != qid) {
+              val sim = simOf(qv, qn, cv, cn)
+              val beatsLast = filled < k || sim > topSim(filled - 1) ||
+                (sim == topSim(filled - 1) && nid < topNid(filled - 1))
+              if (beatsLast) {
+                var pos = if (filled < k) filled else k - 1
+                while (pos > 0 && (sim > topSim(pos - 1) ||
+                    (sim == topSim(pos - 1) && nid < topNid(pos - 1)))) {
+                  topSim(pos) = topSim(pos - 1); topNid(pos) = topNid(pos - 1)
+                  pos -= 1
+                }
+                topSim(pos) = sim; topNid(pos) = nid
+                if (filled < k) filled += 1
               }
-              topSim(pos) = sim; topNid(pos) = nid
-              if (filled < k) filled += 1
             }
+            c += 1
           }
-          c += 1
+          (0 until filled).iterator.map(r => (qid, topNid(r), topSim(r)))
         }
-        (0 until filled).map(r => (qid, r + 1, topNid(r), topSim(r)))
-      }
-    }.toDF("qid", "rank", "nid", "sim")
+        if (bi == bj) rows.iterator.flatMap(q => topkOf(q, rows))
+        else {
+          val (side1, side2) = rows.partition(_._4 == bi)
+          side1.iterator.flatMap(q => topkOf(q, side2)) ++
+            side2.iterator.flatMap(q => topkOf(q, side1))
+        }
+      }.toDF("qid", "nid", "sim")
+    // Global merge: every (q,c) pair was scored in exactly one group, so
+    // the true top-k per query is within the union of local top-k lists.
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    local.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
   /** Random-hyperplane sign signature: one bit per hyperplane, packed into
@@ -179,33 +230,85 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold, exact brute-force
-    * over the (a<b) half-matrix. Same broadcast + mapPartitions shape as
-    * [[bruteForceTopK]] (and the same IEEE fold order): each row scans only
-    * candidates with larger id and emits surviving pairs — no n²-row join
-    * materialization, output is just the matching pairs. The LSH variant
-    * above is the path past the exact-KNN broadcast ceiling.
+  /** Embedding near-duplicate pairs: cosine ≥ threshold over the (a<b)
+    * half-matrix, exact, via the same block-pair grid as
+    * [[bruteForceTopK]] (and the same IEEE fold order). Output is just the
+    * surviving pairs; nothing is collected to the driver and no task holds
+    * more than 2n/blocks vectors.
+    *
+    * This is the right path for LOW thresholds (like the 0.45 oracle query
+    * over near-random embeddings, where bucketing provably cannot prune —
+    * see [[lshNearDupPairs]]); for genuine near-duplicate thresholds
+    * (≥ ~0.8) prefer [[lshNearDupPairs]], which replaces the O(n²) scoring
+    * with bucket-pruned candidates.
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double, blocks: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    blockGroups(normed(df, idCol, vecCol), blocks)
+      .groupByKey(_._1)
+      .flatMapGroups { (key: (Int, Int),
+                        it: Iterator[((Int, Int), (Long, Array[Double], Double, Int))]) =>
+        val (bi, bj) = key
+        val rows = it.map(_._2).toArray
+        def emit(a: (Long, Array[Double], Double, Int),
+                 b: (Long, Array[Double], Double, Int)) = {
+          val sim = simOf(a._2, a._3, b._2, b._3)
+          if (sim >= threshold) {
+            val (lo, hi) = if (a._1 < b._1) (a._1, b._1) else (b._1, a._1)
+            Some((lo, hi, sim))
+          } else None
+        }
+        if (bi == bj)
+          rows.iterator.zipWithIndex.flatMap { case (a, i) =>
+            rows.iterator.drop(i + 1).flatMap(b => emit(a, b))
+          }
+        else {
+          val (side1, side2) = rows.partition(_._4 == bi)
+          side1.iterator.flatMap(a => side2.iterator.flatMap(b => emit(a, b)))
+        }
+      }.toDF("a_id", "b_id", "sim")
+  }
+
+  /** LSH-bucketed near-duplicate pairs: hyperplane-bucket candidates
+    * (equi-join on (table, bucket) — the same join-on-band architecture as
+    * [[Dedup.nearDupPairs]]) + exact cosine verify. The scale path for
+    * real near-dup detection: candidates shuffle by bucket key only, and
+    * only candidate pairs pay the dot product.
+    *
+    * Recall math (sign-LSH, Charikar 2002): P(bits agree) = 1 − θ/π. At
+    * the defaults (16 tables × 12 bits) a planted near-dup at cos ≈ 0.99
+    * (p = 0.955) is missed with probability (1 − p¹²)¹⁶ ≈ 1e-6, while a
+    * random background pair (p = 0.5) becomes a candidate with probability
+    * 16·2⁻¹² ≈ 0.4% — a ~250× candidate reduction. THE LIMIT: for a
+    * threshold near the background distribution (e.g. 0.45 when random
+    * 64-dim pairs reach ~0.5) p(threshold) ≈ p(background) and NO (bits,
+    * tables) separates them — amplifying recall toward 1 drags the
+    * candidate rate toward 1 with it. That regime belongs to the exact
+    * blocked path ([[cosineNearDupPairs]]), which is why the 0.45 oracle
+    * query uses it; this operator is property-tested on planted near-dups
+    * against the exact path (PipelineSpec).
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, dim: Int, tables: Int = 16,
+                      bitsPerTable: Int = 12, seed: Long = 42L): DataFrame = {
     val v = df.select(col(idCol).as("id").cast("long"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-      .as[(Long, Array[Double], Double)]
-    val bc = spark.sparkContext.broadcast(v.collect())
-    v.mapPartitions { it =>
-      val cands = bc.value
-      it.flatMap { case (aid, av, an) =>
-        cands.iterator.filter(_._1 > aid).flatMap { case (bid, bv, bn) =>
-          var acc = 0.0
-          var i = 0
-          val n = math.min(av.length, bv.length)
-          while (i < n) { acc += av(i) * bv(i); i += 1 }
-          val sim = acc / (an * bn)
-          if (sim >= threshold) Some((aid, bid, sim)) else None
-        }
-      }
-    }.toDF("a_id", "b_id", "sim")
+      .withColumn("bks", hyperplaneBuckets(col("v"), dim, tables, bitsPerTable, seed))
+    val banded = v.select(col("id"),
+      posexplode(col("bks")).as(Seq("tbl", "bk")))
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.bk") === col("r.bk") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("a_id"), col("r.id").as("b_id"))
+      .distinct()
+    val slim = v.select(col("id"), col("v"), col("nrm"))
+    cands
+      .join(slim.as("a"), col("a_id") === col("a.id")).drop("id")
+      .join(slim.as("b"), col("b_id") === col("b.id")).drop("id")
+      .select(col("a_id"), col("b_id"),
+        (dotFast(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .filter(col("sim") >= threshold)
   }
 }

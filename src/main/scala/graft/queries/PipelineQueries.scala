@@ -91,8 +91,9 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")),
 
     // Exact cosine top-5 per vector, brute force (the correctness anchor
-    // for the ANN path). Double-precision left-to-right folds — replicated
-    // op-for-op in the oracle SQL.
+    // for the ANN path) via the blocked block-pair grid — no driver
+    // collect, O(n/blocks) memory per task. Double-precision left-to-right
+    // folds — replicated op-for-op in the oracle SQL.
     "q_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
         .withColumn("sim", round(col("sim"), 6))
@@ -123,6 +124,11 @@ object PipelineQueries {
     }),
 
     // Embedding near-dup pairs at cosine ≥ 0.45 (testdata max ≈ 0.51).
+    // Exact blocked path, NOT LSH: 0.45 sits inside the background cosine
+    // distribution of these near-random embeddings, where bucket pruning
+    // provably degenerates (see Similarity.lshNearDupPairs scaladoc); the
+    // LSH-bucketed variant covers real near-dup thresholds and is
+    // property-tested on planted near-dups in PipelineSpec.
     "q_embed_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
         .withColumn("sim", round(col("sim"), 6))

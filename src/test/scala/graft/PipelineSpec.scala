@@ -72,6 +72,41 @@ class PipelineSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("blocked exact paths are block-count invariant (each pair scored exactly once)") {
+    // blocks=1 is the trivially-correct single-group all-pairs; any other
+    // block count must produce the identical result set.
+    def topkAt(b: Int) = Similarity.bruteForceTopK(
+        embeddings, "vec_id", "embedding", k = 5, blocks = b)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(topkAt(1) === topkAt(7))
+    def pairsAt(b: Int) = Similarity.cosineNearDupPairs(
+        embeddings, "vec_id", "embedding", 0.30, blocks = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val p1 = pairsAt(1)
+    assert(p1.nonEmpty)
+    assert(p1 === pairsAt(8))
+  }
+
+  test("lsh near-dup pairs recover planted near-dups exactly (vs blocked exact)") {
+    // Plant 10 near-copies (small additive shift → cos ≈ 0.999). At the
+    // defaults (16 tables × 12 bits) the per-pair miss probability is
+    // ~1e-6 and the hyperplanes are seed-deterministic, so exact equality
+    // is a stable assertion, while random background pairs (cos ≪ 0.95)
+    // are pruned before the verify join.
+    val planted = embeddings.limit(10).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.01f)).as("embedding"))
+    val withPlanted = embeddings.select("vec_id", "embedding").unionAll(planted)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = key(Similarity.cosineNearDupPairs(
+      withPlanted, "vec_id", "embedding", 0.95))
+    val lsh = key(Similarity.lshNearDupPairs(
+      withPlanted, "vec_id", "embedding", 0.95, dim = 64))
+    assert(exact.size >= 10)
+    assert(lsh === exact)
+  }
+
   test("simhash: identical texts collide, near-dup text is close, random is far") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog again and again today"

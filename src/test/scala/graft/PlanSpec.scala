@@ -73,10 +73,35 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, p.take(1200))
   }
 
-  test("brute-force knn materializes no join: broadcast + mapPartitions") {
-    val df = graft.operators.Similarity.bruteForceTopK(
-      Tables.embeddings(spark, sf), "vec_id", "embedding", 5)
-    val p = df.queryExecution.sparkPlan.toString
-    assert(!p.contains("Join"), p.take(800))
+  test("exact similarity ops: blocked grid, no join, no driver-side data path") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val sc = spark.sparkContext
+    // the parquet source itself runs file-listing jobs — build it (and let
+    // those jobs finish) before counting
+    val emb = Tables.embeddings(spark, sf)
+    emb.queryExecution.sparkPlan
+    Thread.sleep(200)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    sc.addSparkListener(listener)
+    try {
+      // building these DataFrames must launch NO job — the former
+      // implementation ran a full-table collect() at build time
+      val topk = graft.operators.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", 5)
+      val pairs = graft.operators.Similarity.cosineNearDupPairs(
+        emb, "vec_id", "embedding", 0.45)
+      val pTopk = topk.queryExecution.sparkPlan.toString
+      val pPairs = pairs.queryExecution.sparkPlan.toString
+      Thread.sleep(300) // let any (unexpected) async job-start events land
+      assert(jobs.get() === 0, "exact similarity op ran a driver-side job at build time")
+      // blocked all-pairs shape: groupByKey + MapGroups, never a join
+      Seq(pTopk, pPairs).foreach { p =>
+        assert(p.contains("MapGroups"), p.take(800))
+        assert(!p.contains("Join"), p.take(800))
+      }
+    } finally sc.removeSparkListener(listener)
   }
 }
