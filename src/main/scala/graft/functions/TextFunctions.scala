@@ -85,10 +85,15 @@ object TextFunctions {
     }
   }
 
-  /** Polynomial rolling-hash fingerprint over the document's characters:
+  /** Polynomial rolling-hash fingerprint over the document's CODEPOINTS:
     * fold of (acc*131 + codepoint) mod 1e9+7. Integer-only arithmetic —
     * bit-identical in any engine — and content-sensitive at every position
     * (unlike e.g. a length/prefix sketch).
+    *
+    * The fold iterates codepoints (codePointAt + charCount), not UTF-16
+    * units: SQL engines index per CHARACTER (DuckDB `ascii(text[i])`), so
+    * a char-unit fold would diverge on any supplementary-plane character
+    * (emoji, rare CJK) — agreeing only by accident on BMP-only corpora.
     *
     * One compiled UDF pass per row: the expression formulation
     * (`aggregate(transform(sequence(...), substr ...))`) is interpreted
@@ -104,8 +109,9 @@ object TextFunctions {
         var acc = 0L
         var i = 0
         while (i < s.length) {
-          acc = (acc * 131 + s.charAt(i).toLong) % 1000000007L
-          i += 1
+          val cp = s.codePointAt(i)
+          acc = (acc * 131 + cp) % 1000000007L
+          i += Character.charCount(cp)
         }
         acc
       }

@@ -219,6 +219,62 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Exact all-pairs n-gram Jaccard ≥ threshold via PPJoin-style prefix
+    * filtering (Bayardo et al., WWW'07; Xiao et al., WWW'08) — exact like
+    * the naive inverted-index join, but immune to its hot-shingle blowup.
+    *
+    * Principle: order each doc's shingle set by a global total order
+    * (ascending document frequency, ties by hash). If J(x,y) ≥ t then
+    * |x∩y| ≥ ⌈t·|x|⌉, and the globally-smallest common element must sit
+    * within the first |x|−⌈t·|x|⌉+1 elements of BOTH sets (were it in x's
+    * suffix, all common elements would be — but the suffix holds only
+    * ⌈t·|x|⌉−1 elements). So indexing only those prefixes loses no
+    * qualifying pair, while the candidate join cost drops from
+    * O(Σ df(h)²) over ALL shingles to the same sum over prefix entries —
+    * and because the order is df-ascending, prefixes hold the RAREST
+    * shingles; hot shingles (the df² killers) never enter candidate
+    * generation. Survivors are verified with the full sets, so the output
+    * is exactly the all-pairs ground truth.
+    *
+    * Shuffles: df agg (by shingle hash), prefix ranking (by doc), candidate
+    * join (by prefix hash), verify join (by doc id) — all keyed exchanges,
+    * no crossJoin anywhere.
+    */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sets = df.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), shingleN).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val inv = sets.select(col("id"), col("sz"), explode(col("sh")).as("h"))
+    val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = inv.join(dfreq, "h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("h"))))
+      // ceil(sz*t) with an epsilon guard: IEEE can put sz*t a hair ABOVE
+      // the true integer (5×0.8 → 4.0000000000000002), which would shorten
+      // the prefix and silently lose exactness; the epsilon errs toward a
+      // longer prefix, which only adds candidates.
+      .filter(col("rn") <=
+        col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)) + 1)
+      .select(col("id"), col("h"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    cands
+      .join(sets.select(col("id"), col("sh").as("sh_a")), col("a_id") === col("id"))
+      .drop("id")
+      .join(sets.select(col("id"), col("sh").as("sh_b")), col("b_id") === col("id"))
+      .drop("id")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** Oracle-portable token hash: two independent polynomial rolling hashes
     * over the token's CODEPOINTS (not UTF-16 units — matches external
     * engines' character indexing for all of Unicode), packed into 61 bits

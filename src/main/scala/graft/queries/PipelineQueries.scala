@@ -48,33 +48,19 @@ object PipelineQueries {
         .orderBy("user_id", "event_type")
     }),
 
-    // Exact all-pairs n-gram Jaccard ≥ 0.8 via the inverted-index join
-    // (explode shingles → equi-join on shingle → count intersections) —
-    // exact but scalable: the shuffle key is the shingle, never a crossJoin.
-    // Scale refinements: shingle-hash in ONE compiled UDF pass (the
-    // interpreted shingle expression tree was re-evaluated 3× per row by
-    // explode's inferred size/null filter — the measured dominant cost)
-    // and join on the 64-bit hash, not the string. (A doc-frequency>1
-    // prune before the self-join was measured counterproductive on this
-    // corpus: 99% of shingles are shared, so the prune only added another
-    // evaluation of the inverted index.)
-    "q_jaccard_pairs" -> ((s, d) => {
-      val sets = Tables.documents(s, d)
-        .select(col("doc_id"), Dedup.shingleHashes(col("text")).as("sh"))
-        .withColumn("sz", size(col("sh")))
-      val inv2 = sets.select(col("doc_id"), col("sz"),
-        explode(col("sh")).as("h"))
-      inv2.as("a").join(inv2.as("b"),
-          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.sz").as("sza"), col("b.sz").as("szb"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (col("sza") + col("szb") - col("inter")).cast("double"))
-        .filter(col("jaccard") >= 0.8)
-        .select(col("a_id"), col("b_id"), col("jaccard"))
-        .orderBy("a_id", "b_id")
-    }),
+    // Exact all-pairs n-gram Jaccard ≥ 0.8 via PPJoin-style prefix
+    // filtering (Dedup.exactJaccardPairs): only the |s|-⌈0.8|s|⌉+1 rarest
+    // shingles of each doc enter the candidate self-join (exact by the
+    // prefix-filter principle — see the operator scaladoc), so the
+    // hot-shingle O(Σ df²) blowup of the naive inverted-index join never
+    // happens; survivors are verified against the full sets. (An earlier
+    // df>1 prune attempt was counterproductive — 99% of shingles on this
+    // corpus are shared — which is exactly why the cap must be positional
+    // prefixes under a df-ascending order, not a df threshold.)
+    "q_jaccard_pairs" -> ((s, d) =>
+      Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.8)
+        .orderBy("a_id", "b_id")),
 
     // MinHash+LSH near-dup: signature (narrow) → band join → exact verify.
     // Output = verified pairs, so the oracle is the same ground truth as

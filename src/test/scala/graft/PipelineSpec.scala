@@ -24,6 +24,28 @@ class PipelineSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("prefix-filtered jaccard pairs == naive inverted-index ground truth") {
+    // the pre-prefix-filter formulation: full inverted-index self-join —
+    // exact by construction, kept here as the test anchor
+    val sets = docs.select(col("doc_id"), Dedup.shingleHashes(col("text")).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val inv = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("h"))
+    val naive = inv.as("a").join(inv.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sz").as("sza"), col("b.sz").as("szb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sza") + col("szb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= 0.8)
+      .select("a_id", "b_id", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val prefixed = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(naive.nonEmpty)
+    assert(prefixed === naive)
+  }
+
   test("shingleHashes UDF == shingles expression + hash (incl. edge cases)") {
     import spark.implicits._
     import scala.util.hashing.MurmurHash3
@@ -169,5 +191,20 @@ class PipelineSpec extends SparkSpec {
     val fp1 = SparkEntry.queries("q_fingerprint")(spark, sf).collect().toSeq.map(_.toString)
     val fp2 = SparkEntry.queries("q_fingerprint")(spark, sf).collect().toSeq.map(_.toString)
     assert(fp1 === fp2)
+  }
+
+  test("fingerprint folds codepoints, not UTF-16 units (supplementary plane)") {
+    import spark.implicits._
+    // 🎉 (U+1F389) is one codepoint but two UTF-16 chars; a charAt fold
+    // would hash the surrogate pair as two bogus values
+    val s = "a🎉b"
+    def cpFold(t: String): Long = {
+      var acc = 0L
+      t.codePoints().forEach(cp => acc = (acc * 131 + cp) % 1000000007L)
+      acc
+    }
+    val got = Seq(s).toDF("text")
+      .select(TextFunctions.fingerprint(col("text"))).head.getLong(0)
+    assert(got === cpFold(s))
   }
 }
