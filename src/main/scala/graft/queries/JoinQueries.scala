@@ -92,6 +92,20 @@ object JoinQueries {
         .orderBy("r_name")
     }),
 
+    "q_part_brand" -> ((s, d) => {
+      // parts actually ordered (lineitem semi-join), rolled up per brand.
+      // The p_size predicate pushes to the parquet scan; avg is computed
+      // as exact decimal sum / count so shuffle order can't move a bit.
+      Tables.part(s, d)
+        .filter(col("p_size") <= 20)
+        .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"),
+          (Num.sumMoney(col("p_retailprice")) / count(lit(1))).as("avg_price"),
+          max("p_size").as("max_size"))
+        .orderBy("p_brand")
+    }),
+
     "q_asof_join" -> ((s, d) => {
       // point-in-time enrichment: each click gets the most recent purchase
       // (value + its ts) by the same user at or before the click. The
@@ -152,6 +166,15 @@ object JoinQueries {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
                        JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+    "q_part_brand" ->
+      """SELECT p_brand, count(*) AS n_parts,
+                CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                  / count(*) AS avg_price,
+                max(p_size) AS max_size
+         FROM part
+         WHERE p_size <= 20
+           AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+         GROUP BY p_brand ORDER BY p_brand""",
     "q_asof_join" ->
       """WITH r AS (SELECT user_id, ts, max(event_id) AS seq,
                            arg_max(value, event_id) AS v
