@@ -45,27 +45,37 @@ object AsOfJoin {
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
            seqCol: String, valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val leftCols = left.columns.toSeq
+    // The payload travels as ONE struct per right row (non-null on every
+    // right row via the `_m` marker, null on left rows). `last(_, ignore
+    // Nulls)` over the struct therefore picks the single most recent RIGHT
+    // ROW, and all asof_* fields — including genuinely-NULL payload values
+    // — come from that row. Carrying each value column independently would
+    // skip a null payload and resurrect an older non-null one, diverging
+    // from true as-of semantics on data with null payloads.
+    val payloadType = StructType(StructField("_m", IntegerType) +:
+      valueCols.map(c => StructField(c, right.schema(c).dataType)))
     val l = left
       .withColumn("_side", lit(1))
       .withColumn("_seq", lit(Long.MaxValue))
       .select(Seq(col(keyCol), col(tsCol), col("_side"), col("_seq")) ++
-        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"_v_$c")): _*)
+        leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) :+
+        lit(null).cast(payloadType).as("_p"): _*)
     val r = right
       .withColumn("_side", lit(0))
       .withColumn("_seq", col(seqCol).cast("long"))
       .select(Seq(col(keyCol), col(tsCol), col("_side"), col("_seq")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"_v_$c")): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(lit(1).as("_m") +: valueCols.map(c => col(c).as(c)): _*).as("_p"): _*)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("_side"), col("_seq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(r.unionByName(l)) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"_v_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = r.unionByName(l)
+      .withColumn("_pc", last(col("_p"), ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("_pc").getField(c).as(s"asof_$c")): _*)
   }
 }

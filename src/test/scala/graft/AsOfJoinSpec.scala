@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.Row
+
+/** Unit semantics of the as-of join that the events-table oracle query
+  * cannot reach: null right-side payloads (the testdata has none). The
+  * whole payload of the single most recent right row must be carried —
+  * including its genuine nulls — never a column-wise mix of rows.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("null payload on the latest right row is propagated, not skipped") {
+    val left = Seq((1L, 30L, "L1"), (1L, 5L, "L0"), (2L, 10L, "L2"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 10L, 1L, Option("a"), Option(100)),
+      (1L, 20L, 2L, Option.empty[String], Option(200)))
+      .toDF("k", "ts", "seq", "v1", "v2")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "seq", Seq("v1", "v2"))
+      .orderBy("tag")
+      .collect()
+    // L0 (ts=5): no right row at or before → all-null payload
+    assert(out(0) === Row(1L, 5L, "L0", null, null))
+    // L1 (ts=30): latest right row is ts=20 whose v1 IS null — the old
+    // per-column carry resurrected "a" from ts=10 here
+    assert(out(1) === Row(1L, 30L, "L1", null, 200))
+    // L2: key 2 has no right rows at all
+    assert(out(2) === Row(2L, 10L, "L2", null, null))
+  }
+
+  test("all asof_* fields come from the same right row (no column mixing)") {
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    val right = Seq(
+      (1L, 1L, 1L, Option("a"), Option.empty[Int]),
+      (1L, 2L, 2L, Option.empty[String], Option(2)))
+      .toDF("k", "ts", "seq", "v1", "v2")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "seq", Seq("v1", "v2"))
+      .collect()
+    // most recent right row is ts=2: (v1=null, v2=2) — NOT (a, 2)
+    assert(out(0) === Row(1L, 100L, null, 2))
+  }
+
+  test("right row AT the left timestamp matches; equal-ts ties go to max seq") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq(
+      (1L, 10L, 1L, Option("first")),
+      (1L, 10L, 2L, Option("second")))
+      .toDF("k", "ts", "seq", "v")
+    val out = AsOfJoin.asOf(left, right, "k", "ts", "seq", Seq("v")).collect()
+    assert(out(0) === Row(1L, 10L, "second"))
+  }
+}
