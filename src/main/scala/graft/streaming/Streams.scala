@@ -82,17 +82,46 @@ object Streams {
     * updated max for every key seen in the micro-batch (update mode).
     * The same function on a batch Dataset (empty initial state, one
     * "batch") degenerates to groupBy(user).max(value) — parity-tested.
+    *
+    * State per key is constant-size, but KEY CARDINALITY is not — at
+    * 100 TB/day of events an untimed state store grows with every user
+    * ever seen. The event-time timeout evicts a key once the watermark
+    * passes `last event ts + idleTimeout`: the timed-out callback emits a
+    * final snapshot and removes the state, so the store holds only keys
+    * active within the idle horizon. Streaming callers must therefore
+    * apply `withWatermark` on `ts` upstream (event-time timeouts require
+    * one); in batch execution the timeout never fires and the function
+    * still degenerates to groupBy/max.
     */
-  def runningMaxPerUser(spark: SparkSession, events: DataFrame): Dataset[UserMax] = {
+  def runningMaxPerUser(spark: SparkSession, events: DataFrame,
+                        idleTimeout: String = "30 minutes"): Dataset[UserMax] = {
     import spark.implicits._
-    events.select(col("user_id"), col("value")).as[(Long, Double)]
+    val idleMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(idleTimeout))
+    val idleMillis = idleMs.days * 86400000L + idleMs.microseconds / 1000L
+    events.select(col("user_id"), col("value"), col("ts"))
+      .as[(Long, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[(Long, Double)], state: GroupState[Double]) =>
-          var mx = state.getOption.getOrElse(Double.NegativeInfinity)
-          it.foreach { case (_, v) => if (v > mx) mx = v }
-          state.update(mx)
-          UserMax(uid, mx)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, Double, java.sql.Timestamp)],
+         state: GroupState[Double]) =>
+          if (state.hasTimedOut) {
+            // idle horizon passed: final snapshot, then evict
+            val mx = state.get
+            state.remove()
+            UserMax(uid, mx)
+          } else {
+            var mx = state.getOption.getOrElse(Double.NegativeInfinity)
+            var lastTs = Long.MinValue
+            it.foreach { case (_, v, ts) =>
+              if (v > mx) mx = v
+              if (ts != null && ts.getTime > lastTs) lastTs = ts.getTime
+            }
+            state.update(mx)
+            if (lastTs != Long.MinValue)
+              state.setTimeoutTimestamp(lastTs + idleMillis)
+            UserMax(uid, mx)
+          }
       }
   }
 }

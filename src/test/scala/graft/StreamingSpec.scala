@@ -152,13 +152,15 @@ class StreamingSpec extends SparkSpec {
   test("mapGroupsWithState carries state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[(Long, Double)]
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val in = MemoryStream[(Long, Double, Timestamp)]
     val q = Streams.toMemorySink(
-      Streams.runningMaxPerUser(spark, in.toDF().toDF("user_id", "value")).toDF(),
+      Streams.runningMaxPerUser(spark,
+        in.toDF().toDF("user_id", "value", "ts").withWatermark("ts", "10 minutes")).toDF(),
       "t_state", OutputMode.Update(), tmp("ckpt-state"))
-    in.addData((1L, 5.0), (2L, 2.0))
+    in.addData((1L, 5.0, t0), (2L, 2.0, t0))
     q.processAllAvailable()
-    in.addData((1L, 3.0)) // lower than the stored max → emitted max stays 5
+    in.addData((1L, 3.0, t0)) // lower than the stored max → emitted max stays 5
     q.processAllAvailable()
     q.stop()
     val emitted = spark.table("t_state")
@@ -166,5 +168,31 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.count { case (u, _) => u == 1L } === 2)
     assert(emitted.filter(_._1 == 1L).map(_._2).toSet === Set(5.0))
     assert(emitted.filter(_._1 == 2L).map(_._2).toSet === Set(2.0))
+  }
+
+  test("mapGroupsWithState evicts idle keys once the watermark passes the idle horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s:00")
+    val in = MemoryStream[(Long, Double, Timestamp)]
+    val q = Streams.toMemorySink(
+      Streams.runningMaxPerUser(spark,
+          in.toDF().toDF("user_id", "value", "ts").withWatermark("ts", "10 minutes"),
+          idleTimeout = "10 minutes").toDF(),
+      "t_evict", OutputMode.Update(), tmp("ckpt-evict"))
+    in.addData((1L, 5.0, ts("10:00")), (2L, 2.0, ts("10:00")))
+    q.processAllAvailable() // wm after batch: 09:50; user 1 times out at 10:10
+    in.addData((2L, 1.0, ts("11:00")))
+    q.processAllAvailable() // wm advances to 10:50 — past user 1's horizon
+    in.addData((2L, 1.0, ts("11:30")))
+    q.processAllAvailable() // user 1 fires hasTimedOut: final snapshot + evict
+    in.addData((1L, 1.0, ts("11:40")))
+    q.processAllAvailable() // state is GONE: max restarts at 1.0, not 5.0
+    q.stop()
+    val u1 = spark.table("t_evict")
+      .collect().collect { case r if r.getLong(0) == 1L => r.getDouble(1) }.toSeq
+    // b1 live max (5.0), timeout snapshot (5.0), then post-eviction restart (1.0);
+    // without eviction the last batch would have re-emitted 5.0
+    assert(u1.sorted === Seq(1.0, 5.0, 5.0))
   }
 }
