@@ -46,6 +46,16 @@ object KMeansQueries {
 
   // DuckDB replay: centroid seeds = vec_id < 4; argmin via row_number over
   // (distance, cid); mean vectors via unnest + list(avg ORDER BY dim).
+  //
+  // Empty-cluster contract: KMeans.lloyd keeps the PREVIOUS center when a
+  // cluster empties, while this SQL replay would simply lose the cid (its
+  // next argmin ranges over fewer centers) — the two diverge if any
+  // cluster empties during the verified 2-iteration schedule. This is a
+  // REAL hazard, not theoretical: at sf0.001 the 250 near-random vectors
+  // collapse to 2 clusters after one mean update. The oracle claim is
+  // therefore scoped to the dataset the driver verifies (sf0.01), where
+  // KMeansGoldenSpec asserts every round of the schedule keeps all 4
+  // clusters non-empty.
   private val assignSql =
     """WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
                    FROM embeddings WHERE vec_id < 4),
