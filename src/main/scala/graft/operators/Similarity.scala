@@ -271,6 +271,77 @@ object Similarity {
       }.toDF("a_id", "b_id", "sim")
   }
 
+  /** IVF (inverted-file) approximate top-k — the data-ADAPTIVE ANN path,
+    * complementing the data-oblivious hyperplane LSH of [[lshTopK]]
+    * (FAISS-style coarse quantizer, from the public IVF literature:
+    * Jégou et al., PAMI 2011).
+    *
+    *   1. TRAIN: k-means ([[KMeans.lloyd]], squared Euclidean) over a
+    *      deterministic hash-sample learns `nlist` cell centroids — the
+    *      only driver-held state, nlist×dim doubles (same canonical
+    *      exception as any k-means: centroid state is O(k·dim), not O(n)).
+    *   2. INDEX: every vector narrows to its nearest cell (one compiled
+    *      UDF pass, no shuffle).
+    *   3. PROBE: each query explodes to its `nprobe` nearest cells;
+    *      candidates come from an equi-join on the cell id (ONE hash
+    *      shuffle on cell keys), then exact cosine + per-query top-k over
+    *      candidates only.
+    *
+    * Cost tracks n·(nprobe/nlist)·avg-cell-size instead of n²; raising
+    * nlist shrinks cells (finer index, cheaper probes, lower recall per
+    * probe), raising nprobe buys recall linearly in cost. Cells adapt to
+    * the actual vector distribution, which is what gives IVF better
+    * recall-per-candidate than LSH when the data is clustered.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, sampleMod: Int = 4,
+              trainIters: Int = 5): DataFrame = {
+    val v = normed(df, idCol, vecCol)
+    // deterministic hash-sample for training (xxhash64, never rand() —
+    // speculative-execution-safe, same discipline as Skew salting)
+    val train = v.filter(pmod(xxhash64(col("id")), lit(sampleMod)) === 0)
+    val seedVecs = train.orderBy("id").limit(nlist)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val centroids = KMeans.lloyd(train.select("id", "v"), "v", seedVecs,
+      KMeans.EuclideanSq, maxIter = trainIters).centers
+    def sqDist(a: Array[Double], c: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      val n = math.min(a.length, c.length)
+      while (i < n) { val d = a(i) - c(i); acc += d * d; i += 1 }
+      acc
+    }
+    // one compiled pass per row for both cell assignment and probe list
+    // (an nlist-way expression tree would inline into both join sides —
+    // the round-1 plan-explosion lesson)
+    val cellOf = udf { (arr: Array[Double]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val d = sqDist(arr, centroids(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val probesOf = udf { (arr: Array[Double]) =>
+      centroids.indices.map(c => (sqDist(arr, centroids(c)), c))
+        .sortBy(t => (t._1, t._2)).take(nprobe).map(_._2).toArray
+    }
+    val data = v.select(col("id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nnrm"), cellOf(col("v")).as("cell"))
+    val queries = v.select(col("id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), explode(probesOf(col("v"))).as("cell"))
+    val scored = queries.join(data, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dotFast(col("qv"), col("nv")) / (col("qnrm") * col("nnrm"))).as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
   /** LSH-bucketed near-duplicate pairs: hyperplane-bucket candidates
     * (equi-join on (table, bucket) — the same join-on-band architecture as
     * [[Dedup.nearDupPairs]]) + exact cosine verify. The scale path for

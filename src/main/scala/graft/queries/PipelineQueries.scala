@@ -109,6 +109,22 @@ object PipelineQueries {
             >= 0.3).as("recall_ok"))
     }),
 
+    // IVF-ANN (the data-adaptive second ANN architecture: k-means cells +
+    // nprobe probing — Similarity.ivfTopK). Same recall-contract oracle
+    // shape as q_ann_lsh: Spark measures recall@5 against its own exact
+    // anchor (hash-verified in q_cosine_topk) and emits the contract.
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5)
+      bf.join(ivf.select(col("qid"), col("nid"), lit(1).as("hit")),
+          Seq("qid", "nid"), "left")
+        .agg(countDistinct(col("qid")).as("n_queries"),
+          (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+            >= 0.3).as("recall_ok"))
+    }),
+
     // Embedding near-dup pairs at cosine ≥ 0.45 (testdata max ≈ 0.51).
     // Exact blocked path, NOT LSH: 0.45 sits inside the background cosine
     // distribution of these near-random embeddings, where bucket pruning
@@ -239,6 +255,8 @@ object PipelineQueries {
     // ANN recall contract: the oracle states the expected constants —
     // every embedding is a query, and recall@5 must clear the floor.
     "q_ann_lsh" ->
+      """SELECT count(*) AS n_queries, true AS recall_ok FROM embeddings""",
+    "q_ann_ivf" ->
       """SELECT count(*) AS n_queries, true AS recall_ok FROM embeddings""",
     "q_cosine_topk" ->
       """WITH v AS (

@@ -80,6 +80,34 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.30, f"recall $recall%.3f below floor")
   }
 
+  test("ivf ann recall@5 against the brute-force anchor") {
+    val exact = Similarity.bruteForceTopK(embeddings, "vec_id", "embedding", k = 5)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val ivf = Similarity.ivfTopK(embeddings, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+      .select("qid", "nid").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val hits = exact.map { case (q, want) =>
+      (want intersect ivf.getOrElse(q, Set.empty)).size
+    }.sum
+    val recall = hits.toDouble / exact.map(_._2.size).sum
+    info(f"ivf recall@5 = $recall%.3f over ${exact.size} queries")
+    assert(recall >= 0.30, f"recall $recall%.3f below floor")
+  }
+
+  test("ivf results are a subset of valid neighbors with exact sims") {
+    val ivf = Similarity.ivfTopK(embeddings, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 2)
+    val joined = ivf.join(embeddings.select(col("vec_id").as("qid"),
+        col("embedding").as("qe")), "qid")
+      .join(embeddings.select(col("vec_id").as("nid"),
+        col("embedding").as("ne")), "nid")
+      .withColumn("true_sim", Similarity.cosine(col("qe"), col("ne")))
+    val bad = joined.filter(abs(col("sim") - col("true_sim")) > 1e-9).count()
+    assert(bad === 0)
+  }
+
   test("ann results are a subset of valid neighbors with exact sims") {
     // every (qid,nid,sim) from the ANN path must carry the TRUE cosine —
     // approximation may lose neighbors, never report a wrong similarity.
