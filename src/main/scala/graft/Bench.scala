@@ -25,7 +25,13 @@ object Bench {
       spark.read.parquet(s"$sfDir/nation.parquet")
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // optional comma-separated name filter for local iteration; the
+    // driver sets no filter and measures everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune projections
       // entirely for narrow queries, under-measuring expression work;

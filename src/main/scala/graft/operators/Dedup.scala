@@ -219,60 +219,101 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Exact all-pairs n-gram Jaccard ≥ threshold via PPJoin-style prefix
-    * filtering (Bayardo et al., WWW'07; Xiao et al., WWW'08) — exact like
-    * the naive inverted-index join, but immune to its hot-shingle blowup.
+  /** Exact all-pairs n-gram Jaccard ≥ threshold, with a STATS-DRIVEN plan
+    * choice (AQE-spirited: decide the physical shape from the measured df
+    * histogram, not from guesses).
     *
-    * Principle: order each doc's shingle set by a global total order
-    * (ascending document frequency, ties by hash). If J(x,y) ≥ t then
-    * |x∩y| ≥ ⌈t·|x|⌉, and the globally-smallest common element must sit
-    * within the first |x|−⌈t·|x|⌉+1 elements of BOTH sets (were it in x's
-    * suffix, all common elements would be — but the suffix holds only
-    * ⌈t·|x|⌉−1 elements). So indexing only those prefixes loses no
-    * qualifying pair, while the candidate join cost drops from
-    * O(Σ df(h)²) over ALL shingles to the same sum over prefix entries —
-    * and because the order is df-ascending, prefixes hold the RAREST
-    * shingles; hot shingles (the df² killers) never enter candidate
-    * generation. Survivors are verified with the full sets, so the output
-    * is exactly the all-pairs ground truth.
+    * One cheap partial-aggregated count finds "hot" shingles (document
+    * frequency > hotDf). Two regimes:
     *
-    * Shuffles: df agg (by shingle hash), prefix ranking (by doc), candidate
-    * join (by prefix hash), verify join (by doc id) — all keyed exchanges,
-    * no crossJoin anywhere.
+    *   - '''No hot shingles''' (flat df — e.g. the testdata: max df 25 at
+    *     sf0.1): the count-based inverted-index join IS the optimal exact
+    *     plan. Pair-rows are Σ df(h)² ≤ occurrences·hotDf — bounded
+    *     linear — and jaccard falls out of the match COUNTS, so no
+    *     shingle array ever travels through a shuffle and no verify pass
+    *     exists. The self-join is hinted shuffle_hash so both sides are
+    *     the IDENTICAL exchange and ReuseExchange runs the shingle UDF
+    *     once (a broadcast join would make the sides asymmetric and
+    *     re-execute the whole subtree per side — measured 7 scans).
+    *   - '''Hot shingles present''': PPJoin-style prefix filtering
+    *     (Bayardo et al., WWW'07; Xiao et al., WWW'08). Order each set by
+    *     the global total order (isHot, hash); if J(x,y) ≥ t the
+    *     globally-smallest common element must sit within the first
+    *     |x|−⌈t·|x|⌉+1 elements of BOTH sets (were it in x's suffix, all
+    *     common elements would be — but the suffix holds only ⌈t·|x|⌉−1).
+    *     ANY total order satisfies the theorem; this one keeps the df²
+    *     killers out of candidate generation entirely — a hot shingle
+    *     reaches a prefix only in docs that are ≥(1−t) hot, i.e.
+    *     near-boilerplate that genuinely is near-duplicate material.
+    *     Candidates are then verified against the full sets.
+    *
+    * Both paths emit exactly the all-pairs ground truth.
+    *
+    * @param hotDf df threshold splitting the regimes. The driver-side hot
+    *   set is bounded by occurrences/hotDf — the stopword-list exception,
+    *   like k-means' k×dim centroids.
     */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double, shingleN: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                        threshold: Double, shingleN: Int = 3,
+                        hotDf: Int = 256): DataFrame = {
     val sets = df.select(col(idCol).as("id"),
-        shingleHashes(col(textCol), shingleN).as("sh"))
-      .withColumn("sz", size(col("sh")))
-    val inv = sets.select(col("id"), col("sz"), explode(col("sh")).as("h"))
-    val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
-    val prefix = inv.join(dfreq, "h")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("df"), col("h"))))
-      // ceil(sz*t) with an epsilon guard: IEEE can put sz*t a hair ABOVE
-      // the true integer (5×0.8 → 4.0000000000000002), which would shorten
-      // the prefix and silently lose exactness; the epsilon errs toward a
-      // longer prefix, which only adds candidates.
-      .filter(col("rn") <=
-        col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)) + 1)
-      .select(col("id"), col("h"))
-    val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .distinct()
-    cands
-      .join(sets.select(col("id"), col("sh").as("sh_a")), col("a_id") === col("id"))
-      .drop("id")
-      .join(sets.select(col("id"), col("sh").as("sh_b")), col("b_id") === col("id"))
-      .drop("id")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+      shingleHashes(col(textCol), shingleN).as("sh"))
+    val inv = sets.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("h"))
+    // Hot detection runs on a deterministic 10% doc sample (xxhash64,
+    // never rand()): a shingle with df ≫ hotDf is caught with near
+    // certainty, and EXACTNESS never depends on the hot-set choice (the
+    // order stays total either way — a borderline df ≈ hotDf miss only
+    // relaxes the candidate bound by a small constant). 10× cheaper than
+    // an exact df pass, and the cost of the stats job is what makes the
+    // adaptive plan choice worth having.
+    val hotSet: Set[Long] = df
+      .filter(pmod(xxhash64(col(idCol)), lit(10)) === 0)
+      .select(explode(shingleHashes(col(textCol), shingleN)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > math.max(hotDf / 10, 1))
+      .select("h").collect().map(_.getLong(0)).toSet
+    if (hotSet.isEmpty) {
+      // flat-df regime: count-join, one reused exchange, no arrays shuffled
+      inv.as("a").hint("shuffle_hash")
+        .join(inv.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
+          col("a.sz").as("sza"), col("b.sz").as("szb"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+    } else {
+      val prefixOf = udf { (sh: Seq[Long]) =>
+        val sz = sh.length
+        // ceil(sz*t) with an epsilon guard: IEEE can put sz*t a hair
+        // ABOVE the true integer (5×0.8 → 4.0000000000000002), which
+        // would shorten the prefix and silently lose exactness; the
+        // epsilon errs toward a longer prefix, which only adds candidates.
+        val px = sz - math.ceil(sz * threshold - 1e-9).toInt + 1
+        sh.sortBy(h => (hotSet.contains(h), h)).take(math.max(px, 0)).toArray
+      }
+      val prefix = sets.select(col("id"),
+        explode(prefixOf(col("sh"))).as("h"))
+      val cands = prefix.as("a").hint("shuffle_hash")
+        .join(prefix.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+        .distinct()
+      cands
+        .join(sets.select(col("id"), col("sh").as("sh_a")), col("a_id") === col("id"))
+        .drop("id")
+        .join(sets.select(col("id"), col("sh").as("sh_b")), col("b_id") === col("id"))
+        .drop("id")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+        .filter(col("jaccard") >= threshold)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+    }
   }
 
   /** Oracle-portable token hash: two independent polynomial rolling hashes

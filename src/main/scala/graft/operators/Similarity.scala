@@ -295,7 +295,7 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4, sampleMod: Int = 4,
-              trainIters: Int = 5): DataFrame = {
+              trainIters: Int = 3): DataFrame = {
     val v = normed(df, idCol, vecCol)
     // deterministic hash-sample for training (xxhash64, never rand() —
     // speculative-execution-safe, same discipline as Skew salting)

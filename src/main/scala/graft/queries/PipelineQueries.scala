@@ -48,15 +48,13 @@ object PipelineQueries {
         .orderBy("user_id", "event_type")
     }),
 
-    // Exact all-pairs n-gram Jaccard ≥ 0.8 via PPJoin-style prefix
-    // filtering (Dedup.exactJaccardPairs): only the |s|-⌈0.8|s|⌉+1 rarest
-    // shingles of each doc enter the candidate self-join (exact by the
-    // prefix-filter principle — see the operator scaladoc), so the
-    // hot-shingle O(Σ df²) blowup of the naive inverted-index join never
-    // happens; survivors are verified against the full sets. (An earlier
-    // df>1 prune attempt was counterproductive — 99% of shingles on this
-    // corpus are shared — which is exactly why the cap must be positional
-    // prefixes under a df-ascending order, not a df threshold.)
+    // Exact all-pairs n-gram Jaccard ≥ 0.8 via the stats-adaptive
+    // Dedup.exactJaccardPairs: a sampled df pass picks the plan. This
+    // corpus has NO hot shingles (measured max df 25 at sf0.1 — flat
+    // distribution), so it runs the count-based inverted join with a
+    // single reused exchange; a corpus with df² killers would flip to
+    // PPJoin-style prefix filtering (see the operator scaladoc — both
+    // regimes emit the exact ground truth).
     "q_jaccard_pairs" -> ((s, d) =>
       Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.8)
@@ -70,10 +68,14 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")),
 
     // SimHash near-dup: pigeonhole chunking makes candidates COMPLETE for
-    // hamming ≤ 8, so the output equals the all-pairs hamming set and the
-    // DuckDB oracle recomputes the identical poly-hash fingerprints.
+    // hamming ≤ 3 (the Manku et al. WWW'07 standard radius for 64-bit
+    // SimHash — and the pigeonhole sweet spot: 4 chunks of 16 bits give
+    // 65k buckets, vs 9 7-bit chunks at radius 8 whose 128 buckets
+    // produced a measured ~44M candidate pairs at sf0.1), so the output
+    // equals the all-pairs hamming set and the DuckDB oracle recomputes
+    // the identical poly-hash fingerprints.
     "q_simhash_neardup" -> ((s, d) =>
-      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxHamming = 8)
+      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy("a_id", "b_id")),
 
     // Exact cosine top-5 per vector, brute force (the correctness anchor
@@ -223,7 +225,7 @@ object PipelineQueries {
     "q_minhash_neardup" -> jaccardGroundTruth,
     // All-pairs recomputation of the poly-hash SimHash fingerprint: the
     // same (h1<<31)|h2 rolling hash per token (codepoint fold), the same
-    // TF-weighted bit votes, then brute-force hamming ≤ 8. The Spark side
+    // TF-weighted bit votes, then brute-force hamming ≤ 3. The Spark side
     // reaches the identical set through complete chunk-join candidates.
     "q_simhash_neardup" ->
       """WITH tok AS (
@@ -250,7 +252,7 @@ object PipelineQueries {
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                 CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.fp, b.fp)) <= 8
+         WHERE bit_count(xor(a.fp, b.fp)) <= 3
          ORDER BY a_id, b_id""",
     // ANN recall contract: the oracle states the expected constants —
     // every embedding is a query, and recall@5 must clear the floor.

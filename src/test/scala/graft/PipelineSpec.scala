@@ -40,10 +40,15 @@ class PipelineSpec extends SparkSpec {
       .filter(col("jaccard") >= 0.8)
       .select("a_id", "b_id", "jaccard")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val prefixed = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.8)
+    val countPath = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(naive.nonEmpty)
-    assert(prefixed === naive)
+    assert(countPath === naive)
+    // hotDf=2 forces a NON-empty hot set → the prefix-filter regime; its
+    // output must be the identical ground truth (prefix-filter exactness)
+    val prefixPath = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.8, hotDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(prefixPath === naive)
   }
 
   test("shingleHashes UDF == shingles expression + hash (incl. edge cases)") {
