@@ -56,6 +56,23 @@ object AggQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Approximate median (GK sketch / percentile_approx). Same contract
+    // shape as the HLL row: Spark computes BOTH the sketch and the exact
+    // percentile and emits the band check; the oracle states `true`.
+    // Sketch state merges in partition order — the 1% band absorbs that
+    // nondeterminism while still flagging a real accuracy regression.
+    "q_approx_quantile" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("approx_med"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_med"))
+        .select(col("l_returnflag"),
+          (abs(col("approx_med") - col("exact_med"))
+            <= col("exact_med") * 0.01).as("med_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_rollup" -> ((s, d) => {
       Tables.lineitem(s, d)
         .rollup("l_returnflag", "l_linestatus")
@@ -113,6 +130,9 @@ object AggQueries {
     "q_approx_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_ord,
                 true AS in_band
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_approx_quantile" ->
+      """SELECT l_returnflag, true AS med_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,

@@ -138,6 +138,26 @@ object PipelineQueries {
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("a_id", "b_id")),
 
+    // End-to-end curation composition: language gate → quality floor →
+    // exact dedup (min-id survivor) → per-doc token budget. Every stage
+    // is hash-verified on its own elsewhere; this row verifies their
+    // INTERACTION, in the production order (cheap narrow filters first so
+    // the dedup shuffle only carries surviving docs).
+    "q_pipeline_curate" -> ((s, d) => {
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("text"),
+          TextFunctions.langId(col("text")).as("lang_pred"),
+          TextFunctions.qualityScore(col("text")).as("quality"),
+          TextFunctions.tokenCount(col("text")).as("n_bpe"))
+        .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
+      // stats are functions of text, so min() over a text group is just
+      // "the value" — deterministic survivor semantics
+      scored.groupBy("text")
+        .agg(min(col("doc_id")).as("doc_id"), min(col("quality")).as("quality"),
+          min(col("n_bpe")).as("n_bpe"))
+        .select(col("doc_id"), col("quality"), col("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
     "q_token_count" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -305,6 +325,38 @@ object PipelineQueries {
                    i -> a.v[i] * b.v[i])), (x,y) -> x+y)
                / (a.nrm * b.nrm) >= 0.45
          ORDER BY a_id, b_id""",
+    "q_pipeline_curate" ->
+      s"""WITH m AS (
+           SELECT doc_id, text,
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+                  CAST(len(text) AS DOUBLE) AS n_char,
+                  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains([$stopList], t))) AS DOUBLE) AS n_stop,
+                  string_split(text, ' ') AS w
+           FROM documents),
+         sc AS (
+           SELECT doc_id, text,
+                  round(least(n_tok/50.0, 1.0) * 0.4
+                    + (CASE WHEN n_char/greatest(n_tok, 1.0) BETWEEN 3.0 AND 10.0
+                            THEN 1.0 ELSE 0.5 END) * 0.2
+                    + least(n_stop/greatest(n_tok, 1.0) * 4.0, 1.0) * 0.2
+                    + (1.0 - least(n_punct/greatest(n_char, 1.0) * 10.0, 1.0)) * 0.2,
+                    6) AS quality,
+                  len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe,
+                  len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','that','it','for'], x))) AS s_en,
+                  len(list_filter(w, x -> list_contains(['der','die','das','und','ist','ein','zu','mit','von','nicht'], x))) AS s_de,
+                  len(list_filter(w, x -> list_contains(['el','la','de','que','y','en','un','es','por','con'], x))) AS s_es,
+                  len(list_filter(w, x -> list_contains(['le','la','de','et','un','est','que','pour','dans','ce'], x))) AS s_fr,
+                  len(list_filter(w, x -> list_contains(['的','是','在','了','和','有','我','不','这','人'], x))) AS s_zh
+           FROM m),
+         f AS (
+           SELECT * FROM sc
+           WHERE quality >= 0.5 AND s_en > 0 AND s_en >= s_de
+             AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh)
+         SELECT min(doc_id) AS doc_id, min(quality) AS quality,
+                min(n_bpe) AS n_bpe
+         FROM f GROUP BY text ORDER BY doc_id""",
     "q_token_count" ->
       """SELECT doc_id,
                 len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe,

@@ -20,6 +20,13 @@ object StreamQueries {
     "q_stream_sliding" -> ((s, d) =>
       Streams.slidingAgg(Tables.events(s, d), "1 hour", "30 minutes")
         .orderBy("w_start", "event_type")),
+
+    // data-driven windows: per-user sessions at a 6 h idle gap (median
+    // inter-event gap on this data is ~7.3 h, so sessions genuinely merge
+    // AND split). Oracle = classic gaps-and-islands sessionization.
+    "q_stream_session" -> ((s, d) =>
+      Streams.sessionAgg(Tables.events(s, d), "6 hours")
+        .orderBy("user_id", "s_start")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -35,5 +42,23 @@ object StreamQueries {
                 count(*) AS n, round(sum(value), 6) AS total
          FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
          GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    // gaps-and-islands: a session breaks when the gap is >= 6 h (Spark's
+    // session window end is exclusive: [first, last+gap)), session id =
+    // running count of breaks, session start = min(ts) of the island.
+    "q_stream_session" ->
+      """WITH x AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts - lag(ts) OVER w) >= 21600
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x)
+         SELECT min(ts) AS s_start, user_id, count(*) AS n
+         FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""",
   )
 }

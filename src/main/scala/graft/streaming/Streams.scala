@@ -47,6 +47,18 @@ object Streams {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Session windows: per-key activity bursts separated by ≥ `gap` of
+    * silence. Spark merges events whose gaps stay under `gap` into one
+    * [first, last+gap) window — state per open session is constant, and
+    * with a watermark closed sessions are finalized and evicted, so a
+    * 100 TB/day stream holds only in-horizon sessions. Same
+    * batch/streaming parity contract as the fixed windows.
+    */
+  def sessionAgg(events: DataFrame, gap: String = "6 hours"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"), col("user_id"), col("n"))
+
   /** Event-time watermark: rows more than `delay` behind the max observed
     * event time are dropped by stateful operators, which is what lets a
     * 100 TB/day stream run with bounded state.

@@ -149,6 +149,38 @@ class StreamingSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
   }
 
+  test("session window parity: stream == batch") {
+    runToCompletion("t_session", OutputMode.Complete()) {
+      Streams.sessionAgg(
+        Streams.parquetStream(spark, eventsDir, batchEvents.schema), "6 hours")
+    }
+    val got = canon(spark.table("t_session"))
+    val want = canon(Streams.sessionAgg(batchEvents, "6 hours"))
+    assert(got.nonEmpty && got === want)
+    // sanity: sessions genuinely merge events (not all singletons)
+    assert(Streams.sessionAgg(batchEvents, "6 hours")
+      .filter(col("n") > 1).count() > 0)
+  }
+
+  test("streaming dedup within watermark drops cross-batch duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s:00")
+    val in = MemoryStream[(Long, Timestamp)]
+    val q = Streams.toMemorySink(
+      in.toDF().toDF("event_id", "ts")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id"),
+      "t_dedup", OutputMode.Append(), tmp("ckpt-dedup"))
+    in.addData((1L, ts("10:00")), (2L, ts("10:01")))
+    q.processAllAvailable()
+    in.addData((1L, ts("10:02")), (3L, ts("10:03"))) // 1 is a dup within horizon
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("t_dedup").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
   test("mapGroupsWithState carries state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
