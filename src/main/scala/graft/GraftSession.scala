@@ -16,6 +16,11 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName(appName)
+      // engine optimizer extensions (e.g. HOF dot-product → native
+      // codegen expression); also reachable via the standard
+      // spark.sql.extensions=graft.plans.GraftExtensions conf for
+      // sessions not built through this factory
+      .withExtensions(new graft.plans.GraftExtensions()(_))
       .config("spark.sql.shuffle.partitions", defaultCpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -47,4 +47,64 @@ class DotProductSpec extends SparkSpec {
     val viaExpr = df.select(DotProduct(col("a"), col("b"))).head.getDouble(0)
     assert(viaExpr === 11.0)
   }
+
+  test("optimizer rule rewrites the HOF dot idiom to the native expression") {
+    // both the Column-API spelling and raw SQL must land on HofDotProduct
+    val e = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(VectorFunctions.dot(col("v"), col("v")).as("d"))
+    assert(e.queryExecution.optimizedPlan.toString.contains("hofdotproduct"),
+      e.queryExecution.optimizedPlan.toString.take(600))
+    // SQL spelling over non-foldable input (a real scan: literal arrays
+    // are constant-folded and VALUES relations are locally evaluated
+    // before user rules run)
+    Tables.embeddings(spark, sf).createOrReplaceTempView("emb_rule_test")
+    val sqlDf = spark.sql(
+      """SELECT aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>),
+        |                          CAST(embedding AS ARRAY<DOUBLE>),
+        |                          (x, y) -> x * y), 0.0D,
+        |       (acc, v) -> acc + v) AS d
+        |FROM emb_rule_test""".stripMargin)
+    assert(sqlDf.queryExecution.optimizedPlan.toString.contains("hofdotproduct"),
+      sqlDf.queryExecution.optimizedPlan.toString.take(600))
+    assert(sqlDf.count() > 0)
+  }
+
+  test("rewrite is observationally identical to the HOF: nulls and length mismatch") {
+    // zip_with pads the shorter array with nulls, so the HOF yields NULL
+    // on length mismatch and on null elements — the rewrite target must
+    // reproduce exactly that (it is NOT DotProduct's common-prefix rule)
+    val rows = spark.sql(
+      """SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D,
+        |       (acc, v) -> acc + v) AS d
+        |FROM VALUES
+        |  (array(1.0D, 2.0D), array(3.0D, 4.0D)),
+        |  (array(1.0D, 2.0D), array(3.0D, 4.0D, 5.0D)),
+        |  (array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)),
+        |  (CAST(NULL AS ARRAY<DOUBLE>), array(3.0D, 4.0D))
+        |  AS t(a, b)""".stripMargin)
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(rows.toSeq === Seq(Some(11.0), None, None, None))
+  }
+
+  test("rewritten codegen path keeps HOF null-on-length-mismatch semantics") {
+    // slice() forces a genuine runtime length mismatch through the scan →
+    // zip_with pads with null → the rewritten HofDotProduct must yield
+    // NULL on every row, exactly like the interpreted HOF
+    val e = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(VectorFunctions.dot(col("v"), expr("slice(v, 1, 63)")).as("d"))
+    assert(e.queryExecution.optimizedPlan.toString.contains("hofdotproduct"))
+    assert(e.count() > 0)
+    assert(e.filter(col("d").isNotNull).count() === 0)
+  }
+
+  test("non-dot HOF folds are left alone") {
+    // a sum-of-squares aggregate over transform() must NOT be rewritten
+    val sq = spark.sql(
+      """SELECT aggregate(transform(array(1.0D, 2.0D), x -> x * x), 0.0D,
+        |  (acc, v) -> acc + v) AS s""".stripMargin)
+    assert(!sq.queryExecution.optimizedPlan.toString.contains("hofdotproduct"))
+    assert(sq.head.getDouble(0) === 5.0)
+  }
 }

@@ -46,6 +46,22 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("hive-partitioned write prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables.events(spark, sf)
+      .select("event_id", "user_id", "value", "event_type")
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val part = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = part.queryExecution.executedPlan.toString
+    // the predicate must become a PARTITION filter (directory pruning —
+    // at 100 TB this is the difference between listing one partition and
+    // scanning the table), not a post-scan data filter
+    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan.take(900))
+    val expected = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(part.count() === expected)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val ev = Tables.events(spark, sf)
     val direct = ev.groupBy("event_type")
