@@ -27,6 +27,12 @@ object StreamQueries {
     "q_stream_session" -> ((s, d) =>
       Streams.sessionAgg(Tables.events(s, d), "6 hours")
         .orderBy("user_id", "s_start")),
+
+    // stream-stream interval join, batch projection (the streaming run of
+    // the same function is parity-tested in StreamingSpec)
+    "q_stream_join" -> ((s, d) =>
+      Streams.clickPurchaseJoin(Tables.events(s, d), "24 hours")
+        .orderBy("click_id", "p_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -60,5 +66,13 @@ object StreamQueries {
            FROM x)
          SELECT min(ts) AS s_start, user_id, count(*) AS n
          FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""",
+    "q_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS p_id, c.user_id,
+                round(p.value, 6) AS value
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts - INTERVAL 24 HOURS AND p.ts <= c.ts
+         ORDER BY click_id, p_id""",
   )
 }

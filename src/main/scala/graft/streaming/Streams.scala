@@ -59,6 +59,32 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("s_start"), col("user_id"), col("n"))
 
+  /** Stream-stream interval join: each click joins the same user's
+    * purchases in the trailing `horizon`. The event-time bound on BOTH
+    * sides is what makes this runnable forever: with watermarks, Spark
+    * GCs each side's join state once rows fall out of the horizon —
+    * state is O(events in horizon), never O(stream). The same function
+    * on batch inputs (watermark = no-op) is the plain interval join,
+    * which is the parity oracle and the DuckDB-checked batch projection.
+    */
+  def clickPurchaseJoin(events: DataFrame, horizon: String = "24 hours",
+                        delay: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", delay)
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr(s"INTERVAL $horizon") &&
+          col("p_ts") <= col("c_ts"))
+      .select(col("click_id"), col("p_id"), col("user_id"),
+        round(col("value"), 6).as("value"))
+  }
+
   /** Event-time watermark: rows more than `delay` behind the max observed
     * event time are dropped by stateful operators, which is what lets a
     * 100 TB/day stream run with bounded state.

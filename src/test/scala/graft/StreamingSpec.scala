@@ -27,7 +27,7 @@ class StreamingSpec extends SparkSpec {
   private lazy val eventsDir: String = {
     val dir = tmp("graft-stream-events")
     Tables.events(spark, sf)
-      .select("ts", "user_id", "event_type", "value")
+      .select("event_id", "ts", "user_id", "event_type", "value")
       .repartition(4)
       .write.mode("overwrite").parquet(dir)
     dir
@@ -160,6 +160,16 @@ class StreamingSpec extends SparkSpec {
     // sanity: sessions genuinely merge events (not all singletons)
     assert(Streams.sessionAgg(batchEvents, "6 hours")
       .filter(col("n") > 1).count() > 0)
+  }
+
+  test("stream-stream interval join parity: stream == batch") {
+    runToCompletion("t_ssjoin", OutputMode.Append()) {
+      Streams.clickPurchaseJoin(
+        Streams.parquetStream(spark, eventsDir, batchEvents.schema), "24 hours")
+    }
+    val got = canon(spark.table("t_ssjoin"))
+    val want = canon(Streams.clickPurchaseJoin(batchEvents, "24 hours"))
+    assert(got.nonEmpty && got === want)
   }
 
   test("streaming dedup within watermark drops cross-batch duplicates") {
