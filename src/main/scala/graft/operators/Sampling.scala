@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting/shuffling for training pipelines.
+  *
+  * Everything here is keyed integer arithmetic — NEVER `rand()`: a random
+  * split is not reproducible across runs, breaks under Spark task retry /
+  * speculative execution (the same row can land in both splits), and
+  * cannot be verified by an external oracle. The Knuth multiplicative
+  * hash `(key * 2654435761) mod 2^32` is uniform enough for split work,
+  * overflow-free in 64-bit for any int key (ANSI-safe), and replicable
+  * in one line of SQL on any engine — which is what makes these the only
+  * sampling primitives in the engine with a full hash-verified oracle.
+  *
+  * All three are narrow, per-row column expressions (no shuffle except
+  * the explicit sort in [[epochShuffle]]) — they run unchanged on 100 TB.
+  *
+  * Reference scope: not in the reference repo; north-star training-data
+  * pipeline additions (BASELINE.json).
+  */
+object Sampling {
+
+  private val KnuthA = 2654435761L // 2^32 * golden-ratio conjugate
+  private val M = 4294967296L      // 2^32
+
+  /** Uniform bucket in [0, 2^32) from an integer key column; mixing a
+    * `seed` yields an independent assignment (different epochs/splits).
+    */
+  def bucketOf(key: Column, seed: Long = 0L): Column =
+    pmod((key.cast("long") + lit(seed)) * lit(KnuthA), lit(M))
+
+  /** Deterministic Bernoulli-style sample: keeps a row iff its key's
+    * bucket falls under `fraction`. Same key → same decision, on every
+    * run, every engine, every retry.
+    */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 seed: Long = 0L): DataFrame =
+    df.filter(bucketOf(col(keyCol), seed) < lit((fraction * M).toLong))
+
+  /** Train/validation/test split label from cumulative fractions, e.g.
+    * `fractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)`.
+    * Labels are assigned by half-open bucket ranges, so the split is a
+    * partition of the data (no row lost, none duplicated).
+    */
+  def splitLabel(key: Column, fractions: Seq[(String, Double)],
+                 seed: Long = 0L): Column = {
+    val b = bucketOf(key, seed)
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+    fractions.zip(cuts.zip(cuts.tail)).foldLeft(lit(null).cast("string")) {
+      case (acc, ((label, _), (lo, hi))) =>
+        when(b >= lit((lo * M).toLong) && b < lit((hi * M).toLong), lit(label))
+          .otherwise(acc)
+    }
+  }
+
+  /** Deterministic epoch shuffle: a reproducible permutation of the rows,
+    * keyed by (key, epoch). One global sort — exactly the shuffle a
+    * training job pays to randomize example order, but replayable (a
+    * preempted epoch resumes with the identical order) and
+    * oracle-verifiable. Ties are impossible for distinct keys because
+    * x → (x·a mod 2^32) is injective on [0, 2^32) (a is odd).
+    */
+  def epochShuffle(df: DataFrame, keyCol: String, epoch: Int): DataFrame =
+    df.orderBy(bucketOf(col(keyCol), epoch.toLong), col(keyCol))
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, MultiModal, Similarity}
+import graft.operators.{Dedup, MultiModal, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -156,6 +156,28 @@ object PipelineQueries {
           min(col("n_bpe")).as("n_bpe"))
         .select(col("doc_id"), col("quality"), col("n_bpe"))
         .orderBy("doc_id")
+    }),
+
+    // Deterministic train/valid/test split (Sampling.splitLabel): keyed
+    // Knuth-hash buckets, never rand() — reproducible across runs, task
+    // retries, and engines, hence fully hash-verifiable. Fractions
+    // 0.75/0.125/0.125 are binary-exact so the bucket thresholds are the
+    // same integers in Spark and in the oracle SQL.
+    "q_split_sample" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          Sampling.splitLabel(col("doc_id"),
+            Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125)).as("split"))
+        .orderBy("doc_id")),
+
+    // Deterministic epoch shuffle (Sampling.epochShuffle order): the
+    // reproducible permutation a training job uses to randomize example
+    // order per epoch. The global row_number here is verification-only —
+    // the operator itself is just a keyed sort.
+    "q_epoch_shuffle" -> ((s, d) => {
+      val b = Sampling.bucketOf(col("doc_id"), 2L)
+      Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("pos", row_number().over(Window.orderBy(b, col("doc_id"))))
+        .orderBy("pos")
     }),
 
     "q_token_count" -> ((s, d) =>
@@ -357,6 +379,20 @@ object PipelineQueries {
          SELECT min(doc_id) AS doc_id, min(quality) AS quality,
                 min(n_bpe) AS n_bpe
          FROM f GROUP BY text ORDER BY doc_id""",
+    "q_split_sample" ->
+      """SELECT doc_id,
+                CASE WHEN b < 3221225472 THEN 'train'
+                     WHEN b < 3758096384 THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS b
+               FROM documents)
+         ORDER BY doc_id""",
+    "q_epoch_shuffle" ->
+      """SELECT doc_id,
+                row_number() OVER (
+                  ORDER BY ((doc_id + 2) * 2654435761) % 4294967296,
+                           doc_id) AS pos
+         FROM documents ORDER BY pos""",
     "q_token_count" ->
       """SELECT doc_id,
                 len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe,

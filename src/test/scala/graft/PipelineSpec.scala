@@ -204,6 +204,38 @@ class PipelineSpec extends SparkSpec {
     assert(f1(sample.getLong(0)).nBytes === bytes.length)
   }
 
+  test("deterministic sampling: partition-complete splits, stable samples, epoch permutations") {
+    import graft.operators.Sampling
+    val n = docs.count()
+    // split is a partition: every row gets exactly one non-null label
+    val labeled = docs.select(col("doc_id"),
+      Sampling.splitLabel(col("doc_id"),
+        Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125)).as("s"))
+    assert(labeled.filter(col("s").isNull).count() === 0)
+    assert(labeled.count() === n)
+    val byLabel = labeled.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet === Set("train", "valid", "test"))
+    assert(byLabel("train") > byLabel("valid")) // 6x expected ratio, loose check
+    // hashSample is idempotent and partitioning-independent
+    val s1 = Sampling.hashSample(docs, "doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(docs.repartition(7), "doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2 && s1.nonEmpty && s1.size < n)
+    // different seeds give (near-)independent samples
+    val s3 = Sampling.hashSample(docs, "doc_id", 0.25, seed = 99)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s3 !== s1)
+    // epoch shuffle: same multiset, reproducible order, epochs differ
+    def order(epoch: Int) = Sampling.epochShuffle(docs.select("doc_id"), "doc_id", epoch)
+      .collect().map(_.getLong(0)).toSeq
+    val e1 = order(1)
+    assert(e1.sorted === docs.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted)
+    assert(e1 === order(1))
+    assert(e1 !== order(2))
+  }
+
   test("exact dedup partitions the table: sum(n_copies) == row count") {
     val dd = SparkEntry.queries("q_dedup_exact")(spark, sf)
     assert(dd.agg(sum("n_copies")).head.getLong(0) === docs.count())
