@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Num
+import graft.operators.Skew
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -102,6 +103,17 @@ object AggQueries {
            ORDER BY flag, status""")
     }),
 
+    // Planned skew mitigation as a verified query: two-phase salted
+    // aggregation (operators.Skew) must be EXACTLY equivalent to the
+    // direct groupBy — counts and integer sums are associative, so the
+    // salt fan-out/re-merge cannot change a bit. event_type has 5 values
+    // at any scale: the unsalted plan funnels 1/5 of the table per
+    // reducer task, the salted one fans each key over 16.
+    "q_skew_agg" -> ((s, d) =>
+      Skew.saltedAgg(Tables.events(s, d), "event_type", "event_id", salt = 16,
+          (col("event_id"), "id_sum"))
+        .orderBy("event_type")),
+
     "q_having" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy("l_partkey")
@@ -155,5 +167,9 @@ object AggQueries {
     "q_having" ->
       """SELECT l_partkey, sum(l_quantity) AS qty FROM lineitem
          GROUP BY l_partkey HAVING sum(l_quantity) > 100 ORDER BY l_partkey""",
+    "q_skew_agg" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(event_id) AS BIGINT) AS id_sum
+         FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }

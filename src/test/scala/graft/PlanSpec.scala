@@ -48,6 +48,14 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(800))
   }
 
+  test("part semi-join pushes the size predicate to the scan") {
+    val p = planOf("q_part_brand")
+    // p_size <= 20 must reach the part parquet scan, not a post-scan filter
+    assert(p.contains("PushedFilters: ["), p.take(900))
+    assert("LessThanOrEqual\\(p_size".r.findFirstIn(p).isDefined
+      || p.contains("p_size"), p.take(900))
+  }
+
   test("small-dimension joins broadcast") {
     val p = planOf("q_join_bcast")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
