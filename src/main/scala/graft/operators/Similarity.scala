@@ -160,6 +160,70 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** Exact cosine top-k of every QUERY row against every CANDIDATE row —
+    * the asymmetric sibling of [[bruteForceTopK]] for recall audits: at
+    * scale you can't brute-force every query, but you can brute-force a
+    * deterministic sample ([[Sampling.hashSample]]) against the full
+    * candidate side and measure recall on it. Same blocked grid, keyed
+    * (queryBlock, candBlock): a query in block qg fans to groups (qg, j),
+    * a candidate in block cg to groups (i, cg), so each (q, c) pair meets
+    * in exactly one group — (qg, cg). Per-task memory is
+    * O(nQ/blocks + nC/blocks); no job at build, no join in the plan.
+    */
+  def bruteForceTopKFor(queries: DataFrame, candidates: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        blocks: Int = 8): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    def fan(df: DataFrame, isQuery: Boolean) =
+      normed(df, idCol, vecCol).as[(Long, Array[Double], Double)]
+        .flatMap { case (id, vec, nrm) =>
+          val g = java.lang.Math.floorMod(id, blocks.toLong).toInt
+          (0 until blocks).map { j =>
+            val key = if (isQuery) (g, j) else (j, g)
+            (key, (id, vec, nrm, isQuery))
+          }
+        }
+    val local = fan(queries, isQuery = true)
+      .union(fan(candidates, isQuery = false))
+      .groupByKey(_._1)
+      .flatMapGroups { (_: (Int, Int),
+                        it: Iterator[((Int, Int), (Long, Array[Double], Double, Boolean))]) =>
+        val rows = it.map(_._2).toArray
+        val (qs, cs) = rows.partition(_._4)
+        qs.iterator.flatMap { case (qid, qv, qn, _) =>
+          val topSim = new Array[Double](k)
+          val topNid = new Array[Long](k)
+          var filled = 0
+          var c = 0
+          while (c < cs.length) {
+            val (nid, cv, cn, _) = cs(c)
+            if (nid != qid) {
+              val sim = simOf(qv, qn, cv, cn)
+              val beatsLast = filled < k || sim > topSim(filled - 1) ||
+                (sim == topSim(filled - 1) && nid < topNid(filled - 1))
+              if (beatsLast) {
+                var pos = if (filled < k) filled else k - 1
+                while (pos > 0 && (sim > topSim(pos - 1) ||
+                    (sim == topSim(pos - 1) && nid < topNid(pos - 1)))) {
+                  topSim(pos) = topSim(pos - 1); topNid(pos) = topNid(pos - 1)
+                  pos -= 1
+                }
+                topSim(pos) = sim; topNid(pos) = nid
+                if (filled < k) filled += 1
+              }
+            }
+            c += 1
+          }
+          (0 until filled).iterator.map(r => (qid, topNid(r), topSim(r)))
+        }
+      }.toDF("qid", "nid", "sim")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    local.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
   /** Random-hyperplane sign signature: one bit per hyperplane, packed into
     * a long per hash table. Hyperplane components are deterministic from a
     * fixed LCG (uniform in [-1,1) — sign-LSH needs only symmetry, not

@@ -99,11 +99,18 @@ object PipelineQueries {
     // emits (n_queries, recall_ok); the oracle states the expected
     // constants. A recall regression below the 0.3 floor flips recall_ok
     // to false → hash mismatch → red CORRECTNESS row.
+    // Recall is audited on a DETERMINISTIC 10% query sample
+    // (Sampling.hashSample) — the 100 TB shape: the exact anchor is
+    // affordable for a sample of queries against ALL candidates, never
+    // for every query. The sample is keyed (reproducible, engine-
+    // replicable) so the oracle can state its exact size.
     "q_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val sampleQ = Sampling.hashSample(emb, "vec_id", 0.1)
       val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
-        k = 5, dim = 64, tables = 8, bitsPerTable = 6)
-      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5)
+          k = 5, dim = 64, tables = 8, bitsPerTable = 6)
+        .filter(Sampling.bucketOf(col("qid")) < lit((0.1 * 4294967296L).toLong))
+      val bf = Similarity.bruteForceTopKFor(sampleQ, emb, "vec_id", "embedding", k = 5)
       bf.join(lsh.select(col("qid"), col("nid"), lit(1).as("hit")),
           Seq("qid", "nid"), "left")
         .agg(countDistinct(col("qid")).as("n_queries"),
@@ -117,9 +124,11 @@ object PipelineQueries {
     // anchor (hash-verified in q_cosine_topk) and emits the contract.
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val sampleQ = Sampling.hashSample(emb, "vec_id", 0.1)
       val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
-        k = 5, nlist = 16, nprobe = 4)
-      val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5)
+          k = 5, nlist = 16, nprobe = 4)
+        .filter(Sampling.bucketOf(col("qid")) < lit((0.1 * 4294967296L).toLong))
+      val bf = Similarity.bruteForceTopKFor(sampleQ, emb, "vec_id", "embedding", k = 5)
       bf.join(ivf.select(col("qid"), col("nid"), lit(1).as("hit")),
           Seq("qid", "nid"), "left")
         .agg(countDistinct(col("qid")).as("n_queries"),
@@ -299,9 +308,11 @@ object PipelineQueries {
     // ANN recall contract: the oracle states the expected constants —
     // every embedding is a query, and recall@5 must clear the floor.
     "q_ann_lsh" ->
-      """SELECT count(*) AS n_queries, true AS recall_ok FROM embeddings""",
+      """SELECT count(*) AS n_queries, true AS recall_ok FROM embeddings
+         WHERE (vec_id * 2654435761) % 4294967296 < 429496729""",
     "q_ann_ivf" ->
-      """SELECT count(*) AS n_queries, true AS recall_ok FROM embeddings""",
+      """SELECT count(*) AS n_queries, true AS recall_ok FROM embeddings
+         WHERE (vec_id * 2654435761) % 4294967296 < 429496729""",
     "q_cosine_topk" ->
       """WITH v AS (
            SELECT vec_id,
