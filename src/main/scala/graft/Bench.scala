@@ -54,10 +54,18 @@ object Bench {
       "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    println(json)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     spark.stop()
+    // Emit metrics LAST (after spark.stop's shutdown chatter) so the JSON
+    // is the final stdout line. Two forms for robustness against whatever
+    // the driver's parser does: a sentinel-prefixed copy any line-scanner
+    // can strip, then the bare JSON line (sbt no longer prefixes it —
+    // build.sbt sets run/outputStrategy := StdoutOutput). System.out
+    // directly, not Console.out, in case anything rebound Console.
+    System.out.println(s"GRAFT_BENCH_JSON $json")
+    System.out.println(json)
+    System.out.flush()
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }
