@@ -127,20 +127,31 @@ object KMeans {
   def lloyd(df: DataFrame, vecCol: String, init: Array[Array[Double]],
             metric: Metric, maxIter: Int, stopOnZeroDelta: Boolean = false): Fit = {
     val dim = init.head.length
-    var centers = init.map(_.clone())
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      val byId = meanVectors(assign(df, vecCol, centers, metric), vecCol, dim)
-      val next = centers.zipWithIndex.map { case (old, i) => byId.getOrElse(i + 1, old) }
-      iter += 1
-      if (stopOnZeroDelta) {
-        val delta = centers.zip(next).map { case (a, b) => metric.distLocal(a, b) }.sum
-        converged = delta == 0.0
+    // Every iteration re-scans the training set; without a persist that is
+    // maxIter× the source scan AND re-evaluation of whatever vector-prep
+    // expressions the caller stacked under `df` (Spark's MLlib caches its
+    // training set for the same reason). Skip for a single pass, where the
+    // cache would only be written, never read back.
+    val cache = maxIter > 1
+    val data = if (cache)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+    try {
+      var centers = init.map(_.clone())
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        val byId = meanVectors(assign(data, vecCol, centers, metric), vecCol, dim)
+        val next = centers.zipWithIndex.map { case (old, i) => byId.getOrElse(i + 1, old) }
+        iter += 1
+        if (stopOnZeroDelta) {
+          val delta = centers.zip(next).map { case (a, b) => metric.distLocal(a, b) }.sum
+          converged = delta == 0.0
+        }
+        centers = next
       }
-      centers = next
-    }
-    Fit(centers, iter, converged)
+      Fit(centers, iter, converged)
+    } finally if (cache) data.unpersist(blocking = false)
   }
 
   /** Within-cluster sum of squared (metric) distances — the quantity that

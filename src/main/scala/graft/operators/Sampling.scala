@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Deterministic sampling/splitting/shuffling for training pipelines.
   *
@@ -53,6 +54,33 @@ object Sampling {
         when(b >= lit((lo * M).toLong) && b < lit((hi * M).toLong), lit(label))
           .otherwise(acc)
     }
+  }
+
+  /** 1-based global rank of every row under `ord`, as column `posCol`
+    * (long) — WITHOUT the `row_number() over (ORDER BY ...)` trap, whose
+    * empty partitionBy funnels the entire table through ONE window task
+    * (the single-reducer cliff at scale).
+    *
+    * Two-phase rank instead: (1) a range-partitioned total sort — every
+    * partition sorts in parallel and partition i precedes partition i+1
+    * globally; (2) `zipWithIndex`, which runs one lightweight
+    * per-partition COUNT job over the sorted output, broadcasts the
+    * cumulative offsets, and adds `offset + local index` in a narrow map.
+    * The count pass re-reads the sort's reduce side but reuses its
+    * shuffle files (map stage runs once). No task ever sees more than its
+    * own range slice, so the operator holds at any input size.
+    *
+    * Determinism contract: callers must pass a total order (include a
+    * unique tie-break key in `ord`), else ranks within ties are
+    * partition-placement dependent.
+    */
+  def withGlobalRank(df: DataFrame, posCol: String, ord: Column*): DataFrame = {
+    val sorted = df.orderBy(ord: _*)
+    val out = sorted.schema.add(posCol, LongType, nullable = false)
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    sorted.sparkSession.createDataFrame(ranked, out)
   }
 
   /** Deterministic epoch shuffle: a reproducible permutation of the rows,

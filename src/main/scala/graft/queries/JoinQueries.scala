@@ -106,6 +106,32 @@ object JoinQueries {
         .orderBy("p_brand")
     }),
 
+    "q_tpch_q3" -> ((s, d) => {
+      // TPC-H Q3-shape flagship: fact(lineitem) ⋈ fact(orders) ⋈
+      // dim(customer) with a selective predicate on EACH table — the
+      // common real workload shape exercising join ordering + pushdown
+      // interaction. All three predicates push to their parquet scans
+      // (PlanSpec asserts the two date bounds); the segment-filtered
+      // customer side broadcasts, so at scale only the two fact tables
+      // shuffle, on their join keys. Revenue goes through exact decimal
+      // (Num.sumDiscPrice) so shuffle order can't move a bit; the top-10
+      // is a TakeOrderedAndProject (per-partition heap + driver merge of
+      // 10-row winners), never a global sort. o_orderdate is this
+      // schema's timestamp; o_orderpriority stands in for TPC-H's
+      // o_shippriority, which the testdata lacks.
+      val cutoff = lit("1998-06-15").cast("timestamp")
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(Num.sumDiscPrice(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
     "q_asof_join" -> ((s, d) => {
       // point-in-time enrichment: each click gets the most recent purchase
       // (value + its ts) by the same user at or before the click. The
@@ -175,6 +201,21 @@ object JoinQueries {
          WHERE p_size <= 20
            AND EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
          GROUP BY p_brand ORDER BY p_brand""",
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-15'
+           AND l_shipdate > TIMESTAMP '1998-06-15'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey
+         LIMIT 10""",
     "q_asof_join" ->
       """WITH r AS (SELECT user_id, ts, max(event_id) AS seq,
                            arg_max(value, event_id) AS v

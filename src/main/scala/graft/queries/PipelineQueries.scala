@@ -28,10 +28,17 @@ object PipelineQueries {
   private val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Exact dedup: hash shuffle on the full text key; min-id row survives.
+    // Exact dedup, hash-first: group on sha2-256 of the text, not the text
+    // itself, so the shuffle carries a fixed 64-byte key per surviving
+    // group instead of the whole document (map-side partial agg already
+    // collapses in-partition duplicates either way; this cuts the bytes of
+    // the survivors). Collision argument: distinct texts colliding under
+    // SHA-256 needs ~2^128 docs (birthday bound) — at 10^12 documents the
+    // collision probability is < 10^-52, far below any hardware-error
+    // floor, so no in-group text verify is needed. min-id row survives.
     "q_dedup_exact" -> ((s, d) => {
       Tables.documents(s, d)
-        .groupBy("text")
+        .groupBy(sha2(col("text").cast("binary"), 256).as("h"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select(col("doc_id"), col("n_copies"))
         .orderBy("doc_id")
@@ -159,8 +166,11 @@ object PipelineQueries {
           TextFunctions.tokenCount(col("text")).as("n_bpe"))
         .filter(col("lang_pred") === "en" && col("quality") >= 0.5)
       // stats are functions of text, so min() over a text group is just
-      // "the value" — deterministic survivor semantics
-      scored.groupBy("text")
+      // "the value" — deterministic survivor semantics. Same hash-first
+      // grouping (and collision bound) as q_dedup_exact: the dedup shuffle
+      // carries a 64-byte sha2 key + 3 numeric aggregates per group, never
+      // the document body.
+      scored.groupBy(sha2(col("text").cast("binary"), 256).as("h"))
         .agg(min(col("doc_id")).as("doc_id"), min(col("quality")).as("quality"),
           min(col("n_bpe")).as("n_bpe"))
         .select(col("doc_id"), col("quality"), col("n_bpe"))
@@ -180,12 +190,16 @@ object PipelineQueries {
 
     // Deterministic epoch shuffle (Sampling.epochShuffle order): the
     // reproducible permutation a training job uses to randomize example
-    // order per epoch. The global row_number here is verification-only —
-    // the operator itself is just a keyed sort.
+    // order per epoch. Position comes from Sampling.withGlobalRank's
+    // two-phase rank (parallel range sort + broadcast offsets), NOT a
+    // global row_number window — that would funnel every row through one
+    // task. Cast to int to keep the verified schema of the window-based
+    // formulation this replaced.
     "q_epoch_shuffle" -> ((s, d) => {
       val b = Sampling.bucketOf(col("doc_id"), 2L)
-      Tables.documents(s, d).select(col("doc_id"))
-        .withColumn("pos", row_number().over(Window.orderBy(b, col("doc_id"))))
+      Sampling.withGlobalRank(Tables.documents(s, d).select(col("doc_id")),
+          "pos", b, col("doc_id"))
+        .withColumn("pos", col("pos").cast("int"))
         .orderBy("pos")
     }),
 

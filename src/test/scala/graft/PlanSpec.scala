@@ -75,6 +75,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("flagship 3-table join: both date predicates reach their scans, dim broadcasts") {
+    val p = planOf("q_tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // l_shipdate > cutoff pushed to the lineitem scan
+    assert("GreaterThan\\(l_shipdate".r.findFirstIn(p).isDefined, p.take(1500))
+    // o_orderdate < cutoff pushed to the orders scan
+    assert("LessThan\\(o_orderdate".r.findFirstIn(p).isDefined, p.take(1500))
+    // top-10 must be a per-partition heap + driver merge, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("epoch shuffle ranks without a global single-partition window") {
+    val df = SparkEntry.queries("q_epoch_shuffle")(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty,
+      "q_epoch_shuffle must use the two-phase rank, not row_number over a global Window")
+    // and it is a real permutation: pos is 1..n exactly once
+    val n = df.count()
+    assert(df.agg(min("pos"), max("pos"), countDistinct("pos")).head ===
+      org.apache.spark.sql.Row(1, n.toInt, n))
+  }
+
   test("exact dedup shuffles once on the dedup key (no extra exchanges)") {
     val p = sourceOf("q_dedup_exact")
     // groupBy(text) agg + global sort = exactly 2 exchanges
