@@ -94,18 +94,21 @@ object PipelineQueries {
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rank")),
 
-    // LSH-bucketed approximate top-k (the 100 TB path). 6 bits/table:
-    // these embeddings are near-random (max pairwise cos ≈ 0.51), so
-    // 8-bit buckets are too fine — measured recall@5 0.15 at 8 bits vs
-    // ~0.5 at 6 bits with a candidate set ~12% of the corpus.
+    // LSH-bucketed approximate top-k (the 100 TB path).
     //
     // Oracle shape: ANN output is approximate by construction, so the
     // driver-checkable projection is the recall contract itself — Spark
     // measures recall@5 of the LSH path against its own exact brute-force
     // anchor (which IS hash-verified against DuckDB in q_cosine_topk) and
-    // emits (n_queries, recall_ok); the oracle states the expected
-    // constants. A recall regression below the 0.3 floor flips recall_ok
-    // to false → hash mismatch → red CORRECTNESS row.
+    // emits (n_queries, recall_band, recall_ok); the oracle states the
+    // expected constants. recall_band = recall@5 bucketized to 0.1, so
+    // the hash pins the ACHIEVED band, not just a boolean: any parameter
+    // or code drift that moves recall across a 0.1 boundary turns the row
+    // red. Parameters (16 tables × 6 bits: these near-random embeddings —
+    // max pairwise cos ≈ 0.51 — need coarse buckets) were grid-measured:
+    // recall@5 = 0.616 at sf0.001 / 0.628 at sf0.01 → band 0.6 at both
+    // verified scales, comfortably above the 0.5 floor, with a candidate
+    // set ≈25% of the corpus.
     // Recall is audited on a DETERMINISTIC 10% query sample
     // (Sampling.hashSample) — the 100 TB shape: the exact anchor is
     // affordable for a sample of queries against ALL candidates, never
@@ -115,32 +118,39 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       val sampleQ = Sampling.hashSample(emb, "vec_id", 0.1)
       val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
-          k = 5, dim = 64, tables = 8, bitsPerTable = 6)
+          k = 5, dim = 64, tables = 16, bitsPerTable = 6)
         .filter(Sampling.bucketOf(col("qid")) < lit((0.1 * 4294967296L).toLong))
       val bf = Similarity.bruteForceTopKFor(sampleQ, emb, "vec_id", "embedding", k = 5)
+      val recall =
+        sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
       bf.join(lsh.select(col("qid"), col("nid"), lit(1).as("hit")),
           Seq("qid", "nid"), "left")
         .agg(countDistinct(col("qid")).as("n_queries"),
-          (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-            >= 0.3).as("recall_ok"))
+          (floor(recall * 10) / lit(10.0)).as("recall_band"),
+          (recall >= 0.5).as("recall_ok"))
     }),
 
     // IVF-ANN (the data-adaptive second ANN architecture: k-means cells +
     // nprobe probing — Similarity.ivfTopK). Same recall-contract oracle
     // shape as q_ann_lsh: Spark measures recall@5 against its own exact
-    // anchor (hash-verified in q_cosine_topk) and emits the contract.
+    // anchor (hash-verified in q_cosine_topk), and the hash pins the
+    // achieved band. Parameters (nlist=32, nprobe=8) grid-measured:
+    // recall@5 = 0.744 at sf0.001 / 0.732 at sf0.01 → band 0.7 at both
+    // verified scales, above the 0.5 floor, probing 1/4 of the cells.
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val sampleQ = Sampling.hashSample(emb, "vec_id", 0.1)
       val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
-          k = 5, nlist = 16, nprobe = 4)
+          k = 5, nlist = 32, nprobe = 8)
         .filter(Sampling.bucketOf(col("qid")) < lit((0.1 * 4294967296L).toLong))
       val bf = Similarity.bruteForceTopKFor(sampleQ, emb, "vec_id", "embedding", k = 5)
+      val recall =
+        sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
       bf.join(ivf.select(col("qid"), col("nid"), lit(1).as("hit")),
           Seq("qid", "nid"), "left")
         .agg(countDistinct(col("qid")).as("n_queries"),
-          (sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-            >= 0.3).as("recall_ok"))
+          (floor(recall * 10) / lit(10.0)).as("recall_band"),
+          (recall >= 0.5).as("recall_ok"))
     }),
 
     // Embedding near-dup pairs at cosine ≥ 0.45 (testdata max ≈ 0.51).
@@ -320,12 +330,16 @@ object PipelineQueries {
          WHERE bit_count(xor(a.fp, b.fp)) <= 3
          ORDER BY a_id, b_id""",
     // ANN recall contract: the oracle states the expected constants —
-    // every embedding is a query, and recall@5 must clear the floor.
+    // the sampled query count, the grid-measured recall band (recall@5
+    // bucketized to 0.1 — see the query comments for the measurements),
+    // and the ≥0.5 floor.
     "q_ann_lsh" ->
-      """SELECT count(*) AS n_queries, true AS recall_ok FROM embeddings
+      """SELECT count(*) AS n_queries, CAST(0.6 AS DOUBLE) AS recall_band,
+                true AS recall_ok FROM embeddings
          WHERE (vec_id * 2654435761) % 4294967296 < 429496729""",
     "q_ann_ivf" ->
-      """SELECT count(*) AS n_queries, true AS recall_ok FROM embeddings
+      """SELECT count(*) AS n_queries, CAST(0.7 AS DOUBLE) AS recall_band,
+                true AS recall_ok FROM embeddings
          WHERE (vec_id * 2654435761) % 4294967296 < 429496729""",
     "q_cosine_topk" ->
       """WITH v AS (
