@@ -85,6 +85,47 @@ class ScaleSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 3, p.take(1000))
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    // Complements the PLANNED mitigation (Skew.saltedAgg, above): when the
+    // heavy key is not known up front, AQE's runtime skew-join split is
+    // the production defense. Shrink the size thresholds so the test-size
+    // heavy key triggers the same code path a multi-GB partition would.
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "20k")
+      // one key carries 300k rows vs a ~1k-row median; payload is
+      // xxhash64(id) so the shuffle bytes can't compress away under lz4
+      // (AQE decides on COMPRESSED map sizes)
+      val heavy = spark.range(300000)
+        .select(lit(0L).as("k"), xxhash64(col("id")).as("v"))
+      val uniform = spark.range(30000)
+        .select((col("id") % 1000 + 1).as("k"), xxhash64(col("id")).as("v"))
+      val right = spark.range(1001)
+        .select(col("id").as("k"), xxhash64(col("id") + 7).as("w"))
+      val agg = heavy.union(uniform).join(right, "k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("double") + col("w").cast("double")).as("s"))
+      // collect() (NOT head, which executes a separate limited plan) so
+      // agg's own queryExecution carries the final adaptive plan
+      assert(agg.collect()(0).getLong(0) === 330000L)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE skew split did not fire:\n${plan.take(2500)}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("frame sampling: coverage and determinism") {
     import spark.implicits._
     val media = MultiModal.withPayload(Tables.documents(spark, sf).limit(20))

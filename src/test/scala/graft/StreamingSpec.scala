@@ -172,6 +172,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got === want)
   }
 
+  test("parquet file sink: checkpointed stop/resume is exactly-once") {
+    // The production sink surface: writeStream.parquet with a checkpoint,
+    // stopped between deliveries and resumed on the SAME checkpoint. The
+    // resumed query must pick up only the files that arrived while it was
+    // down (offset log), and the sink's _spark_metadata commit log must
+    // expose each input row exactly once to downstream batch readers.
+    val in = tmp("graft-sink-in")
+    val out = tmp("graft-sink-out")
+    val ckpt = tmp("graft-sink-ckpt")
+    val ev = batchEvents.select("event_id", "user_id", "value")
+    ev.filter(col("event_id") % 2 === 0).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def start() = Streams.parquetStream(spark, in, schema)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .start()
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    // the other half of the input lands while the query is down
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(in)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out)
+    // no loss, no duplicates, value-level parity
+    assert(got.count() === ev.count())
+    assert(got.select("event_id").distinct().count() === ev.count())
+    assert(canon(got) === canon(ev))
+  }
+
   test("streaming dedup within watermark drops cross-batch duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
