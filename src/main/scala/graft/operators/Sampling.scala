@@ -56,6 +56,30 @@ object Sampling {
     }
   }
 
+  /** Deterministic stratified downsample that EQUALIZES stratum sizes —
+    * the "source/language balancing" step of corpus mixing: every
+    * stratum is Bernoulli-sampled at rate min_count/stratum_count, so
+    * each lands at ≈ the smallest stratum's size. Selection is keyed
+    * ([[bucketOf]]) — reproducible across runs/retries/engines — and the
+    * rate comparison is EXACT integer cross-multiplication
+    * (bucket·cnt < min·2^32 in decimal arithmetic), never a float
+    * division, so an external oracle replays bit-identical decisions.
+    * Costs one cheap counting agg (k strata, broadcast back) plus a
+    * narrow filter on the main scan — no shuffle of the data itself.
+    */
+  def balancedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                     seed: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(20, 0)
+    val cnts = df.groupBy(stratumCol).agg(count(lit(1)).as("_cnt"))
+    val minc = cnts.agg(min(col("_cnt")).as("_minc"))
+    df.join(broadcast(cnts), stratumCol)
+      .crossJoin(broadcast(minc))
+      .filter(bucketOf(col(keyCol), seed).cast(dec) * col("_cnt").cast(dec) <
+        col("_minc").cast(dec) * lit(M).cast(dec))
+      .drop("_cnt", "_minc")
+  }
+
   /** 1-based global rank of every row under `ord`, as column `posCol`
     * (long) — WITHOUT the `row_number() over (ORDER BY ...)` trap, whose
     * empty partitionBy funnels the entire table through ONE window task

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, MultiModal, Sampling, Similarity}
+import graft.operators.{Components, Dedup, MultiModal, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -73,6 +73,30 @@ object PipelineQueries {
     "q_minhash_neardup" -> ((s, d) =>
       Dedup.nearDupPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
         .orderBy("a_id", "b_id")),
+
+    // Near-dup CLUSTERS: the MinHash+LSH verified pair set (= the exact
+    // Jaccard ≥ 0.8 ground truth) closed under transitivity via
+    // Components.connectedComponents (hash-to-min label propagation);
+    // each doc in the near-dup graph gets its component's min doc_id as
+    // the canonical survivor. This is the step pairwise dedup misses:
+    // A~B and B~C must collapse to ONE survivor even when A~C itself
+    // falls under the threshold. Oracle = recursive CTE over the same
+    // ground-truth pairs.
+    "q_dedup_components" -> ((s, d) => {
+      val pairs = Dedup.nearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8)
+      Components.connectedComponents(pairs, "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus mixing: deterministic per-language downsample equalizing
+    // language sizes (Sampling.balancedSample) — exact integer
+    // cross-multiplied thresholds, replayed verbatim by the oracle.
+    "q_lang_balance" -> ((s, d) =>
+      Sampling.balancedSample(Tables.documents(s, d), "lang", "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
 
     // SimHash near-dup: pigeonhole chunking makes candidates COMPLETE for
     // hamming ≤ 3 (the Manku et al. WWW'07 standard radius for 64-bit
@@ -264,26 +288,31 @@ object PipelineQueries {
         .orderBy("doc_id")),
   )
 
-  /** Shared ground-truth SQL for the near-dup pair set (all-pairs exact
-    * n-gram Jaccard over the inverted index; data guarantee: every doc has
-    * ≥ 3 words, so the Spark short-doc fallback branch never fires).
+  /** Shared ground-truth CTEs for the near-dup pair set `jp` (all-pairs
+    * exact n-gram Jaccard ≥ 0.8 over the inverted index; data guarantee:
+    * every doc has ≥ 3 words, so the Spark short-doc fallback branch never
+    * fires). Embedded by both the pair oracles and the connected-
+    * components oracle.
     */
-  private val jaccardGroundTruth: String =
-    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  private val jaccardCtes: String =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM tok),
        sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
        sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
        inter AS (
          SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)
-       SELECT a_id, b_id,
-              CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
-       FROM inter
-       JOIN sz sa ON inter.a_id = sa.doc_id
-       JOIN sz sb ON inter.b_id = sb.doc_id
-       WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8
-       ORDER BY a_id, b_id"""
+         GROUP BY 1, 2),
+       jp AS (
+         SELECT a_id, b_id,
+                CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+         FROM inter
+         JOIN sz sa ON inter.a_id = sa.doc_id
+         JOIN sz sb ON inter.b_id = sb.doc_id
+         WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.8)"""
+
+  private val jaccardGroundTruth: String =
+    s"WITH $jaccardCtes SELECT a_id, b_id, jaccard FROM jp ORDER BY a_id, b_id"
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -298,6 +327,28 @@ object PipelineQueries {
          WHERE rn = 1 ORDER BY user_id, event_type""",
     "q_jaccard_pairs" -> jaccardGroundTruth,
     "q_minhash_neardup" -> jaccardGroundTruth,
+    // Transitive closure of the ground-truth pair set: reach(v, r) holds
+    // when r is reachable from v over near-dup edges; min(r) per v is the
+    // component's canonical id.
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         edges AS (SELECT a_id AS a, b_id AS b FROM jp
+                   UNION ALL SELECT b_id, a_id FROM jp),
+         reach(v, r) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v)
+         SELECT v AS doc_id, min(r) AS component FROM reach
+         GROUP BY v ORDER BY doc_id""",
+    "q_lang_balance" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+              m AS (SELECT min(cnt) AS minc FROM c)
+         SELECT d.doc_id, d.lang
+         FROM documents d JOIN c USING (lang) CROSS JOIN m
+         WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS HUGEINT)
+                 * CAST(c.cnt AS HUGEINT)
+               < CAST(m.minc AS HUGEINT) * CAST(4294967296 AS HUGEINT)
+         ORDER BY d.doc_id""",
     // All-pairs recomputation of the poly-hash SimHash fingerprint: the
     // same (h1<<31)|h2 rolling hash per token (codepoint fold), the same
     // TF-weighted bit votes, then brute-force hamming ≤ 3. The Spark side

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Components
+import org.apache.spark.sql.functions._
+
+/** Connected components: exactness vs a local union-find on a
+  * deterministic pseudo-random graph, plus shape cases (clique-ish
+  * near-dup clusters, worst-case path diameter, two separate
+  * components).
+  */
+class ComponentsSpec extends SparkSpec {
+
+  private def comps(edges: Seq[(Long, Long)], maxIter: Int = 20): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two components resolve to their min ids") {
+    val got = comps(Seq((3L, 2L), (2L, 1L), (10L, 11L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("path graph (worst-case diameter) converges") {
+    // 0-1-2-...-15: diameter 15, needs that many propagation rounds
+    val edges = (0L until 15L).map(i => (i, i + 1))
+    val got = comps(edges)
+    assert(got === (0L to 15L).map(_ -> 0L).toMap)
+  }
+
+  test("matches a local union-find on a pseudo-random graph") {
+    // deterministic LCG edge set over 60 vertices (sparse → several
+    // non-trivial components)
+    var x = 12345L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; (x >>> 33) % 60 }
+    val edges = Seq.fill(40)((next(), next())).filter { case (a, b) => a != b }
+    // local union-find ground truth
+    val parent = collection.mutable.Map((0L until 60L).map(i => i -> i): _*)
+    def find(v: Long): Long = if (parent(v) == v) v else { val r = find(parent(v)); parent(v) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = verts.map(v => v -> find(v)).toMap
+    assert(comps(edges) === want)
+  }
+
+  test("singleton-free output: only vertices present in edges appear") {
+    val got = comps(Seq((5L, 7L)))
+    assert(got.keySet === Set(5L, 7L))
+  }
+}
