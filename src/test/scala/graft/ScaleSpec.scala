@@ -126,6 +126,47 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("ORC and JSON round-trips preserve values (source/sink breadth)") {
+    // parquet is the verified primary format; ORC and JSON(lines) are the
+    // other two formats a lakehouse ingest actually meets. DuckDB can't
+    // read ORC, so these are write→read parity checks, not oracle rows.
+    val src = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+    val want = canon(src)
+    val orcDir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    src.write.mode("overwrite").orc(orcDir)
+    assert(canon(spark.read.orc(orcDir)) === want)
+    val jsonDir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    src.write.mode("overwrite").json(jsonDir)
+    // JSON is schemaless on disk: read back with the writer's schema so
+    // longs don't come back widened
+    assert(canon(spark.read.schema(src.schema).json(jsonDir)) === want)
+    // and ORC pushes filters like parquet does (same scan contract)
+    val plan = spark.read.orc(orcDir).filter(col("o_totalprice") > 100000)
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan.take(600))
+  }
+
+  test("balancedSample equalizes strata deterministically") {
+    val docs = Tables.documents(spark, sf)
+    val got = graft.operators.Sampling.balancedSample(docs, "lang", "doc_id")
+    val sizes = got.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minCnt = docs.groupBy("lang").count()
+      .agg(min("count")).head.getLong(0)
+    // every stratum lands within Bernoulli noise of the smallest stratum
+    sizes.foreach { case (lang, n) =>
+      assert(math.abs(n - minCnt) <= math.max(8L, (minCnt * 0.45).toLong),
+        s"$lang: $n vs target $minCnt")
+    }
+    // keyed hash ⇒ identical output on re-evaluation
+    assert(got.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      graft.operators.Sampling.balancedSample(docs, "lang", "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("frame sampling: coverage and determinism") {
     import spark.implicits._
     val media = MultiModal.withPayload(Tables.documents(spark, sf).limit(20))
