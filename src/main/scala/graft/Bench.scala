@@ -7,9 +7,10 @@ import java.nio.file.{Files, Paths}
   *
   * Integrity contract: a query that throws is recorded in an `errors`
   * map (name → exception) and makes the process exit non-zero — a broken
-  * query must never masquerade as a fast success. The JSON is printed to
-  * stdout AND written to `target/bench.json`, because sbt prefixes stdout
-  * with `[info] ` which breaks naive line parsers.
+  * query must never masquerade as a fast success. The JSON is emitted as
+  * the final stdout lines (bare + sentinel-prefixed; build.sbt's
+  * run/outputStrategy := StdoutOutput keeps sbt from adding an `[info] `
+  * prefix) and also written to `target/bench.json`.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

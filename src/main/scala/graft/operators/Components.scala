@@ -42,7 +42,7 @@ object Components {
     * `comp = id` rows for the complement.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     val sym = edges.select(a.as("src"), b.as("dst"))
@@ -72,6 +72,16 @@ object Components {
       iter += 1
     }
     symC.unpersist(blocking = false)
+    // Unconverged labels are WRONG labels (vertices > maxIter hops from
+    // their component min still carry an intermediate id) — fail loudly
+    // rather than return a silently incorrect clustering. Converged exits
+    // never pay extra rounds, so the default maxIter is generous.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing); component diameter exceeds " +
+          "maxIter — raise it, or use large-star/small-star for " +
+          "path-like topologies")
     labels
   }
 }

@@ -130,9 +130,12 @@ object KMeans {
     // Every iteration re-scans the training set; without a persist that is
     // maxIter× the source scan AND re-evaluation of whatever vector-prep
     // expressions the caller stacked under `df` (Spark's MLlib caches its
-    // training set for the same reason). Skip for a single pass, where the
-    // cache would only be written, never read back.
-    val cache = maxIter > 1
+    // training set for the same reason). Skip for a single pass (cache
+    // written, never read back) AND for inputs the CALLER already
+    // persisted: persist() on a cached df is a no-op, but the paired
+    // unpersist() would evict the caller's cache as a side effect.
+    val cache = maxIter > 1 &&
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val data = if (cache)
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else df

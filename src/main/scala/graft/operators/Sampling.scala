@@ -71,13 +71,21 @@ object Sampling {
                      seed: Long = 0L): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(20, 0)
-    val cnts = df.groupBy(stratumCol).agg(count(lit(1)).as("_cnt"))
-    val minc = cnts.agg(min(col("_cnt")).as("_minc"))
-    df.join(broadcast(cnts), stratumCol)
-      .crossJoin(broadcast(minc))
+    // One counting pass, collected: stratum counts are k rows (languages,
+    // sources — the canonical bounded-driver-state exception, like k-means
+    // centroids). Re-shipped as a broadcast LocalRelation so the main scan
+    // pays ONE narrow hash-join probe and the count subtree is never
+    // re-evaluated; min is derived driver-side from the same k rows.
+    val cntsDf = df.groupBy(stratumCol).agg(count(lit(1)).as("_cnt"))
+    val rows = cntsDf.collect()
+    require(rows.nonEmpty, "balancedSample on an empty input")
+    val minc = rows.map(_.getLong(1)).min
+    val local = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), cntsDf.schema)
+    df.join(broadcast(local), stratumCol)
       .filter(bucketOf(col(keyCol), seed).cast(dec) * col("_cnt").cast(dec) <
-        col("_minc").cast(dec) * lit(M).cast(dec))
-      .drop("_cnt", "_minc")
+        lit(minc).cast(dec) * lit(M).cast(dec))
+      .drop("_cnt")
   }
 
   /** 1-based global rank of every row under `ord`, as column `posCol`

@@ -27,6 +27,22 @@ object PipelineQueries {
 
   private val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Shared recall-contract projection for the ANN rows: recall@5 of the
+    * ANN result vs the exact brute-force anchor on the sampled queries,
+    * emitted as (n_queries, recall_band bucketized to 0.1, recall_ok vs
+    * the 0.5 floor). ONE definition so the two contracts can never
+    * silently desynchronize.
+    */
+  private def recallContract(bf: DataFrame, ann: DataFrame): DataFrame = {
+    val recall =
+      sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+    bf.join(ann.select(col("qid"), col("nid"), lit(1).as("hit")),
+        Seq("qid", "nid"), "left")
+      .agg(countDistinct(col("qid")).as("n_queries"),
+        (floor(recall * 10) / lit(10.0)).as("recall_band"),
+        (recall >= 0.5).as("recall_ok"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup, hash-first: group on sha2-256 of the text, not the text
     // itself, so the shuffle carries a fixed 64-byte key per surviving
@@ -145,13 +161,7 @@ object PipelineQueries {
           k = 5, dim = 64, tables = 16, bitsPerTable = 6)
         .filter(Sampling.bucketOf(col("qid")) < lit((0.1 * 4294967296L).toLong))
       val bf = Similarity.bruteForceTopKFor(sampleQ, emb, "vec_id", "embedding", k = 5)
-      val recall =
-        sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-      bf.join(lsh.select(col("qid"), col("nid"), lit(1).as("hit")),
-          Seq("qid", "nid"), "left")
-        .agg(countDistinct(col("qid")).as("n_queries"),
-          (floor(recall * 10) / lit(10.0)).as("recall_band"),
-          (recall >= 0.5).as("recall_ok"))
+      recallContract(bf, lsh)
     }),
 
     // IVF-ANN (the data-adaptive second ANN architecture: k-means cells +
@@ -168,13 +178,7 @@ object PipelineQueries {
           k = 5, nlist = 32, nprobe = 8)
         .filter(Sampling.bucketOf(col("qid")) < lit((0.1 * 4294967296L).toLong))
       val bf = Similarity.bruteForceTopKFor(sampleQ, emb, "vec_id", "embedding", k = 5)
-      val recall =
-        sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-      bf.join(ivf.select(col("qid"), col("nid"), lit(1).as("hit")),
-          Seq("qid", "nid"), "left")
-        .agg(countDistinct(col("qid")).as("n_queries"),
-          (floor(recall * 10) / lit(10.0)).as("recall_band"),
-          (recall >= 0.5).as("recall_ok"))
+      recallContract(bf, ivf)
     }),
 
     // Embedding near-dup pairs at cosine ≥ 0.45 (testdata max ≈ 0.51).
@@ -227,8 +231,10 @@ object PipelineQueries {
     // order per epoch. Position comes from Sampling.withGlobalRank's
     // two-phase rank (parallel range sort + broadcast offsets), NOT a
     // global row_number window — that would funnel every row through one
-    // task. Cast to int to keep the verified schema of the window-based
-    // formulation this replaced.
+    // task. The int cast exists ONLY for schema parity with the verified
+    // window-based formulation this replaced (row_number is int-typed);
+    // it reintroduces a 2^31 ceiling on THIS VERIFICATION PROJECTION, not
+    // on the operator — production callers use withGlobalRank's long pos.
     "q_epoch_shuffle" -> ((s, d) => {
       val b = Sampling.bucketOf(col("doc_id"), 2L)
       Sampling.withGlobalRank(Tables.documents(s, d).select(col("doc_id")),

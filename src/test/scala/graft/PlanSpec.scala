@@ -101,7 +101,7 @@ class PlanSpec extends SparkSpec {
 
   test("exact dedup shuffles once on the dedup key (no extra exchanges)") {
     val p = sourceOf("q_dedup_exact")
-    // groupBy(text) agg + global sort = exactly 2 exchanges
+    // groupBy(sha2(text)) agg + global sort = exactly 2 exchanges
     assert("Exchange".r.findAllIn(p).size <= 2, p.take(1200))
   }
 
