@@ -121,6 +121,28 @@ object AggQueries {
         .filter(col("qty") > 100)
         .orderBy("l_partkey")
     }),
+
+    // Pivot (long→wide reshape) with EXPLICIT pivot values: no value-
+    // discovery job, one shuffle, and the plan is identical at any scale.
+    // count over an absent (user, type) combo yields null → filled 0 to
+    // match SQL's count FILTER semantics.
+    "q_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")),
+
+    // Unpivot (wide→long reshape): three measure columns melt into
+    // (metric, value) rows — a narrow Expand, no shuffle before the sort.
+    "q_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -171,5 +193,24 @@ object AggQueries {
       """SELECT event_type, count(*) AS n,
                 CAST(sum(event_id) AS BIGINT) AS id_sum
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_pivot" ->
+      """SELECT user_id,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'error') AS error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, value FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                  l_quantity AS value FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+           FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+           FROM lineitem)
+         ORDER BY l_orderkey, l_linenumber, metric""",
   )
 }

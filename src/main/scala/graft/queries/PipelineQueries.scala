@@ -243,6 +243,18 @@ object PipelineQueries {
         .orderBy("pos")
     }),
 
+    // Text normalization — the standard pre-dedup canonicalization pass
+    // (lowercase, strip sentence punctuation, collapse whitespace runs).
+    // Pure per-row codegen'd expressions; at scale this runs ahead of
+    // q_dedup_exact so trivially-variant copies hash together.
+    "q_text_normalize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(lower(col("text")), "[.,!?;:]", ""),
+            " +", " ").as("norm"))
+        .orderBy("doc_id")),
+
     "q_token_count" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -489,6 +501,11 @@ object PipelineQueries {
                   ORDER BY ((doc_id + 2) * 2654435761) % 4294967296,
                            doc_id) AS pos
          FROM documents ORDER BY pos""",
+    "q_text_normalize" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                               ' +', ' ', 'g') AS norm
+         FROM documents ORDER BY doc_id""",
     "q_token_count" ->
       """SELECT doc_id,
                 len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe,

@@ -47,6 +47,20 @@ object WindowQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Distribution-rank family: ntile buckets + percent_rank + cume_dist.
+    // Partitioned (never global) and ordered with a unique tie-break, so
+    // every rank is deterministic and each partition windows in parallel.
+    "q_window_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_orderkey")
+    }),
+
     // RANGE frame over a numeric ordering — expressed in SQL (the Scala
     // rangeBetween API takes long boundaries; SQL form keeps the double
     // ordering column natural and matches the oracle text exactly).
@@ -83,6 +97,15 @@ object WindowQueries {
                      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
          FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_window_ntile" ->
+      """SELECT o_orderkey,
+                ntile(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice, o_orderkey) AS quartile,
+                percent_rank() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice, o_orderkey) AS pr,
+                cume_dist() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice, o_orderkey) AS cd
+         FROM orders ORDER BY o_orderkey""",
     "q_window_range" ->
       """SELECT o_orderkey,
                 count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
