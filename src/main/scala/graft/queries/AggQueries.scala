@@ -143,6 +143,29 @@ object AggQueries {
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "metric", "value")
         .orderBy("l_orderkey", "l_linenumber", "metric")),
+
+    // Uncorrelated scalar subquery: the planner computes the 1-row
+    // aggregate once and broadcasts it into the filter (no rescan per
+    // row). Threshold is max/2 — max is exact and halving a double is
+    // exact, so the comparison boundary cannot drift between engines
+    // (an avg() threshold would: double summation order differs).
+    "q_scalar_subq" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2
+           ORDER BY o_orderkey""")
+    }),
+
+    // Collect-style aggregation made deterministic: collect_set's order
+    // is partitioning-dependent, so the verifiable projection sorts and
+    // joins to a string — the discipline for ANY array-building agg.
+    "q_collect_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -201,6 +224,16 @@ object AggQueries {
                 count(*) FILTER (WHERE event_type = 'signup') AS signup,
                 count(*) FILTER (WHERE event_type = 'view') AS view
          FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_scalar_subq" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) / 2
+         ORDER BY o_orderkey""",
+    "q_collect_agg" ->
+      """SELECT l_returnflag,
+                string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+                  AS statuses,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (
            SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
