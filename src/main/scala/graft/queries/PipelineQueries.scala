@@ -114,6 +114,39 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // Near-dup dedup END-TO-END: the survivor set after transitive
+    // clustering — every doc either outside the near-dup graph or the
+    // canonical (min-id) member of its component. This is the actual
+    // pipeline deliverable (pairs and components are its intermediate
+    // stages); the final step is one anti-join of the corpus against the
+    // non-canonical component members (a set the size of the dup graph,
+    // tiny next to the corpus).
+    "q_neardup_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      val losers = Components.connectedComponents(pairs, "a_id", "b_id")
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      docs.select(col("doc_id"))
+        .join(losers, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }),
+
+    // Normalized exact dedup: q_text_normalize's canonicalization feeding
+    // the hash-first dedup — trivially-variant copies (case, punctuation,
+    // whitespace) collapse to one survivor. Same sha2 grouping and
+    // collision bound as q_dedup_exact.
+    "q_dedup_normalized" -> ((s, d) => {
+      val norm = regexp_replace(
+        regexp_replace(lower(col("text")), "[.,!?;:]", ""), " +", " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), norm.as("norm"))
+        .groupBy(sha2(col("norm").cast("binary"), 256).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup: pigeonhole chunking makes candidates COMPLETE for
     // hamming ≤ 3 (the Manku et al. WWW'07 standard radius for 64-bit
     // SimHash — and the pigeonhole sweet spot: 4 chunks of 16 bits give
@@ -358,6 +391,26 @@ object PipelineQueries {
            SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v)
          SELECT v AS doc_id, min(r) AS component FROM reach
          GROUP BY v ORDER BY doc_id""",
+    "q_neardup_survivors" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         edges AS (SELECT a_id AS a, b_id AS b FROM jp
+                   UNION ALL SELECT b_id, a_id FROM jp),
+         reach(v, r) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+         comp AS (SELECT v, min(r) AS c FROM reach GROUP BY v)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> c)
+         ORDER BY doc_id""",
+    "q_dedup_normalized" ->
+      """WITH n AS (
+           SELECT doc_id,
+                  regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+                                 ' +', ' ', 'g') AS norm
+           FROM documents)
+         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM n GROUP BY norm ORDER BY doc_id""",
     "q_lang_balance" ->
       """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
               m AS (SELECT min(cnt) AS minc FROM c)
