@@ -19,11 +19,15 @@ object Bench {
     val spark = GraftSession.builder(master = s"local[$cpus]",
       appName = "graft-bench").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm up codegen/JIT + parquet reader paths so the first timed query
-    // doesn't absorb ~4s of JVM startup cost
+    // warm up codegen/JIT, the parquet reader, and the noop-sink write
+    // path on a real fact table so the first timed query doesn't absorb
+    // ~10s of one-time startup cost (JIT, codegen compiler, committer)
     spark.range(2000000).selectExpr("sum(id * 2)").collect()
     try {
       spark.read.parquet(s"$sfDir/nation.parquet")
+        .write.format("noop").mode("overwrite").save()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
     // optional comma-separated name filter for local iteration; the
@@ -49,24 +53,39 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => " "; case c => c.toString }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // Compact seconds: 2 decimals, trailing zeros trimmed ("1.50"->"1.5",
+    // "2.00"->"2"). The harness captures only the LAST 2000 chars of
+    // stdout, and the sbt epilogue line consumes ~70 of them — the whole
+    // metrics line must fit in what remains or its head gets truncated
+    // and never parses (this is exactly what nulled rounds 1-3). At ~90
+    // queries × ~20 chars/entry the 2-decimal form stays under budget.
+    def sec(v: Double): String = {
+      val s = f"$v%.2f"
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // omit the errors map when empty — every byte counts against the tail
+    val errPart = if (errs == "{}") "" else s""","errors":$errs"""
+    val json = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$errPart,"sf":"$sfDir"}"""
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     spark.stop()
-    // Emit metrics LAST (after spark.stop's shutdown chatter) so the JSON
-    // is the final stdout line. Two forms for robustness against whatever
-    // the driver's parser does: a sentinel-prefixed copy any line-scanner
-    // can strip, then the bare JSON line (sbt no longer prefixes it —
-    // build.sbt sets run/outputStrategy := StdoutOutput). System.out
-    // directly, not Console.out, in case anything rebound Console.
+    // Emit metrics after spark.stop's shutdown chatter: a sentinel-
+    // prefixed copy any line-scanner can strip, then the bare JSON line
+    // (sbt no longer prefixes it — build.sbt sets run/outputStrategy :=
+    // StdoutOutput). These are the last application-emitted lines; sbt
+    // itself still appends a "[success] Total time" epilogue, which the
+    // tail budget above accounts for. System.out directly, not
+    // Console.out, in case anything rebound Console.
     System.out.println(s"GRAFT_BENCH_JSON $json")
     System.out.println(json)
     System.out.flush()
+    if (json.length > 1850)
+      System.err.println(s"[bench] WARNING metrics line ${json.length} chars — nearing the 2000-char tail budget")
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

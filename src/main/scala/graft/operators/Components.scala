@@ -52,6 +52,7 @@ object Components {
       .select(col("id"), col("id").as("comp"))
     var iter = 0
     var changed = 1L
+    var prevCkpt: DataFrame = null
     while (iter < maxIter && changed > 0) {
       val nbrMin = symC.join(labels, symC("dst") === labels("id"))
         .groupBy("src").agg(min("comp").as("nmin"))
@@ -60,13 +61,20 @@ object Components {
       // the logical lineage the plan TREE doubles per round — 2^rounds
       // nodes by round 15 blew the driver heap in testing (the same
       // plan-explosion failure mode as an nlist-way expression tree).
-      // Checkpointed label sets are (id, comp) pairs — tiny next to the
-      // data — so keeping the per-round blocks until session GC is cheap.
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id").as("id"),
           least(labels("comp"), coalesce(col("nmin"), labels("comp"))).as("comp"),
           (col("nmin") < labels("comp")).as("_chg"))
-        .localCheckpoint()
+        .localCheckpoint() // eager: round-i blocks exist once this returns
+      // Drop the PREVIOUS round's checkpoint blocks now that its successor
+      // is materialized — without this every round's (id, comp) set stays
+      // cached until session end (rounds × |V| rows per invocation, and a
+      // bench run invokes this twice). The final round's blocks are the
+      // returned labels, so they alone survive; a localCheckpointed RDD
+      // cannot be recomputed after unpersist, which is why only rounds
+      // with a live successor are ever dropped.
+      if (prevCkpt ne null) prevCkpt.unpersist(blocking = false)
+      prevCkpt = next
       changed = next.filter(col("_chg")).count()
       labels = next.select("id", "comp")
       iter += 1

@@ -28,6 +28,13 @@ object Sampling {
 
   /** Uniform bucket in [0, 2^32) from an integer key column; mixing a
     * `seed` yields an independent assignment (different epochs/splits).
+    *
+    * Overflow note: for keys ≳ 2^63/a ≈ 3.5e9 the 64-bit product wraps —
+    * harmlessly: wrapping is reduction mod 2^64, and 2^32 divides 2^64,
+    * so `pmod(wrapped, 2^32)` equals the true product mod 2^32. External
+    * oracles must either wrap the same way or compute the product in
+    * wider integer arithmetic (e.g. DuckDB HUGEINT) before the mod —
+    * engines that ERROR on BIGINT overflow diverge otherwise.
     */
   def bucketOf(key: Column, seed: Long = 0L): Column =
     pmod((key.cast("long") + lit(seed)) * lit(KnuthA), lit(M))
@@ -71,21 +78,32 @@ object Sampling {
                      seed: Long = 0L): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(20, 0)
+    // Internal count column: fail fast on collision rather than silently
+    // shadowing (or being shadowed by) a caller column of the same name.
+    val cntCol = "__graft_balanced_cnt"
+    require(!df.columns.contains(cntCol),
+      s"balancedSample: input already has a '$cntCol' column")
     // One counting pass, collected: stratum counts are k rows (languages,
     // sources — the canonical bounded-driver-state exception, like k-means
     // centroids). Re-shipped as a broadcast LocalRelation so the main scan
     // pays ONE narrow hash-join probe and the count subtree is never
     // re-evaluated; min is derived driver-side from the same k rows.
-    val cntsDf = df.groupBy(stratumCol).agg(count(lit(1)).as("_cnt"))
+    val cntsDf = df.groupBy(stratumCol).agg(count(lit(1)).as(cntCol))
     val rows = cntsDf.collect()
     require(rows.nonEmpty, "balancedSample on an empty input")
     val minc = rows.map(_.getLong(1)).min
     val local = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), cntsDf.schema)
-    df.join(broadcast(local), stratumCol)
-      .filter(bucketOf(col(keyCol), seed).cast(dec) * col("_cnt").cast(dec) <
+      .withColumnRenamed(stratumCol, "__graft_balanced_stratum")
+    // Null-safe join (<=>): groupBy above puts NULL strata in their own
+    // group, and the probe must find that group — a plain equi-join drops
+    // every NULL-stratum row (null never equals null), silently excluding
+    // them from the balanced output.
+    df.join(broadcast(local),
+        df(stratumCol) <=> local("__graft_balanced_stratum"))
+      .filter(bucketOf(col(keyCol), seed).cast(dec) * col(cntCol).cast(dec) <
         lit(minc).cast(dec) * lit(M).cast(dec))
-      .drop("_cnt")
+      .drop(cntCol, "__graft_balanced_stratum")
   }
 
   /** 1-based global rank of every row under `ord`, as column `posCol`

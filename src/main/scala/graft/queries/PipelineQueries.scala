@@ -32,6 +32,15 @@ object PipelineQueries {
     * emitted as (n_queries, recall_band bucketized to 0.1, recall_ok vs
     * the 0.5 floor). ONE definition so the two contracts can never
     * silently desynchronize.
+    *
+    * Scale restriction: the oracle's expected band constants are
+    * grid-MEASURED at sf0.001 and sf0.01 only (see each query's comment
+    * for the measurements). Running CORRECTNESS at any other sf may land
+    * in a different band and turn the row red without any code being
+    * wrong — re-measure and update the oracle constant for new scales.
+    * The 1e-9 inside floor() guards a measurement that lands exactly on
+    * a band edge (e.g. recall = 0.6 computing as 0.5999999...) from
+    * flipping on FP noise.
     */
   private def recallContract(bf: DataFrame, ann: DataFrame): DataFrame = {
     val recall =
@@ -39,7 +48,7 @@ object PipelineQueries {
     bf.join(ann.select(col("qid"), col("nid"), lit(1).as("hit")),
         Seq("qid", "nid"), "left")
       .agg(countDistinct(col("qid")).as("n_queries"),
-        (floor(recall * 10) / lit(10.0)).as("recall_band"),
+        (floor(recall * 10 + lit(1e-9)) / lit(10.0)).as("recall_band"),
         (recall >= 0.5).as("recall_ok"))
   }
 
@@ -416,7 +425,7 @@ object PipelineQueries {
               m AS (SELECT min(cnt) AS minc FROM c)
          SELECT d.doc_id, d.lang
          FROM documents d JOIN c USING (lang) CROSS JOIN m
-         WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS HUGEINT)
+         WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296
                  * CAST(c.cnt AS HUGEINT)
                < CAST(m.minc AS HUGEINT) * CAST(4294967296 AS HUGEINT)
          ORDER BY d.doc_id""",
@@ -458,11 +467,11 @@ object PipelineQueries {
     "q_ann_lsh" ->
       """SELECT count(*) AS n_queries, CAST(0.6 AS DOUBLE) AS recall_band,
                 true AS recall_ok FROM embeddings
-         WHERE (vec_id * 2654435761) % 4294967296 < 429496729""",
+         WHERE (CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 < 429496729""",
     "q_ann_ivf" ->
       """SELECT count(*) AS n_queries, CAST(0.7 AS DOUBLE) AS recall_band,
                 true AS recall_ok FROM embeddings
-         WHERE (vec_id * 2654435761) % 4294967296 < 429496729""",
+         WHERE (CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 < 429496729""",
     "q_cosine_topk" ->
       """WITH v AS (
            SELECT vec_id,
@@ -545,13 +554,14 @@ object PipelineQueries {
                 CASE WHEN b < 3221225472 THEN 'train'
                      WHEN b < 3758096384 THEN 'valid'
                      ELSE 'test' END AS split
-         FROM (SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS b
+         FROM (SELECT doc_id,
+                      (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS b
                FROM documents)
          ORDER BY doc_id""",
     "q_epoch_shuffle" ->
       """SELECT doc_id,
                 row_number() OVER (
-                  ORDER BY ((doc_id + 2) * 2654435761) % 4294967296,
+                  ORDER BY ((CAST(doc_id AS HUGEINT) + 2) * 2654435761) % 4294967296,
                            doc_id) AS pos
          FROM documents ORDER BY pos""",
     "q_text_normalize" ->

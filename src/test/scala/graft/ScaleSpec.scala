@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
   */
 class ScaleSpec extends SparkSpec {
 
+  /** Temp dir that is recursively deleted when `f` finishes (pass or
+    * fail) — createTempDirectory outputs otherwise outlive the suite.
+    */
+  private def withTempDir[A](prefix: String)(f: String => A): A = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try f(dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     val n = 8
     spark.sql("DROP TABLE IF EXISTS b_orders")
@@ -47,19 +60,20 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("hive-partitioned write prunes partitions at the scan") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
-    Tables.events(spark, sf)
-      .select("event_id", "user_id", "value", "event_type")
-      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
-    val part = spark.read.parquet(dir).filter(col("event_type") === "click")
-    val plan = part.queryExecution.executedPlan.toString
-    // the predicate must become a PARTITION filter (directory pruning —
-    // at 100 TB this is the difference between listing one partition and
-    // scanning the table), not a post-scan data filter
-    assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan.take(900))
-    val expected = Tables.events(spark, sf)
-      .filter(col("event_type") === "click").count()
-    assert(part.count() === expected)
+    withTempDir("graft-part") { dir =>
+      Tables.events(spark, sf)
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      val part = spark.read.parquet(dir).filter(col("event_type") === "click")
+      val plan = part.queryExecution.executedPlan.toString
+      // the predicate must become a PARTITION filter (directory pruning —
+      // at 100 TB this is the difference between listing one partition and
+      // scanning the table), not a post-scan data filter
+      assert("PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan.take(900))
+      val expected = Tables.events(spark, sf)
+        .filter(col("event_type") === "click").count()
+      assert(part.count() === expected)
+    }
   }
 
   test("salted aggregation equals direct aggregation") {
@@ -118,9 +132,24 @@ class ScaleSpec extends SparkSpec {
       // collect() (NOT head, which executes a separate limited plan) so
       // agg's own queryExecution carries the final adaptive plan
       assert(agg.collect()(0).getLong(0) === 330000L)
-      val plan = agg.queryExecution.executedPlan.toString
-      assert(plan.contains("skew=true") || plan.contains("skewed"),
-        s"AQE skew split did not fire:\n${plan.take(2500)}")
+      // Assert on the adaptive plan TREE, not its string rendering (the
+      // "skew=true" tag is a version-dependent formatting detail): a skew
+      // split manifests as an AQEShuffleReadExec whose partition specs
+      // slice a reducer partition into partial ranges.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, AQEShuffleReadExec, QueryStageExec}
+      val finalPlan = agg.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // QueryStageExec is a LeafExecNode — collect() stops at stage
+      // boundaries — so descend into each stage's materialized plan.
+      def skewReads(p: SparkPlan): Seq[SparkPlan] = p.collect {
+        case r: AQEShuffleReadExec if r.hasSkewedPartition => Seq(r: SparkPlan)
+        case q: QueryStageExec => skewReads(q.plan)
+      }.flatten
+      assert(skewReads(finalPlan).nonEmpty,
+        s"AQE skew split did not fire:\n${finalPlan.toString.take(2500)}")
     } finally prev.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
@@ -135,18 +164,20 @@ class ScaleSpec extends SparkSpec {
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).toSeq.sorted
     val want = canon(src)
-    val orcDir = java.nio.file.Files.createTempDirectory("graft-orc").toString
-    src.write.mode("overwrite").orc(orcDir)
-    assert(canon(spark.read.orc(orcDir)) === want)
-    val jsonDir = java.nio.file.Files.createTempDirectory("graft-json").toString
-    src.write.mode("overwrite").json(jsonDir)
-    // JSON is schemaless on disk: read back with the writer's schema so
-    // longs don't come back widened
-    assert(canon(spark.read.schema(src.schema).json(jsonDir)) === want)
-    // and ORC pushes filters like parquet does (same scan contract)
-    val plan = spark.read.orc(orcDir).filter(col("o_totalprice") > 100000)
-      .queryExecution.executedPlan.toString
-    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan.take(600))
+    withTempDir("graft-orc") { orcDir =>
+      src.write.mode("overwrite").orc(orcDir)
+      assert(canon(spark.read.orc(orcDir)) === want)
+      // and ORC pushes filters like parquet does (same scan contract)
+      val plan = spark.read.orc(orcDir).filter(col("o_totalprice") > 100000)
+        .queryExecution.executedPlan.toString
+      assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined, plan.take(600))
+    }
+    withTempDir("graft-json") { jsonDir =>
+      src.write.mode("overwrite").json(jsonDir)
+      // JSON is schemaless on disk: read back with the writer's schema so
+      // longs don't come back widened
+      assert(canon(spark.read.schema(src.schema).json(jsonDir)) === want)
+    }
   }
 
   test("balancedSample equalizes strata deterministically") {
