@@ -34,21 +34,40 @@ object Bench {
     // driver sets no filter and measures everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).filter(_.nonEmpty)
+    // Repetitions per query, reported time = MIN across reps. One rep per
+    // query (rounds 1-4) cannot distinguish a real regression from GC /
+    // page-cache / JIT noise — round 4's q_unpivot read 2.35x slower with
+    // zero code change and nobody could prove it was noise from the
+    // artifact. The minimum is the standard noise filter: noise is
+    // strictly additive (a rep can only be slowed down, never sped up
+    // below the true cost), so min converges on the true cost as reps
+    // grow. A failing query is not retried — its first error is recorded
+    // and the remaining reps are skipped.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(3)
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink, not count(): count() lets Catalyst prune projections
-      // entirely for narrow queries, under-measuring expression work;
-      // noop materializes every output column.
-      val err = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        None
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: $e")
-        Some(e.toString.replaceAll("[\\r\\n\\t]", " ").take(300))
+      var best = Double.MaxValue
+      var err: Option[String] = None
+      var rep = 0
+      while (rep < reps && err.isEmpty) {
+        val t0 = System.nanoTime()
+        // noop sink, not count(): count() lets Catalyst prune projections
+        // entirely for narrow queries, under-measuring expression work;
+        // noop materializes every output column.
+        err = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          None
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          Some(e.toString.replaceAll("[\\r\\n\\t]", " ").take(300))
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (err.isEmpty && dt < best) best = dt
+        rep += 1
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      (name, if (best == Double.MaxValue) 0.0 else best, err)
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
@@ -67,10 +86,26 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
       "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
+    // total = sum of per-query minima: the steady-state cost of one full
+    // sweep, comparable round-over-round without warm-up skew
     val total = results.map(_._2).sum
     // omit the errors map when empty — every byte counts against the tail
     val errPart = if (errs == "{}") "" else s""","errors":$errs"""
-    val json = s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs$errPart,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"queries":$qs$errPart,"sf":"$sfDir"}"""
+    // Failsafe when the corpus outgrows the tail budget: re-emit with the
+    // uniform "q_" name prefix stripped (recoverable — every query name
+    // has it) and 1-decimal seconds. ~280 chars of headroom at the
+    // current 82 queries; the compact form buys ~25 more queries before
+    // this trips.
+    val json = if (full.length <= 1800) full else {
+      val qs1 = results.map { case (k, v, _) =>
+        "\"" + k.stripPrefix("q_") + "\":" + {
+          val s = f"$v%.1f"
+          if (s.endsWith(".0")) s.dropRight(2) else s
+        }
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"note":"query names minus q_ prefix","queries":$qs1$errPart,"sf":"$sfDir"}"""
+    }
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     spark.stop()

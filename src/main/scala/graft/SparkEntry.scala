@@ -18,6 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++
+      SubqueryQueries.defs ++
       JoinQueries.defs ++
       AggQueries.defs ++
       WindowQueries.defs ++
@@ -32,6 +33,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
+      SubqueryQueries.oracles ++
       JoinQueries.oracles ++
       AggQueries.oracles ++
       WindowQueries.oracles ++

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -36,13 +36,31 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
+  /** The "chg" metric of an already-materialized Observation, waiting at
+    * most 5 s for the listener bus to drain (the job itself has finished
+    * — eager checkpoint — so this is bus latency, not compute). None if
+    * the metrics never arrive; callers fall back to an explicit count.
+    */
+  private def observedCount(obs: Observation): Option[Long] =
+    try {
+      import scala.concurrent.Await
+      import scala.concurrent.duration._
+      val row = Await.result(obs.future, 5.seconds)
+      Option(row.getAs[Long]("chg"))
+    } catch { case _: java.util.concurrent.TimeoutException => None }
+
   /** (id, comp) for every vertex that appears in `edges`; `comp` is the
     * min vertex id of the vertex's connected component. Vertices not in
     * any edge (singleton docs) are absent — callers wanting them add
     * `comp = id` rows for the complement.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50): DataFrame =
+    hashToMinWithRounds(edges, aCol, bCol, maxIter)._1
+
+  private[graft] def hashToMinWithRounds(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int): (DataFrame, Int) = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     val sym = edges.select(a.as("src"), b.as("dst"))
@@ -61,10 +79,16 @@ object Components {
       // the logical lineage the plan TREE doubles per round — 2^rounds
       // nodes by round 15 blew the driver heap in testing (the same
       // plan-explosion failure mode as an nlist-way expression tree).
+      // The convergence count rides the SAME materialization via an
+      // Observation (CollectMetrics fills during the checkpoint job's
+      // tasks), so each round is exactly ONE job — the former separate
+      // `filter(_chg).count()` pass over the cached blocks is gone.
+      val obs = Observation(s"cc_chg_$iter")
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(labels("id").as("id"),
           least(labels("comp"), coalesce(col("nmin"), labels("comp"))).as("comp"),
           (col("nmin") < labels("comp")).as("_chg"))
+        .observe(obs, count(when(col("_chg"), true)).as("chg"))
         .localCheckpoint() // eager: round-i blocks exist once this returns
       // Drop the PREVIOUS round's checkpoint blocks now that its successor
       // is materialized — without this every round's (id, comp) set stays
@@ -75,7 +99,12 @@ object Components {
       // with a live successor are ever dropped.
       if (prevCkpt ne null) prevCkpt.unpersist(blocking = false)
       prevCkpt = next
-      changed = next.filter(col("_chg")).count()
+      // the eager checkpoint already ran the job, so the observation
+      // fills as soon as the listener bus drains; a bounded wait rather
+      // than obs.get() so a Spark version whose checkpoint action skips
+      // the QueryExecutionListener degrades to the explicit count over
+      // cached blocks instead of hanging forever
+      changed = observedCount(obs).getOrElse(next.filter(col("_chg")).count())
       labels = next.select("id", "comp")
       iter += 1
     }
@@ -88,8 +117,102 @@ object Components {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still changing); component diameter exceeds " +
-          "maxIter — raise it, or use large-star/small-star for " +
+          "maxIter — raise it, or use connectedComponentsStar for " +
           "path-like topologies")
-    labels
+    (labels, iter)
+  }
+
+  /** Star-contraction connected components — same contract as
+    * [[connectedComponents]] (vertices in `edges` → component min id),
+    * different round complexity: the alternating large-star/small-star
+    * contraction of Kiveris et al. ("Connected Components in MapReduce
+    * and Beyond", SoCC 2014) converges in O(log n) rounds REGARDLESS of
+    * component diameter, where hash-to-min needs O(diameter) rounds. Use
+    * this when near-dup graphs can chain (template spam produces long
+    * paths); hash-to-min stays the default for the clique-ish common
+    * case because its per-round cost is one join instead of two.
+    *
+    * State is an oriented parent-pointer edge set (u, v), u > v,
+    * re-checkpointed per phase (same lineage-truncation + unpersist
+    * discipline as hash-to-min — at most two phase outputs live at
+    * once). Per round:
+    *   - large-star: every vertex attaches its STRICTLY LARGER
+    *     neighbors to its neighborhood min (incl. itself) — one
+    *     symmetric groupBy + one join;
+    *   - small-star: every vertex attaches its smaller-or-equal
+    *     neighbors to their min and keeps (self, min) — one groupBy +
+    *     one join.
+    * Both phases' change counts ride their materialization via
+    * Observation; fixpoint (both zero) means the edge set is a union of
+    * stars (member, component-min), which IS the label set.
+    */
+  def connectedComponentsStar(edges: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 50): DataFrame =
+    starWithRounds(edges, aCol, bCol, maxIter)._1
+
+  private[graft] def starWithRounds(
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int): (DataFrame, Int) = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    var ee = edges.select(a.as("u"), b.as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      // ---- large-star ----
+      val nbs = ee.select(col("u"), col("v"))
+        .union(ee.select(col("v").as("u"), col("u").as("v")))
+      val minsL = nbs.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u").as("mu"), least(col("u"), col("mv")).as("m"))
+      val obsL = Observation(s"star_l_$iter")
+      val ls = nbs.join(minsL, nbs("u") === col("mu"))
+        .filter(col("v") > col("u"))
+        // edge (v ← u) re-points to (v ← m); changed iff m ≠ u
+        .select(col("v").as("eu"), col("m").as("ev"),
+          (col("m") =!= col("u")).as("_chg"))
+        .observe(obsL, count(when(col("_chg"), true)).as("chg"))
+        .select(col("eu").as("u"), col("ev").as("v"))
+        .distinct()
+        .localCheckpoint()
+      ee.unpersist(blocking = false)
+      // ---- small-star ----
+      // aggregate key aliased (su): groupBy output keeps the input's
+      // attribute id, so joining back on the bare name would be an
+      // ambiguous self-join condition
+      val minsS = ls.groupBy("u").agg(min("v").as("m"))
+        .select(col("u").as("su"), col("m"))
+      val obsS = Observation(s"star_s_$iter")
+      val reparent = ls.join(minsS, ls("u") === col("su"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("eu"), col("m").as("ev"), lit(true).as("_chg"))
+      val self = minsS
+        .select(col("su").as("eu"), col("m").as("ev"), lit(false).as("_chg"))
+      val ss = reparent.union(self)
+        .observe(obsS, count(when(col("_chg"), true)).as("chg"))
+        .select(col("eu").as("u"), col("ev").as("v"))
+        .distinct()
+        .localCheckpoint()
+      ls.unpersist(blocking = false)
+      ee = ss
+      // -1 = metrics missed: can't prove fixpoint this round, keep going
+      // (maxIter still bounds the loop)
+      val cl = observedCount(obsL).getOrElse(-1L)
+      val cs = observedCount(obsS).getOrElse(-1L)
+      changed = if (cl == 0L && cs == 0L) 0L else math.max(1L, cl.max(cs))
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds — " +
+          "log2(n) + slack should suffice; raise maxIter")
+    // fixpoint edge set is (member, root) stars; roots get self-labels
+    val labels = ee.select(col("u").as("id"), col("v").as("comp"))
+      .union(ee.select(col("v").as("id"), col("v").as("comp")).distinct())
+    (labels, iter)
   }
 }

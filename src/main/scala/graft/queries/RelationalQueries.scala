@@ -91,6 +91,27 @@ object RelationalQueries {
         .except(Tables.orders(s, d).select(col("o_custkey").as("k")))
         .orderBy("k")
     }),
+
+    // Multiset (ALL) set-op variants — different semantics AND a
+    // different physical plan from the DISTINCT forms: Spark plans both
+    // as a count-per-row aggregate on each side, a join on the row
+    // value, and a generate replicating each row min(l,r) /
+    // max(0, l-r) times — one keyed shuffle per side, no distinct pass.
+    // nationkey has heavy duplication on the customer side and light on
+    // the supplier side, so the multiplicity arithmetic is actually
+    // exercised (min()>1 rows survive q_intersect_all multiple times;
+    // q_except_all keeps cnt_c - cnt_s copies).
+    "q_intersect_all" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nkey"))
+        .intersectAll(Tables.supplier(s, d).select(col("s_nationkey").as("nkey")))
+        .orderBy("nkey")
+    }),
+
+    "q_except_all" -> ((s, d) => {
+      Tables.customer(s, d).select(col("c_nationkey").as("nkey"))
+        .exceptAll(Tables.supplier(s, d).select(col("s_nationkey").as("nkey")))
+        .orderBy("nkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -138,5 +159,11 @@ object RelationalQueries {
     "q_except" ->
       """SELECT c_custkey AS k FROM customer
          EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k""",
+    "q_intersect_all" ->
+      """SELECT c_nationkey AS nkey FROM customer
+         INTERSECT ALL SELECT s_nationkey AS nkey FROM supplier ORDER BY nkey""",
+    "q_except_all" ->
+      """SELECT c_nationkey AS nkey FROM customer
+         EXCEPT ALL SELECT s_nationkey AS nkey FROM supplier ORDER BY nkey""",
   )
 }

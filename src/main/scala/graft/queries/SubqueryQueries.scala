@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Correlated-subquery queries, written in SQL on purpose: the point is
+  * to exercise Catalyst's decorrelation rules
+  * (`RewritePredicateSubquery` for EXISTS/IN,
+  * `RewriteCorrelatedScalarSubquery` for correlated scalar aggregates),
+  * which only fire on the SQL/subquery-expression path — the DataFrame
+  * API has no way to even write a correlated subquery. Real users write
+  * these shapes constantly; an engine that only proves the join forms
+  * has not proven the rewrite that produces them.
+  *
+  * Scale shape: decorrelation turns each per-row subquery into a JOIN —
+  * EXISTS/IN become left-semi joins on the correlation key, a correlated
+  * scalar aggregate becomes (aggregate per key) ⋈ outer — so the
+  * physical cost is one keyed shuffle, not an O(rows) rescan loop.
+  * PlanSpec asserts exactly that: the executed plans contain semi joins
+  * / aggregate joins and zero per-row subquery execs.
+  *
+  * Determinism: the correlated-scalar threshold comparison is done in
+  * exact DECIMAL arithmetic (sum × count, never avg-of-double) so the
+  * comparison boundary cannot drift between engines with summation
+  * order.
+  */
+object SubqueryQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EXISTS with a correlated predicate → left-semi join after
+    // RewritePredicateSubquery. Orders having at least one high-quantity
+    // line item.
+    "q_exists_corr" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT o_orderkey, o_custkey FROM orders o
+           WHERE EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey
+                           AND l.l_quantity > 45)
+           ORDER BY o_orderkey""")
+    }),
+
+    // NOT EXISTS with two correlated conjuncts → left-anti join.
+    // Customers with no urgent order.
+    "q_notexists_corr" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_orderpriority = '1-URGENT')
+           ORDER BY c_custkey""")
+    }),
+
+    // IN (subquery) → left-semi join on the IN expression. Customers who
+    // placed at least one large order.
+    "q_in_subq" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment FROM customer
+           WHERE c_custkey IN (SELECT o_custkey FROM orders
+                               WHERE o_totalprice > 150000)
+           ORDER BY c_custkey""")
+    }),
+
+    // Correlated SCALAR subqueries: orders above their own customer's
+    // average order price. avg() on DOUBLE is summation-order-dependent,
+    // so the comparison is algebraically rearranged into exact decimal:
+    //   price > sum/count  ⇔  price * count > sum
+    // (count ≥ 1 by construction — the outer row is in its own group).
+    // Both engines compute DECIMAL exactly → identical row sets. Each of
+    // the two subqueries decorrelates into a per-custkey aggregate
+    // joined back to orders.
+    "q_scalar_corr" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey FROM orders o
+           WHERE CAST(o.o_totalprice AS DECIMAL(18,2))
+                   * (SELECT count(*) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+                 > (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                    FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+           ORDER BY o_orderkey""")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_exists_corr" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_quantity > 45)
+         ORDER BY o_orderkey""",
+    "q_notexists_corr" ->
+      """SELECT c_custkey FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_in_subq" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders
+                             WHERE o_totalprice > 150000)
+         ORDER BY c_custkey""",
+    "q_scalar_corr" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+         WHERE CAST(o.o_totalprice AS DECIMAL(18,2))
+                 * (SELECT count(*) FROM orders o2
+                    WHERE o2.o_custkey = o.o_custkey)
+               > (SELECT sum(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+  )
+}

@@ -50,4 +50,52 @@ class ComponentsSpec extends SparkSpec {
     val got = comps(Seq((5L, 7L)))
     assert(got.keySet === Set(5L, 7L))
   }
+
+  // ---- star-contraction variant ----
+
+  private def starComps(edges: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponentsStar(edges.toDF("a", "b"), "a", "b", maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("star contraction matches hash-to-min on shape cases") {
+    val cases = Seq(
+      Seq((3L, 2L), (2L, 1L), (10L, 11L)),
+      Seq((5L, 7L)),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (7L, 8L)), // triangle + pair
+      Seq((4L, 4L), (4L, 9L))                      // self-loop ignored
+    )
+    cases.foreach { es => assert(starComps(es) === comps(es), s"edges=$es") }
+  }
+
+  test("star contraction matches a local union-find on a pseudo-random graph") {
+    var x = 99L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; (x >>> 33) % 80 }
+    val edges = Seq.fill(55)((next(), next())).filter { case (a, b) => a != b }
+    val parent = collection.mutable.Map((0L until 80L).map(i => i -> i): _*)
+    def find(v: Long): Long = if (parent(v) == v) v else { val r = find(parent(v)); parent(v) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(starComps(edges) === verts.map(v => v -> find(v)).toMap)
+  }
+
+  test("star contraction needs far fewer rounds than hash-to-min on a path") {
+    // 0-1-2-...-40: diameter 40. hash-to-min propagates the min one hop
+    // per round (O(diameter)); star contraction halves component height
+    // per alternation (O(log n)) — the property that makes it the robust
+    // choice for chain-shaped near-dup graphs (template spam).
+    import spark.implicits._
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val (hLabels, hRounds) = Components.hashToMinWithRounds(edges, "a", "b", 60)
+    val (sLabels, sRounds) = Components.starWithRounds(edges, "a", "b", 60)
+    val want = (0L to 40L).map(_ -> 0L).toMap
+    assert(hLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === want)
+    assert(sLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === want)
+    assert(sRounds <= 12, s"star took $sRounds rounds")
+    assert(sRounds < hRounds, s"star=$sRounds hash-to-min=$hRounds")
+  }
 }

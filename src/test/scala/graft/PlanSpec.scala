@@ -105,6 +105,48 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, p.take(1200))
   }
 
+  test("correlated subqueries decorrelate into joins, never per-row rescans") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.catalyst.plans.{JoinType, LeftSemi, LeftAnti}
+    def executed(name: String) = {
+      spark.catalog.clearCache()
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan
+    }
+    // AQE wraps materialized stages in QueryStageExec LEAVES whose inner
+    // plan is not in `children` — a plain collect stops at the stage
+    // boundary, so recurse through both wrappers explicitly.
+    def collectJoins(p: SparkPlan): Seq[JoinType] = {
+      val here = p match { case j: BaseJoinExec => Seq(j.joinType); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(collectJoins)
+    }
+    def joinTypes(name: String): Set[JoinType] = collectJoins(executed(name)).toSet
+    // EXISTS → left-semi, NOT EXISTS → left-anti, IN → left-semi: the
+    // RewritePredicateSubquery rewrite is visible as a join in the
+    // physical plan, meaning one keyed shuffle at scale instead of an
+    // O(rows) correlated rescan.
+    assert(joinTypes("q_exists_corr").contains(LeftSemi),
+      s"q_exists_corr: ${joinTypes("q_exists_corr")}")
+    assert(joinTypes("q_notexists_corr").contains(LeftAnti),
+      s"q_notexists_corr: ${joinTypes("q_notexists_corr")}")
+    assert(joinTypes("q_in_subq").contains(LeftSemi),
+      s"q_in_subq: ${joinTypes("q_in_subq")}")
+    // correlated scalar aggregate → per-key aggregate joined back to the
+    // outer (RewriteCorrelatedScalarSubquery): joins present, and no
+    // per-row scalar-subquery expression survives in the final plan
+    val sc = executed("q_scalar_corr")
+    assert(joinTypes("q_scalar_corr").nonEmpty, sc.toString.take(1200))
+    assert(!sc.toString.contains("scalar-subquery"), sc.toString.take(1200))
+  }
+
   test("exact similarity ops: blocked grid, no join, no driver-side data path") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val sc = spark.sparkContext
