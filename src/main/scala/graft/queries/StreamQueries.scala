@@ -33,6 +33,12 @@ object StreamQueries {
     "q_stream_join" -> ((s, d) =>
       Streams.clickPurchaseJoin(Tables.events(s, d), "24 hours")
         .orderBy("click_id", "p_id")),
+
+    // stream-static broadcast enrichment, batch projection (streaming run
+    // parity-tested in StreamingSpec; stateless, dim broadcast)
+    "q_stream_enrich" -> ((s, d) =>
+      Streams.enrichWithUserDim(Tables.events(s, d), Tables.customer(s, d))
+        .orderBy("event_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -74,5 +80,10 @@ object StreamQueries {
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts - INTERVAL 24 HOURS AND p.ts <= c.ts
          ORDER BY click_id, p_id""",
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+                c.c_mktsegment AS segment, c.c_nationkey AS nationkey
+         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+         ORDER BY e.event_id""",
   )
 }

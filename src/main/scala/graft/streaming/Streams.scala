@@ -85,6 +85,23 @@ object Streams {
         round(col("value"), 6).as("value"))
   }
 
+  /** Stream–static broadcast join: enrich each event with its user's
+    * dimension attributes. STATELESS — unlike a stream-stream join there
+    * is no join state at all: every micro-batch joins against the
+    * (broadcast) static side and forgets it, so this is the right shape
+    * for slowly-changing dims of any stream volume. The broadcast hint
+    * means the stream side never shuffles — at 100 TB/day the per-batch
+    * cost is a map-side hash probe. The same function on a batch events
+    * DataFrame is the parity oracle and the DuckDB-checked projection.
+    */
+  def enrichWithUserDim(events: DataFrame, customerDim: DataFrame): DataFrame =
+    events.join(
+        broadcast(customerDim.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_nationkey"))),
+        col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment").as("segment"), col("c_nationkey").as("nationkey"))
+
   /** Event-time watermark: rows more than `delay` behind the max observed
     * event time are dropped by stateful operators, which is what lets a
     * 100 TB/day stream run with bounded state.

@@ -172,6 +172,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got === want)
   }
 
+  test("stream-static broadcast enrich parity: stream == batch, stateless") {
+    val dim = Tables.customer(spark, sf)
+    val q = Streams.toMemorySink(
+      Streams.enrichWithUserDim(
+        Streams.parquetStream(spark, eventsDir, batchEvents.schema,
+          maxFilesPerTrigger = Some(1)), dim),
+      "t_enrich", OutputMode.Append(), tmp("ckpt-enrich"))
+    q.processAllAvailable()
+    val stateOps = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    q.stop()
+    val got = canon(spark.table("t_enrich"))
+    val want = canon(Streams.enrichWithUserDim(batchEvents, dim))
+    assert(got.nonEmpty && got === want)
+    // STATELESS: a stream-stream join would report a state operator with
+    // join state; stream-static must report none — that absence is the
+    // unbounded-stream guarantee (no per-batch state accumulation)
+    assert(stateOps.isEmpty, stateOps.mkString(","))
+    // and the batch plan broadcasts the dim side (stream side never shuffles)
+    val p = Streams.enrichWithUserDim(batchEvents, dim)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
   test("parquet file sink: checkpointed stop/resume is exactly-once") {
     // The production sink surface: writeStream.parquet with a checkpoint,
     // stopped between deliveries and resumed on the SAME checkpoint. The
