@@ -25,6 +25,7 @@ object SparkEntry {
       ScalarQueries.defs ++
       KMeansQueries.defs ++
       PipelineQueries.defs ++
+      CurationQueries.defs ++
       StreamQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +41,6 @@ object SparkEntry {
       ScalarQueries.oracles ++
       KMeansQueries.oracles ++
       PipelineQueries.oracles ++
+      CurationQueries.oracles ++
       StreamQueries.oracles
 }

@@ -166,6 +166,20 @@ object AggQueries {
         .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",")
           .as("statuses"), count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
+
+    // EXACT percentiles (vs q_approx_quantile's sketch): Spark's
+    // percentile() and DuckDB's quantile_cont() share the definition —
+    // linear interpolation at rank p*(n-1) over the sorted group. Exact
+    // percentile sorts each group's values; at 100 TB prefer the
+    // approx_percentile sketch unless exactness is contractual.
+    "q_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))
+        .orderBy("l_returnflag")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -233,6 +247,12 @@ object AggQueries {
                 string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
                   AS statuses,
                 count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_percentile" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+                round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+                round(quantile_cont(l_quantity, 0.9), 6) AS p90
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators beyond dedup/sampling: the
+  * source-cap, repetition-filter, sequence-packing, and PII-redaction
+  * steps a web-scale pretraining pipeline runs between raw crawl and
+  * tokenizer. All are keyed window/scalar work — one shuffle on the
+  * partition key at most, no driver state — and each is expressed so
+  * DuckDB replays the identical semantics for the hash oracle.
+  */
+object CurationQueries {
+
+  private val docs = (s: SparkSession, d: String) => Tables.documents(s, d)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-source document cap (crawl curation: no domain may dominate the
+    // corpus). Deterministic keep-set: the k lowest doc_ids per source.
+    // One shuffle on `source`; per-group top-k never sorts globally.
+    "q_domain_cap" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      docs(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Repetition-ratio quality filter (the Gopher/MassiveText family):
+    // fraction of duplicate word 3-grams in the document. Computed
+    // entirely with codegen'd array expressions — no explode, no
+    // shuffle; a 100 TB corpus scans once and filters in the map stage.
+    // Docs shorter than 3 tokens have no 3-grams and are excluded.
+    "q_rep_ratio" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      docs(s, d)
+        .select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          round(lit(1.0) -
+            size(array_distinct(transform(
+              sequence(lit(0), size(col("w")) - 3),
+              i => array_join(slice(col("w"), i + lit(1), lit(3)), " "))))
+              .cast("double") / (size(col("w")) - 2).cast("double"),
+            6).as("rep"))
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing: assign documents to fixed-token-budget training
+    // sequences. This is the deterministic streaming variant — documents
+    // are packed contiguously in doc_id order within each language shard
+    // (bin = exclusive-prefix-sum of token counts div budget), so the
+    // assignment is reproducible, join-free, and one window per shard.
+    // (True greedy bin-packing is order-dependent and neither
+    // reproducible nor parallelizable — the contiguous variant is what
+    // production tokenizer pipelines run.)
+    "q_seq_pack" -> ((s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("toks"))
+        .withColumn("bin",
+          floor((sum("toks").over(w) - col("toks")) / lit(512)).cast("long"))
+        .select(col("doc_id"), col("lang"), col("bin"))
+        .orderBy("doc_id")
+    }),
+
+    // PII-style entity redaction: map-only regexp scrub. The pattern
+    // here stands in for email/phone/SSN patterns (the synthetic corpus
+    // has none); the operator shape — regexp_replace at scan, no
+    // shuffle — is identical.
+    "q_redact" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "\\b(customer|supplier|user)\\b",
+            "[ENTITY]").as("redacted"))
+        .orderBy("doc_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_domain_cap" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents) t
+         WHERE rn <= 10 ORDER BY doc_id""",
+    "q_rep_ratio" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id,
+                round(1.0 - len(list_distinct(list_transform(range(len(w) - 2),
+                        i -> array_to_string(w[i+1:i+3], ' '))))
+                      / (len(w) - 2), 6) AS rep
+         FROM t WHERE len(w) >= 3 ORDER BY doc_id""",
+    "q_seq_pack" ->
+      """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS toks
+                    FROM documents)
+         SELECT doc_id, lang,
+                CAST(floor((sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING) - toks)
+                           / 512) AS BIGINT) AS bin
+         FROM t ORDER BY doc_id""",
+    "q_redact" ->
+      """SELECT doc_id,
+                regexp_replace(text, '\b(customer|supplier|user)\b',
+                               '[ENTITY]', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
+  )
+}

@@ -115,6 +115,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Same clustering through the star-contraction variant (large-star/
+    // small-star, O(log n) rounds regardless of diameter) — both
+    // algorithms hash-check against the identical recursive-CTE oracle,
+    // proving they are interchangeable behind the dedup pipeline.
+    "q_dedup_components_star" -> ((s, d) => {
+      val pairs = Dedup.nearDupPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8)
+      Components.connectedComponentsStar(pairs, "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus mixing: deterministic per-language downsample equalizing
     // language sizes (Sampling.balancedSample) — exact integer
     // cross-multiplied thresholds, replayed verbatim by the oracle.
@@ -374,6 +386,20 @@ object PipelineQueries {
   private val jaccardGroundTruth: String =
     s"WITH $jaccardCtes SELECT a_id, b_id, jaccard FROM jp ORDER BY a_id, b_id"
 
+  // Transitive closure of the ground-truth pair set: reach(v, r) holds
+  // when r is reachable from v over near-dup edges; min(r) per v is the
+  // component's canonical id. Shared by both components variants.
+  private val componentsOracle: String =
+    s"""WITH RECURSIVE $jaccardCtes,
+       edges AS (SELECT a_id AS a, b_id AS b FROM jp
+                 UNION ALL SELECT b_id, a_id FROM jp),
+       reach(v, r) AS (
+         SELECT DISTINCT a, a FROM edges
+         UNION
+         SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v)
+       SELECT v AS doc_id, min(r) AS component FROM reach
+       GROUP BY v ORDER BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -390,16 +416,8 @@ object PipelineQueries {
     // Transitive closure of the ground-truth pair set: reach(v, r) holds
     // when r is reachable from v over near-dup edges; min(r) per v is the
     // component's canonical id.
-    "q_dedup_components" ->
-      s"""WITH RECURSIVE $jaccardCtes,
-         edges AS (SELECT a_id AS a, b_id AS b FROM jp
-                   UNION ALL SELECT b_id, a_id FROM jp),
-         reach(v, r) AS (
-           SELECT DISTINCT a, a FROM edges
-           UNION
-           SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v)
-         SELECT v AS doc_id, min(r) AS component FROM reach
-         GROUP BY v ORDER BY doc_id""",
+    "q_dedup_components" -> componentsOracle,
+    "q_dedup_components_star" -> componentsOracle,
     "q_neardup_survivors" ->
       s"""WITH RECURSIVE $jaccardCtes,
          edges AS (SELECT a_id AS a, b_id AS b FROM jp

@@ -91,6 +91,46 @@ object ScalarQueries {
           from_json(col("props"), lit("k INT")).getField("k").cast("long").as("k_int"))
         .orderBy("event_id")
     }),
+
+    // VARIANT semi-structured type (Spark 4): parse once into the binary
+    // variant encoding, then typed path access — the shredded-JSON path
+    // that replaces per-access string re-parsing (get_json_object scans
+    // the text for every path; variant_get navigates the decoded tree).
+    "q_variant" -> ((s, d) => {
+      val v = parse_json(col("props"))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          variant_get(v, "$.k", "long").as("k_long"),
+          variant_get(v, "$.k", "string").as("k_str"),
+          variant_get(v, "$.missing", "string").isNull.as("miss_null"))
+        .orderBy("event_id")
+    }),
+
+    // try_* arithmetic: NULL-on-error escape hatches (divide-by-zero
+    // here) — the ANSI-safe forms a migrating SQL workload reaches for.
+    "q_try_arith" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(try_divide(col("l_extendedprice"), col("l_quantity") - 30), 6)
+            .as("per_unit_off30"),
+          try_add(col("l_orderkey"), col("l_linenumber")).as("ta"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Higher-order array functions — filter/transform/aggregate/exists/
+    // forall with lambdas, all codegen'd array expressions (no explode,
+    // no UDF): token analytics stay a map-only scan at any corpus size.
+    "q_hof" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          size(filter(col("w"), x => length(x) > 4)).as("n_long"),
+          aggregate(transform(col("w"), x => length(x)),
+            lit(0), (acc, x) => acc + x).cast("long").as("chars"),
+          exists(col("w"), x => x === "spark").as("has_spark"),
+          forall(col("w"), x => length(x) >= 2).as("all_ge2"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -144,5 +184,27 @@ object ScalarQueries {
       """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
                 CAST(json_extract(props, '$.k') AS BIGINT) AS k_int
          FROM events ORDER BY event_id""",
+    // the oracle reads the same JSON with DuckDB's json functions — the
+    // VARIANT encoding is an engine detail, the values must agree
+    "q_variant" ->
+      """SELECT event_id,
+                CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+                json_extract_string(props, '$.k') AS k_str,
+                json_extract(props, '$.missing') IS NULL AS miss_null
+         FROM events ORDER BY event_id""",
+    "q_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+                round(l_extendedprice / nullif(l_quantity - 30, 0), 6)
+                  AS per_unit_off30,
+                l_orderkey + l_linenumber AS ta
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_hof" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id,
+                len(list_filter(w, x -> length(x) > 4)) AS n_long,
+                CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS chars,
+                list_contains(w, 'spark') AS has_spark,
+                len(list_filter(w, x -> length(x) < 2)) = 0 AS all_ge2
+         FROM t ORDER BY doc_id""",
   )
 }

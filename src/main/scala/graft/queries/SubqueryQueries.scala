@@ -66,6 +66,21 @@ object SubqueryQueries {
            ORDER BY c_custkey""")
     }),
 
+    // LATERAL correlated subquery in FROM: per-order aggregate computed
+    // "per row" syntactically, decorrelated by Catalyst into a
+    // per-orderkey aggregate + join (same machinery as the scalar
+    // subquery, different surface syntax). Orders with no line items get
+    // a NULL mq — a scalar aggregate subquery always yields one row.
+    "q_lateral_join" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT o.o_orderkey, t.mq FROM orders o,
+           LATERAL (SELECT max(l.l_quantity) AS mq FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey) t
+           ORDER BY o_orderkey""")
+    }),
+
     // Correlated SCALAR subqueries: orders above their own customer's
     // average order price. avg() on DOUBLE is summation-order-dependent,
     // so the comparison is algebraically rearranged into exact decimal:
@@ -105,6 +120,16 @@ object SubqueryQueries {
          WHERE c_custkey IN (SELECT o_custkey FROM orders
                              WHERE o_totalprice > 150000)
          ORDER BY c_custkey""",
+    // LEFT JOIN LATERAL .. ON true, not comma-LATERAL: DuckDB's comma
+    // form drops outer rows whose lateral aggregate group is empty,
+    // while Spark (per the standard: a scalar aggregate yields exactly
+    // one row, NULL on empty input) keeps them — the LEFT form makes
+    // DuckDB reproduce the standard behavior Spark implements.
+    "q_lateral_join" ->
+      """SELECT o.o_orderkey, t.mq FROM orders o
+         LEFT JOIN LATERAL (SELECT max(l.l_quantity) AS mq FROM lineitem l
+                            WHERE l.l_orderkey = o.o_orderkey) t ON true
+         ORDER BY o_orderkey""",
     "q_scalar_corr" ->
       """SELECT o_orderkey, o_custkey FROM orders o
          WHERE CAST(o.o_totalprice AS DECIMAL(18,2))

@@ -74,6 +74,21 @@ object WindowQueries {
                                  RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_near
            FROM orders ORDER BY o_orderkey""")
     }),
+
+    // IGNORE NULLS variants: last non-null carried forward (the
+    // gap-filling idiom for sparse columns) + first non-null per frame.
+    // Same partition/order discipline — unique tie-break, never global.
+    "q_window_ignull" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prio = nullif(col("o_orderpriority"), lit("3-MEDIUM"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), prio.as("prio"),
+          last(prio, ignoreNulls = true).over(w).as("last_prio"),
+          first(prio, ignoreNulls = true).over(w).as("first_prio"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -111,5 +126,16 @@ object WindowQueries {
                 count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
                                RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_near
          FROM orders ORDER BY o_orderkey""",
+    "q_window_ignull" ->
+      """SELECT o_custkey, o_orderkey,
+                nullif(o_orderpriority, '3-MEDIUM') AS prio,
+                last_value(nullif(o_orderpriority, '3-MEDIUM') IGNORE NULLS)
+                  OVER w AS last_prio,
+                first_value(nullif(o_orderpriority, '3-MEDIUM') IGNORE NULLS)
+                  OVER w AS first_prio
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey""",
   )
 }
