@@ -167,6 +167,28 @@ object AggQueries {
           .as("statuses"), count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // Heavy-hitters sketch (freqItems — the misra-gries family),
+    // completing the sketch trio: HLL distinct, quantile sketch, and
+    // frequent items. The verifiable projection is the sketch's actual
+    // GUARANTEE — any value with frequency > support MUST appear — not
+    // the raw (superset, partition-order-dependent) item array. The
+    // exact modal event_type holds ≥1/5 of a 5-value column, so at
+    // support 0.15 its membership is contractual; the oracle replays the
+    // exact mode and expects `true`. The sketch itself is one bounded
+    // row — never data-sized driver state.
+    "q_freq_items" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val sketch = ev.stat.freqItems(Array("event_type"), 0.15)
+        .select(explode(col("event_type_freqItems")).as("item"))
+      val top = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type"))
+        .limit(1)
+        .select(col("event_type").as("top_type"))
+      top.join(sketch, col("item") === col("top_type"), "left")
+        .select(col("top_type"), col("item").isNotNull.as("sketch_has_top"))
+        .orderBy("top_type")
+    }),
+
     // EXACT percentiles (vs q_approx_quantile's sketch): Spark's
     // percentile() and DuckDB's quantile_cont() share the definition —
     // linear interpolation at rank p*(n-1) over the sorted group. Exact
@@ -248,6 +270,10 @@ object AggQueries {
                   AS statuses,
                 count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_freq_items" ->
+      """SELECT event_type AS top_type, true AS sketch_has_top
+         FROM events GROUP BY event_type
+         ORDER BY count(*) DESC, event_type LIMIT 1""",
     "q_percentile" ->
       """SELECT l_returnflag,
                 round(quantile_cont(l_quantity, 0.25), 6) AS p25,

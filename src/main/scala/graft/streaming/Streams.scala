@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface (SURVEY.md §2B streaming row): file
@@ -148,6 +149,39 @@ object Streams {
     * one); in batch execution the timeout never fires and the function
     * still degenerates to groupBy/max.
     */
+  /** The same running-max through Spark 4's `transformWithState` — the
+    * successor API to mapGroupsWithState: typed per-key state handles
+    * (ValueState/ListState/MapState) with optional TTL, timers, and a
+    * RocksDB-backed store (required by the operator; the test session
+    * switches `spark.sql.streaming.stateStore.providerClass`). State here
+    * is one ValueState[Double] per key — same constant-per-key
+    * discipline; at 100 TB/day the RocksDB store spills cold keys to
+    * disk instead of holding the map heap-resident, which is exactly why
+    * the new API is the scale path.
+    */
+  class RunningMaxProcessor
+      extends StatefulProcessor[Long, (Long, Double), UserMax] {
+    @transient private var mx: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      mx = getHandle.getValueState[Double]("max", Encoders.scalaDouble,
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                 tv: TimerValues): Iterator[UserMax] = {
+      var m = if (mx.exists()) mx.get() else Double.NegativeInfinity
+      rows.foreach { case (_, v) => if (v > m) m = v }
+      mx.update(m)
+      Iterator.single(UserMax(key, m))
+    }
+  }
+
+  def runningMaxTws(spark: SparkSession, events: DataFrame): Dataset[UserMax] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningMaxProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   def runningMaxPerUser(spark: SparkSession, events: DataFrame,
                         idleTimeout: String = "30 minutes"): Dataset[UserMax] = {
     import spark.implicits._

@@ -147,6 +147,25 @@ class PlanSpec extends SparkSpec {
     assert(!sc.toString.contains("scalar-subquery"), sc.toString.take(1200))
   }
 
+  test("curation scans are map-only: no shuffle before the contract sort") {
+    // q_rep_ratio / q_redact / q_hof are pure scan→project pipelines —
+    // the ONLY exchange allowed is the final orderBy's range partition.
+    // An explode-based 3-gram implementation would add a shuffle +
+    // re-aggregate here; the array-expression form must not.
+    Seq("q_rep_ratio", "q_redact", "q_hof").foreach { n =>
+      val p = sourceOf(n)
+      assert("Exchange".r.findAllIn(p).size <= 1, s"$n:\n${p.take(900)}")
+    }
+    // q_domain_cap and q_seq_pack window on their partition key: one
+    // hash exchange for the window + the final sort's range exchange.
+    Seq("q_domain_cap", "q_seq_pack").foreach { n =>
+      val p = sourceOf(n)
+      assert("Exchange".r.findAllIn(p).size <= 2, s"$n:\n${p.take(900)}")
+      // and the window is keyed, never a global single partition
+      assert(!p.contains("SinglePartition"), s"$n windows globally:\n${p.take(900)}")
+    }
+  }
+
   test("exact similarity ops: blocked grid, no join, no driver-side data path") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val sc = spark.sparkContext

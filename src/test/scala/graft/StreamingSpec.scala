@@ -268,6 +268,38 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.filter(_._1 == 2L).map(_._2).toSet === Set(2.0))
   }
 
+  test("transformWithState running max: cross-batch state on RocksDB, parity with groupBy max") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store; scope the
+    // provider switch to this test (the default HDFS-backed store serves
+    // the other suites)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Double)]
+      val q = Streams.toMemorySink(
+        Streams.runningMaxTws(spark, in.toDF().toDF("user_id", "value")).toDF(),
+        "t_tws", OutputMode.Update(), tmp("ckpt-tws"))
+      in.addData((1L, 5.0), (2L, 2.0))
+      q.processAllAvailable()
+      in.addData((1L, 3.0), (2L, 7.0)) // 1's max survives the batch boundary
+      q.processAllAvailable()
+      q.stop()
+      val emitted = spark.table("t_tws")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(emitted.filter(_._1 == 1L).map(_._2).toSet === Set(5.0))
+      assert(emitted.filter(_._1 == 2L).map(_._2).toSet === Set(2.0, 7.0))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("mapGroupsWithState evicts idle keys once the watermark passes the idle horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
