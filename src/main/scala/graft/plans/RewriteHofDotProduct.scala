@@ -75,6 +75,10 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
 
 /** Engine extensions, installed by [[graft.GraftSession]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    // whole-operator extension: per-key top-k (partial heaps before the
+    // shuffle + rank-emitting final) — see graft.plans.TopKPerKeyNode
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+  }
 }

@@ -1,0 +1,206 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  AttributeReference, Descending, Expression, JoinedRow, SortOrder,
+  UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.IntegerType
+
+/** Whole-operator Catalyst extension: top-k rows per key, with rank.
+  *
+  * This is the (c) rung of the extension ladder — a custom LogicalPlan
+  * node + planner Strategy + physical operators, registered through
+  * `SparkSessionExtensions` ([[GraftExtensions]]) — for a semantics
+  * Spark's built-ins can only approximate: per-GROUP top-k. The
+  * `row_number().over(window) <= k` idiom SORTS every partition's full
+  * group data (O(n log n) per group, full materialization in the window
+  * exec); `TakeOrderedAndProject` is global-only. This operator keeps a
+  * bounded k-heap per key on BOTH sides of the shuffle:
+  *
+  *   - partial (map side): per-partition hash of bounded heaps — at most
+  *     k rows per key survive, so the SHUFFLE carries ≤ keys×k rows, not
+  *     the full table. When the key hash grows past `flushThreshold`
+  *     (high-cardinality keys) the map flushes downstream and restarts —
+  *     memory stays bounded at flushThreshold×k rows with correctness
+  *     unchanged (a flush only weakens the reduction, never drops a
+  *     global top-k candidate).
+  *   - final (reduce side): requires `ClusteredDistribution(keys)` (the
+  *     planner inserts the one hash exchange), re-heaps the ≤ k
+  *     candidates per key, and emits each key's rows best-first with a
+  *     1-based `rank` column appended.
+  *
+  * At 100 TB the win is the shuffle: grouping 10^9 orders per customer
+  * for top-3 ships 3 rows per customer instead of every order, and no
+  * executor ever sorts a whole group. Heap ordering is the codegen'd
+  * `LazilyGeneratedOrdering` — the same machinery TakeOrderedAndProject
+  * uses for its global heap.
+  */
+case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
+                          k: Int, rankAttr: AttributeReference,
+                          child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  // rankAttr is GENERATED here, not consumed — without this the
+  // missing-input analysis check reads the constructor expression as a
+  // reference the child must supply
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+object TopKPerKeyNode {
+  /** User API: top `k` rows per `keyCols` group under `orderSpec`
+    * ((column, descending) pairs; ties broken by later spec entries —
+    * callers wanting determinism must include a unique tie-break, same
+    * contract as any window order). Output = input columns + `rank`
+    * (1-based within each group).
+    */
+  def topKPerKey(df: DataFrame, keyCols: Seq[String],
+                 orderSpec: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    def attr(n: String): Attribute = plan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $n not in ${plan.output.map(_.name).mkString(",")}"))
+    val keys = keyCols.map(attr(_).asInstanceOf[Expression])
+    val order = orderSpec.map { case (n, desc) =>
+      SortOrder(attr(n), if (desc) Descending else Ascending)
+    }
+    val rank = AttributeReference("rank", IntegerType, nullable = false)()
+    Bridge.ofRows(df.sparkSession, TopKPerKeyNode(keys, order, k, rank, plan))
+  }
+}
+
+/** Planner strategy: TopKPerKeyNode → partial + final physical pair. */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, rankAttr, child) =>
+      TopKPerKeyFinalExec(keys, order, k, rankAttr,
+        TopKPerKeyPartialExec(keys, order, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+private[plans] object TopKHeaps {
+  /** Bounded best-k heap: scala PriorityQueue's head is the MAX under
+    * `ord` = the WORST kept row (rows that sort first are "smallest").
+    */
+  def offer(pq: mutable.PriorityQueue[InternalRow], row: InternalRow, k: Int,
+            ord: Ordering[InternalRow]): Unit =
+    if (pq.size < k) pq.enqueue(row.copy())
+    else if (ord.lt(row, pq.head)) { pq.dequeue(); pq.enqueue(row.copy()) }
+
+  /** Heap contents best-first (dequeueAll yields worst-first). */
+  def drain(pq: mutable.PriorityQueue[InternalRow]): Seq[InternalRow] =
+    pq.dequeueAll.reverse
+
+  /** Map-side partial top-k with bounded memory: a hash of per-key
+    * k-heaps that FLUSHES downstream and restarts whenever it reaches
+    * `flushThreshold` keys. Emission is interleaved with consumption
+    * (a custom iterator), so peak memory is flushThreshold×k rows no
+    * matter the partition's key cardinality.
+    */
+  def partial(it: Iterator[InternalRow], keys: Seq[Expression],
+              order: Seq[SortOrder], inputAttrs: Seq[Attribute], k: Int,
+              flushThreshold: Int): Iterator[InternalRow] = {
+    val keyProj = UnsafeProjection.create(keys, inputAttrs)
+    val ord = new LazilyGeneratedOrdering(order, inputAttrs)
+    val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+    new Iterator[InternalRow] {
+      private var pending: Iterator[InternalRow] = Iterator.empty
+      private def refill(): Unit = {
+        while (pending.isEmpty && (it.hasNext || heaps.nonEmpty)) {
+          while (it.hasNext && heaps.size < flushThreshold) {
+            val row = it.next()
+            val key = keyProj(row)
+            heaps.get(key) match {
+              case Some(pq) => offer(pq, row, k, ord)
+              case None =>
+                val pq = mutable.PriorityQueue.empty[InternalRow](ord)
+                offer(pq, row, k, ord)
+                heaps.put(key.copy(), pq)
+            }
+          }
+          // input exhausted, or the map hit the flush bound: emit and reset
+          pending = heaps.values.toArray.iterator.flatMap(drain)
+          heaps.clear()
+        }
+      }
+      override def hasNext: Boolean = { refill(); pending.hasNext }
+      override def next(): InternalRow = { refill(); pending.next() }
+    }
+  }
+}
+
+/** Map side: reduces each input partition to ≤ k rows per key seen. No
+  * distribution requirement — runs before (and shrinks) the shuffle.
+  */
+case class TopKPerKeyPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
+                                 k: Int, child: SparkPlan,
+                                 flushThreshold: Int = 1 << 16)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: Nil
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (ks, so, attrs, kk, ft) = (keys, order, child.output, k, flushThreshold)
+    child.execute().mapPartitions({ it =>
+      TopKHeaps.partial(it, ks, so, attrs, kk, ft)
+    }, preservesPartitioning = true)
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
+    copy(child = newChild)
+}
+
+/** Reduce side: after the hash exchange on `keys`, re-heaps the ≤ k
+  * surviving candidates per key and emits them best-first with the
+  * 1-based rank appended.
+  */
+case class TopKPerKeyFinalExec(keys: Seq[Expression], order: Seq[SortOrder],
+                               k: Int, rankAttr: AttributeReference,
+                               child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (ks, so, attrs, kk) = (keys, order, child.output, k)
+    val outAttrs = output
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(ks, attrs)
+      val ord = new LazilyGeneratedOrdering(so, attrs)
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      it.foreach { row =>
+        val key = keyProj(row)
+        heaps.get(key) match {
+          case Some(pq) => TopKHeaps.offer(pq, row, kk, ord)
+          case None =>
+            val pq = mutable.PriorityQueue.empty[InternalRow](ord)
+            TopKHeaps.offer(pq, row, kk, ord)
+            heaps.put(key.copy(), pq)
+        }
+      }
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      heaps.values.toArray.iterator.flatMap { pq =>
+        TopKHeaps.drain(pq).iterator.zipWithIndex.map { case (row, i) =>
+          rankRow.update(0, i + 1)
+          outProj(joined(row, rankRow))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyFinalExec =
+    copy(child = newChild)
+}

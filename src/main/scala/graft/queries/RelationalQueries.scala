@@ -66,6 +66,22 @@ object RelationalQueries {
         .orderBy("o_custkey", "rn")
     }),
 
+    // The same per-group top-3 through the NATIVE operator
+    // (plans.TopKPerKeyNode via SparkSessionExtensions): bounded k-heaps
+    // per key on both shuffle sides instead of the window's full
+    // per-group sort — the shuffle carries ≤ 3 rows per customer. Same
+    // oracle as q_topk_group: the two implementations must agree row
+    // for row.
+    "q_topk_native" -> ((s, d) => {
+      graft.plans.TopKPerKeyNode.topKPerKey(
+          Tables.orders(s, d),
+          keyCols = Seq("o_custkey"),
+          orderSpec = Seq(("o_totalprice", true), ("o_orderkey", false)),
+          k = 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rank").as("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
     "q_union_all" -> ((s, d) => {
       Tables.nation(s, d).select(col("n_name").as("name"))
         .unionAll(Tables.region(s, d).select(col("r_name").as("name")))
@@ -139,6 +155,13 @@ object RelationalQueries {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50""",
     "q_topk_group" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_topk_native" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
            SELECT o_custkey, o_orderkey,
                   row_number() OVER (PARTITION BY o_custkey

@@ -1,0 +1,87 @@
+package graft.plans
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference,
+  Descending, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.types.LongType
+
+/** The custom per-key top-k operator: agreement with the window idiom,
+  * the appended rank contract, the partial phase's top-k reduction, and
+  * the bounded-memory flush path.
+  */
+class TopKPerKeySpec extends SparkSpec {
+
+  test("native top-k agrees with the row_number window idiom row for row") {
+    val native = SparkEntry.queries("q_topk_native")(spark, sf)
+      .collect().map(_.toString).sorted
+    val window = SparkEntry.queries("q_topk_group")(spark, sf)
+      .collect().map(_.toString).sorted
+    assert(native.nonEmpty && native.toSeq === window.toSeq)
+  }
+
+  test("physical plan: custom execs present, exactly one hash exchange") {
+    val df = SparkEntry.queries("q_topk_native")(spark, sf)
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    // the AQE rendering repeats the plan under "== Initial Plan =="; count
+    // exchanges in the executed (final) section only
+    val p = full.split("== Initial Plan ==").head
+    assert(p.contains("TopKPerKeyFinal"), p.take(900))
+    assert(p.contains("TopKPerKeyPartial"), p.take(900))
+    // one hash exchange between partial and final + the contract sort's
+    // range exchange — nothing else
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(900))
+  }
+
+  test("rank column is 1..k per key, best-first") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (1L, 30L), (1L, 20L), (2L, 5L))
+      .toDF("k", "v")
+    val got = TopKPerKeyNode.topKPerKey(df, Seq("k"), Seq(("v", true)), 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 30L, 1), (1L, 20L, 2), (2L, 5L, 1)))
+  }
+
+  private def unsafeRows(data: Seq[(Long, Long)]) = {
+    val proj = UnsafeProjection.create(Array[org.apache.spark.sql.types.DataType](
+      LongType, LongType))
+    data.map(t => proj(InternalRow(t._1, t._2)).copy(): InternalRow)
+  }
+
+  test("partial phase keeps each key's true top-k even across flushes") {
+    val kAttr = AttributeReference("k", LongType, nullable = false)()
+    val vAttr = AttributeReference("v", LongType, nullable = false)()
+    val attrs = Seq(kAttr, vAttr)
+    // 6 keys × 5 rows; threshold 2 keys forces a flush roughly every
+    // other key, splitting keys' rows across map generations
+    val data = (0L until 6L).flatMap(key => (0L until 5L).map(v => (key, key * 100 + v * 7)))
+    val out = TopKHeaps.partial(unsafeRows(data).iterator,
+        Seq(kAttr), Seq(SortOrder(vAttr, Descending)), attrs,
+        k = 2, flushThreshold = 2)
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    (0L until 6L).foreach { key =>
+      val want = data.filter(_._1 == key).map(_._2).sorted.reverse.take(2).toSet
+      val got = out.filter(_._1 == key).map(_._2).toSet
+      assert(want.subsetOf(got), s"key=$key want⊆got failed: want=$want got=$got")
+    }
+    // and it genuinely reduced: ≤ 2 rows per key per flush generation,
+    // never the full 5
+    assert(out.size < data.size)
+  }
+
+  test("partial phase without flush emits exactly k per key") {
+    val kAttr = AttributeReference("k", LongType, nullable = false)()
+    val vAttr = AttributeReference("v", LongType, nullable = false)()
+    val attrs = Seq(kAttr, vAttr)
+    val data = (0L until 4L).flatMap(key => (0L until 10L).map(v => (key, v)))
+    val out = TopKHeaps.partial(unsafeRows(data).iterator,
+        Seq(kAttr), Seq(SortOrder(vAttr, Ascending)), attrs,
+        k = 3, flushThreshold = 1 << 16)
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.size === 12)
+    (0L until 4L).foreach { key =>
+      assert(out.filter(_._1 == key).map(_._2).sorted === Seq(0L, 1L, 2L))
+    }
+  }
+}
