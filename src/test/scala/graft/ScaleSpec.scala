@@ -155,6 +155,39 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("parquet aggregate pushdown: MIN/MAX/COUNT answered from footer statistics") {
+    // scan-level aggregate pushdown (DSv2 parquet path): a bare
+    // min/max/count over an unfiltered scan reads row-group FOOTERS, not
+    // data pages — at 100 TB that's the difference between a metadata
+    // pass and a full-table read. V1 parquet (the default) doesn't
+    // support it, so scope both flags to this test.
+    val conf = Seq(
+      "spark.sql.parquet.aggregatePushdown" -> "true",
+      "spark.sql.sources.useV1SourceList" -> "")
+    val prev = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      spark.catalog.clearCache()
+      val df = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(min("l_quantity"), max("l_quantity"), count(lit(1)))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [MIN(l_quantity), MAX(l_quantity), COUNT(*)]"),
+        p.take(1200))
+      // and the footer answer equals the full-scan answer
+      val viaFooter = df.head
+      conf.foreach { case (k, _) => spark.conf.unset(k) }
+      spark.catalog.clearCache()
+      val viaScan = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(min("l_quantity"), max("l_quantity"), count(lit(1))).head
+      assert(viaFooter === viaScan)
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("ORC and JSON round-trips preserve values (source/sink breadth)") {
     // parquet is the verified primary format; ORC and JSON(lines) are the
     // other two formats a lakehouse ingest actually meets. DuckDB can't
