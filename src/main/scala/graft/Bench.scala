@@ -104,7 +104,9 @@ object Bench {
           if (s.endsWith(".0")) s.dropRight(2) else s
         }
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"note":"query names minus q_ prefix","queries":$qs1$errPart,"sf":"$sfDir"}"""
+      // every byte counts here: short note, basename-only sf
+      val sfShort = sfDir.split('/').last
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"note":"q_ prefix stripped","queries":$qs1$errPart,"sf":"$sfShort"}"""
     }
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")

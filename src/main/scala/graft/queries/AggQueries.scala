@@ -167,6 +167,18 @@ object AggQueries {
           .as("statuses"), count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // FILTER clause on aggregates — per-aggregate predicates without a
+    // self-join or CASE spelling; one pass, partial+final as usual.
+    "q_agg_filter" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag,
+                  count(*) AS n,
+                  count(*) FILTER (WHERE l_quantity > 40) AS n_big,
+                  sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_disc
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
     // Heavy-hitters sketch (freqItems — the misra-gries family),
     // completing the sketch trio: HLL distinct, quantile sketch, and
     // frequent items. The verifiable projection is the sketch's actual
@@ -269,6 +281,12 @@ object AggQueries {
                 string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
                   AS statuses,
                 count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_filter" ->
+      """SELECT l_returnflag,
+                count(*) AS n,
+                count(*) FILTER (WHERE l_quantity > 40) AS n_big,
+                sum(l_quantity) FILTER (WHERE l_discount > 0.05) AS qty_disc
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_freq_items" ->
       """SELECT event_type AS top_type, true AS sketch_has_top

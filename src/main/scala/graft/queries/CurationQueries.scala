@@ -69,6 +69,22 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Edit distance between the raw and entity-redacted text prefixes —
+    // the scoring primitive of fuzzy dedup (here: how much a scrub
+    // changed each document). Bounded cost: levenshtein is O(m·n) per
+    // row, so production use caps the operand length exactly as done
+    // here (64 chars), keeping the pass map-only and linear in corpus
+    // size.
+    "q_edit_distance" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          levenshtein(
+            substring(col("text"), 1, 64),
+            substring(regexp_replace(col("text"),
+              "\\b(customer|supplier|user)\\b", "[ENTITY]"), 1, 64))
+            .as("lev"))
+        .orderBy("doc_id")),
+
     // PII-style entity redaction: map-only regexp scrub. The pattern
     // here stands in for email/phone/SSN patterns (the synthetic corpus
     // has none); the operator shape — regexp_replace at scan, no
@@ -103,6 +119,14 @@ object CurationQueries {
                                             ROWS UNBOUNDED PRECEDING) - toks)
                            / 512) AS BIGINT) AS bin
          FROM t ORDER BY doc_id""",
+    "q_edit_distance" ->
+      """SELECT doc_id,
+                levenshtein(substr(text, 1, 64),
+                            substr(regexp_replace(text,
+                                     '\b(customer|supplier|user)\b',
+                                     '[ENTITY]', 'g'),
+                                   1, 64)) AS lev
+         FROM documents ORDER BY doc_id""",
     "q_redact" ->
       """SELECT doc_id,
                 regexp_replace(text, '\b(customer|supplier|user)\b',
