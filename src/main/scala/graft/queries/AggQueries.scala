@@ -167,6 +167,18 @@ object AggQueries {
           .as("statuses"), count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // grouping() markers on CUBE: the only reliable way to tell an
+    // all-level NULL from a real NULL in rollup/cube output — every BI
+    // layer on top of a cube needs these bits.
+    "q_grouping_fn" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"),
+          col("l_linestatus"))),
+
     // FILTER clause on aggregates — per-aggregate predicates without a
     // self-join or CASE spelling; one pass, partial+final as usual.
     "q_agg_filter" -> ((s, d) => {
@@ -282,6 +294,12 @@ object AggQueries {
                   AS statuses,
                 count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_grouping_fn" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+                CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY g_flag, g_status, l_returnflag, l_linestatus""",
     "q_agg_filter" ->
       """SELECT l_returnflag,
                 count(*) AS n,

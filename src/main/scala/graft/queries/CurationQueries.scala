@@ -95,6 +95,33 @@ object CurationQueries {
           regexp_replace(col("text"), "\\b(customer|supplier|user)\\b",
             "[ENTITY]").as("redacted"))
         .orderBy("doc_id")),
+
+    // The curation DAG end-to-end: repetition-quality gate → per-source
+    // cap → packing-ready token counts, composed exactly as a production
+    // corpus build would chain them. Each stage is individually
+    // oracle-verified above; this query verifies the COMPOSITION (stage
+    // ordering, column threading, no row leakage between stages) as one
+    // hash row set. Cost shape: one map-only scan (tokens + repetition),
+    // one keyed window (cap) — nothing quadratic, nothing global.
+    "q_curate_full" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      val scored = docs(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), w.as("w"))
+        .filter(size(col("w")) >= 3)
+        .withColumn("rep",
+          lit(1.0) - size(array_distinct(transform(
+            sequence(lit(0), size(col("w")) - 3),
+            i => array_join(slice(col("w"), i + lit(1), lit(3)), " "))))
+            .cast("double") / (size(col("w")) - 2).cast("double"))
+        .filter(col("rep") <= 0.05)
+      val capW = Window.partitionBy("source").orderBy("doc_id")
+      scored
+        .withColumn("rn", row_number().over(capW))
+        .filter(col("rn") <= 15)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(col("w")).as("toks"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -119,6 +146,20 @@ object CurationQueries {
                                             ROWS UNBOUNDED PRECEDING) - toks)
                            / 512) AS BIGINT) AS bin
          FROM t ORDER BY doc_id""",
+    "q_curate_full" ->
+      """WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+                    FROM documents),
+            q AS (SELECT doc_id, lang, source, w FROM t
+                  WHERE len(w) >= 3
+                    AND 1.0 - len(list_distinct(list_transform(range(len(w) - 2),
+                            i -> array_to_string(w[i+1:i+3], ' '))))
+                          / (len(w) - 2) <= 0.05),
+            capped AS (SELECT doc_id, lang, source, len(w) AS toks,
+                              row_number() OVER (PARTITION BY source
+                                                 ORDER BY doc_id) AS rn
+                       FROM q)
+         SELECT doc_id, lang, source, toks FROM capped
+         WHERE rn <= 15 ORDER BY doc_id""",
     "q_edit_distance" ->
       """SELECT doc_id,
                 levenshtein(substr(text, 1, 64),
