@@ -97,7 +97,8 @@ object Bench {
     // has it) and 1-decimal seconds. ~280 chars of headroom at the
     // current 82 queries; the compact form buys ~25 more queries before
     // this trips.
-    val json = if (full.length <= 1800) full else {
+    val sfShort = sfDir.split('/').last
+    val compact = {
       val qs1 = results.map { case (k, v, _) =>
         "\"" + k.stripPrefix("q_") + "\":" + {
           val s = f"$v%.1f"
@@ -105,9 +106,21 @@ object Bench {
         }
       }.mkString("{", ",", "}")
       // every byte counts here: short note, basename-only sf
-      val sfShort = sfDir.split('/').last
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"note":"q_ prefix stripped","queries":$qs1$errPart,"sf":"$sfShort"}"""
     }
+    // Last-resort tier: per-query times as integer CENTISECONDS
+    // ("qunit":"cs"); total stays in seconds. Saves ~2 chars per
+    // sub-second entry over the 1-decimal form.
+    val centi = {
+      val qs2 = results.map { case (k, v, _) =>
+        "\"" + k.stripPrefix("q_") + "\":" + math.round(v * 100)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"qunit":"cs","note":"q_ stripped; queries in centisec","queries":$qs2$errPart,"sf":"$sfShort"}"""
+    }
+    val json =
+      if (full.length <= 1800) full
+      else if (compact.length <= 1850) compact
+      else centi
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     spark.stop()

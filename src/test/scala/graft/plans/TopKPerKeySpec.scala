@@ -43,6 +43,30 @@ class TopKPerKeySpec extends SparkSpec {
     assert(got === Set((1L, 30L, 1), (1L, 20L, 2), (2L, 5L, 1)))
   }
 
+  test("native top-k matches the window idiom on pseudo-random data (ties included)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    var x = 7L
+    def next(m: Long): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L; (x >>> 33) % m
+    }
+    // small value range on purpose: ties are common, the unique id
+    // tie-break must resolve them identically on both paths
+    val data = Seq.tabulate(400)(i => (next(17), next(5), i.toLong))
+    val df = data.toDF("key", "v", "id")
+    val native = TopKPerKeyNode.topKPerKey(df, Seq("key"),
+        Seq(("v", true), ("id", false)), 4)
+      .select("key", "v", "id", "rank")
+      .collect().map(_.toString).sorted
+    val w = Window.partitionBy("key").orderBy(col("v").desc, col("id").asc)
+    val window = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 4)
+      .select("key", "v", "id", "rank")
+      .collect().map(_.toString).sorted
+    assert(native.nonEmpty && native.toSeq === window.toSeq)
+  }
+
   private def unsafeRows(data: Seq[(Long, Long)]) = {
     val proj = UnsafeProjection.create(Array[org.apache.spark.sql.types.DataType](
       LongType, LongType))
