@@ -446,4 +446,163 @@ object Similarity {
         (dotFast(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou et al., "Product Quantization for
+  // Nearest Neighbor Search", PAMI 2011) — the memory-scale path: each
+  // vector compresses to M bytes (M sub-codebooks × 256-max codes), so a
+  // 10^11-vector corpus whose raw floats would need 25 TB of RAM fits in
+  // ~800 GB of codes, and distance evaluation becomes M table lookups
+  // instead of `dim` multiplies.
+  // ---------------------------------------------------------------------
+
+  /** Driver-held codebooks: `codebooks(sub)(code)` is a subDim-length
+    * centroid. State is m×codes×subDim doubles — the canonical bounded
+    * exception, same as any k-means centroid set.
+    */
+  case class PQModel(m: Int, subDim: Int,
+                     codebooks: Array[Array[Array[Double]]]) extends Serializable
+
+  /** Train per-subspace codebooks on a deterministic hash-sample.
+    * Vectors are L2-NORMALIZED before splitting so ADC's squared-L2
+    * ranking is monotone in cosine (‖a−b‖² = 2 − 2·cos on the unit
+    * sphere) — the same pre-normalization the exact paths use.
+    *
+    * ALL m subspaces train together: the sample explodes once into
+    * (id, mi, subvector) long form, and each Lloyd iteration is ONE
+    * assign+mean job covering every (subspace, code) cell — m
+    * independent per-subspace trainings would pay m× the job-scheduling
+    * latency and m× the sample scans for identical results (subspace
+    * trainings share no state). Driver state per iteration is the
+    * m×codes×subDim centroid array — bounded, never data-sized.
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+              codes: Int = 16, sampleMod: Int = 4,
+              trainIters: Int = 3): PQModel = {
+    val v = normed(df, idCol, vecCol)
+      .select(col("id"), zip_with(col("v"),
+        array_repeat(col("nrm"), size(col("v"))), (x, n) => x / n).as("v"))
+    val dim = v.select(size(col("v"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val longForm = v
+      .filter(pmod(xxhash64(col("id")), lit(sampleMod)) === 0)
+      .select(col("id"), explode(array((0 until m).map(mi =>
+        struct(lit(mi).as("mi"),
+          slice(col("v"), mi * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("id"), col("e.mi").as("mi"), col("e.sv").as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic seeds: the `codes` lowest-id subvectors per subspace
+      val wSeed = Window.partitionBy("mi").orderBy("id")
+      val books: Array[Array[Array[Double]]] = Array.fill(m, codes)(null)
+      longForm.withColumn("rn", row_number().over(wSeed))
+        .filter(col("rn") <= codes)
+        .select("mi", "rn", "sv").collect()
+        .foreach(r => books(r.getInt(0))(r.getInt(1) - 1) =
+          r.getSeq[Double](2).toArray)
+      require(books.forall(_.forall(_ != null)),
+        s"sample too small: need $codes seed vectors per subspace")
+      val sc = df.sparkSession.sparkContext
+      var iter = 0
+      while (iter < trainIters) {
+        val bc = sc.broadcast(books)
+        val assign = udf { (mi: Int, sv: Seq[Double]) =>
+          val book = bc.value(mi)
+          val a = sv.toArray
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < book.length) {
+            val d = sqDistSub(a, 0, book(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+        // one job: every (subspace, code, position) mean at once;
+        // m×codes×subDim result rows — bounded driver state
+        val means = longForm
+          .withColumn("code", assign(col("mi"), col("sv")))
+          .select(col("mi"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("mi", "code", "pos").agg(avg("x").as("mx"))
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        means.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+          case ((mi, code), rows) =>
+            rows.foreach(r => next(mi)(code)(r.getInt(2)) = r.getDouble(3))
+        } // empty cells keep their previous centroid (same rule as lloyd)
+        books.indices.foreach(mi => books(mi) = next(mi))
+        bc.destroy()
+        iter += 1
+      }
+      PQModel(m, subDim, books)
+    } finally longForm.unpersist(blocking = false)
+  }
+
+  private def sqDistSub(a: Array[Double], off: Int, c: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < c.length) { val d = a(off + i) - c(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** (id, code: array<int>) — one compiled pass, no shuffle; the code is
+    * the only thing the search path needs per indexed vector.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               model: PQModel): DataFrame = {
+    val enc = udf { (arr: Array[Double]) =>
+      val nrm = math.sqrt(arr.map(x => x * x).sum)
+      val u = if (nrm == 0) arr else arr.map(_ / nrm)
+      Array.tabulate(model.m) { mi =>
+        val book = model.codebooks(mi)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          val d = sqDistSub(u, mi * model.subDim, book(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    normed(df, idCol, vecCol).select(col("id"), enc(col("v")).as("code"))
+  }
+
+  /** Asymmetric-distance (ADC) batch search: `queryVecs` is a BOUNDED
+    * driver-side query batch (the serving shape — queries arrive in
+    * small batches, the index is the distributed side). Per query one
+    * m×codes lookup table is built once and broadcast; scoring each
+    * indexed vector is m array lookups over its code — one map pass, the
+    * only shuffle is the per-query top-k aggregation. Returns
+    * (qid, rank, id, adist) with rank 1..k by ascending approximate
+    * squared L2 (≡ descending cosine on normalized inputs).
+    */
+  def pqSearch(encoded: DataFrame, model: PQModel,
+               queryVecs: Array[(Long, Array[Double])], k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    // qid -> distance table (m × codes)
+    val tables: Array[(Long, Array[Array[Double]])] = queryVecs.map { case (qid, q) =>
+      val nrm = math.sqrt(q.map(x => x * x).sum)
+      val u = if (nrm == 0) q else q.map(_ / nrm)
+      qid -> Array.tabulate(model.m)(mi =>
+        model.codebooks(mi).map(c => sqDistSub(u, mi * model.subDim, c)))
+    }
+    val bc = spark.sparkContext.broadcast(tables)
+    val score = udf { (code: Seq[Int]) =>
+      bc.value.map { case (qid, tab) =>
+        var d = 0.0
+        var mi = 0
+        while (mi < code.length) { d += tab(mi)(code(mi)); mi += 1 }
+        (qid, d)
+      }
+    }
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("id"))
+    encoded
+      .select(col("id"), explode(score(col("code"))).as("s"))
+      .select(col("s._1").as("qid"), col("id"), col("s._2").as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("adist"))
+  }
 }

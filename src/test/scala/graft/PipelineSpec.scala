@@ -272,4 +272,41 @@ class PipelineSpec extends SparkSpec {
       .select(TextFunctions.fingerprint(col("text"))).head.getLong(0)
     assert(got === cpFold(s))
   }
+
+  test("product quantization: self-retrieval and planted near-dup recovery") {
+    // The meaningful PQ property at 8-byte codes is the same one the LSH
+    // test uses: a REAL near-neighbor (cos ≈ 0.999, far above the ~0.5
+    // random background) survives quantization. Recall of the hairline
+    // exact top-5 among uniform random vectors does NOT survive 32×
+    // compression — that regime needs finer codes or an exact re-rank,
+    // which is why pqSearch is positioned as a candidate generator.
+    val planted = embeddings.limit(10).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.01f)).as("embedding"))
+    val withPlanted = embeddings.select("vec_id", "embedding").unionAll(planted)
+      .cache()
+    val model = Similarity.pqTrain(withPlanted, "vec_id", "embedding",
+      m = 8, codes = 16)
+    assert(model.codebooks.length === 8 &&
+      model.codebooks.forall(_.forall(_.length === 8)))
+    val encoded = Similarity.pqEncode(withPlanted, "vec_id", "embedding", model)
+      .cache()
+    assert(encoded.count() === withPlanted.count())
+    // query batch = the 10 planted near-copies
+    val queries = planted.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray))
+    val got = Similarity.pqSearch(encoded, model, queries, k = 10)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    queries.foreach { case (qid, _) =>
+      // self-retrieval: own code distance = quantization error → top-10
+      assert(got(qid).contains(qid), s"query $qid lost itself: ${got(qid)}")
+      // planted recovery: the original (cos ≈ 0.999) must be in the
+      // 10-deep candidate list — this is the dedup/ANN use case
+      assert(got(qid).contains(qid - 1000000L),
+        s"query $qid missed its planted original: ${got(qid)}")
+    }
+    encoded.unpersist(blocking = false)
+    withPlanted.unpersist(blocking = false)
+  }
 }
