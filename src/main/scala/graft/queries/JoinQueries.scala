@@ -132,6 +132,20 @@ object JoinQueries {
         .limit(10)
     }),
 
+    // Planner-control surface: SHUFFLE_HASH hint forces a shuffled hash
+    // join where sort-merge would be picked — the right call when one
+    // side is much smaller than the other but above the broadcast
+    // ceiling (hash-build beats sorting both sides; no sort, no spillable
+    // sort buffers). PlanSpec asserts the hint actually took effect.
+    "q_join_hash" -> ((s, d) => {
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d).hint("shuffle_hash"),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), Num.sumMoney(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q_asof_join" -> ((s, d) => {
       // point-in-time enrichment: each click gets the most recent purchase
       // (value + its ts) by the same user at or before the click. The
@@ -216,6 +230,11 @@ object JoinQueries {
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, o_orderdate, l_orderkey
          LIMIT 10""",
+    "q_join_hash" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_asof_join" ->
       """WITH r AS (SELECT user_id, ts, max(event_id) AS seq,
                            arg_max(value, event_id) AS v

@@ -61,6 +61,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("SHUFFLE_HASH hint forces a shuffled hash join") {
+    val p = planOf("q_join_hash")
+    assert(p.contains("ShuffledHashJoin"), p.take(900))
+  }
+
   test("no cartesian product outside the declared cross join") {
     val offenders = SparkEntry.queries.keys.filter { name =>
       name != "q_join_cross" && sourceOf(name).contains("CartesianProduct")

@@ -155,6 +155,30 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("range-partitioned write: files carry disjoint sorted key ranges") {
+    // The sorted-output write pattern: repartitionByRange + sortWithin-
+    // Partitions produces files whose key ranges are disjoint and
+    // internally sorted — what downstream range-pruning readers (and any
+    // external consumer expecting clustered output) rely on. A plain
+    // repartition would interleave keys across every file.
+    import org.apache.spark.sql.functions.spark_partition_id
+    val df = Tables.orders(spark, sf)
+      .repartitionByRange(8, col("o_custkey"))
+      .sortWithinPartitions("o_custkey", "o_orderkey")
+    val ranges = df
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(min("o_custkey").as("lo"), max("o_custkey").as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(ranges.map(_._4).sum === Tables.orders(spark, sf).count())
+    // disjoint, ordered ranges: each partition's lo exceeds the previous hi
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1, _), (_, lo2, _, _)) => assert(lo2 > hi1, ranges.mkString(","))
+      case _ =>
+    }
+  }
+
   test("parquet aggregate pushdown: MIN/MAX/COUNT answered from footer statistics") {
     // scan-level aggregate pushdown (DSv2 parquet path): a bare
     // min/max/count over an unfiltered scan reads row-group FOOTERS, not
