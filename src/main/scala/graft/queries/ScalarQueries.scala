@@ -73,6 +73,34 @@ object ScalarQueries {
         .orderBy("vec_id", "pos")
     }),
 
+    // OUTER generate: explode_outer keeps rows whose array is empty
+    // (NULL element) where plain explode silently drops them — the
+    // difference between "every order appears" and "orders with no items
+    // vanish" in flattening pipelines. Empty arrays constructed
+    // deterministically via vec_id % 3.
+    "q_explode_outer" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          slice(col("embedding"), lit(1), (col("vec_id") % 3).cast("int")).as("a"))
+        .select(col("vec_id"), explode_outer(col("a")).as("x"))
+        .select(col("vec_id"), col("x").cast("double").as("x"))
+        .orderBy("vec_id", "x")
+    }),
+
+    // Series generation: explode(sequence(...)) — the date-spine idiom
+    // (calendar joins, gap filling). Bounded: 4 days per order over a
+    // keyed slice of orders.
+    "q_date_series" -> ((s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 20)
+        .select(col("o_orderkey"),
+          explode(sequence(
+            to_date(col("o_orderdate")),
+            date_add(to_date(col("o_orderdate")), 3),
+            expr("interval 1 day"))).as("d"))
+        .orderBy("o_orderkey", "d")
+    }),
+
     "q_map_fns" -> ((s, d) => {
       val m = map(
         lit("BUILDING"), lit(1), lit("AUTOMOBILE"), lit(2), lit("MACHINERY"), lit(3),
@@ -173,6 +201,20 @@ object ScalarQueries {
                 CAST(embedding[g.i] AS DOUBLE) AS val
          FROM embeddings, (SELECT unnest(generate_series(1, 4)) AS i) g
          ORDER BY vec_id, pos""",
+    "q_explode_outer" ->
+      """SELECT e.vec_id, CAST(u.x AS DOUBLE) AS x
+         FROM (SELECT vec_id, embedding[1:CAST(vec_id % 3 AS INT)] AS a
+               FROM embeddings) e
+         LEFT JOIN LATERAL (SELECT unnest(e.a) AS x) u ON true
+         ORDER BY vec_id, x""",
+    "q_date_series" ->
+      """SELECT o_orderkey, CAST(u.d AS DATE) AS d
+         FROM orders, LATERAL (
+           SELECT unnest(generate_series(CAST(o_orderdate AS DATE),
+                                         CAST(o_orderdate AS DATE) + 3,
+                                         INTERVAL 1 DAY)) AS d) u
+         WHERE o_orderkey < 20
+         ORDER BY o_orderkey, d""",
     "q_map_fns" ->
       """SELECT c_custkey,
                 CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'AUTOMOBILE' THEN 2
