@@ -47,6 +47,23 @@ object Sampling {
                  seed: Long = 0L): DataFrame =
     df.filter(bucketOf(col(keyCol), seed) < lit((fraction * M).toLong))
 
+  /** Deterministic WEIGHTED Bernoulli sample: row i is kept with
+    * probability `weight_i` (clamped to [0,1]) — quality-weighted corpus
+    * selection, where high-quality documents are (almost) always kept
+    * and low-quality ones are kept at their score. Same keyed-hash
+    * discipline as [[hashSample]]: the decision is a pure function of
+    * (key, seed, weight), so it replays identically across runs, task
+    * retries, and external engines, and it stays a narrow per-row filter
+    * at any corpus size. The inclusion check multiplies the weight up to
+    * bucket space (exact in double for weights with ≤ 32 significant
+    * bits) rather than dividing the bucket down — one fewer rounding.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column,
+                     seed: Long = 0L): DataFrame = {
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    df.filter(bucketOf(col(keyCol), seed) < (w * lit(M.toDouble)))
+  }
+
   /** Train/validation/test split label from cumulative fractions, e.g.
     * `fractions = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)`.
     * Labels are assigned by half-open bucket ranges, so the split is a

@@ -319,6 +319,18 @@ object PipelineQueries {
             Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125)).as("split"))
         .orderBy("doc_id")),
 
+    // Quality-weighted deterministic sampling: longer documents stand in
+    // for higher-quality ones (weight = n_chars/500, clamped) — the
+    // quality-proportional corpus selection step, keyed so every run /
+    // retry / engine replays the same keep-set. Both engines evaluate
+    // the identical IEEE sequence (int/500.0, ×2^32, compare), so the
+    // boundary cannot drift.
+    "q_weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(Tables.documents(s, d), "doc_id",
+          col("n_chars") / lit(500.0))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")),
+
     // Deterministic epoch shuffle (Sampling.epochShuffle order): the
     // reproducible permutation a training job uses to randomize example
     // order per epoch. Position comes from Sampling.withGlobalRank's
@@ -610,6 +622,14 @@ object PipelineQueries {
          SELECT min(doc_id) AS doc_id, min(quality) AS quality,
                 min(n_bpe) AS n_bpe
          FROM f GROUP BY text ORDER BY doc_id""",
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars,
+                  (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS b,
+                  least(greatest(n_chars / 500.0, 0.0), 1.0) AS w
+           FROM documents) t
+         WHERE b < w * 4294967296.0
+         ORDER BY doc_id""",
     "q_split_sample" ->
       """SELECT doc_id,
                 CASE WHEN b < 3221225472 THEN 'train'

@@ -83,6 +83,29 @@ class ComponentsSpec extends SparkSpec {
     assert(starComps(edges) === verts.map(v => v -> find(v)).toMap)
   }
 
+  test("both algorithms match union-find on a 2000-vertex mixed-shape graph") {
+    // larger deterministic graph mixing sparse random edges (many small
+    // components), one long chain (diameter stress), and one star hub
+    var x = 2024L
+    def next(m: Long): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L; (x >>> 33) % m
+    }
+    val random = Seq.fill(900)((next(2000), next(2000)))
+    val chain = (1500L until 1560L).map(i => (i, i + 1))
+    val hub = (1L until 40L).map(i => (1700L, 1700L + i))
+    val edges = (random ++ chain ++ hub).filter { case (a, b) => a != b }
+    val parent = collection.mutable.Map.empty[Long, Long].withDefault(identity)
+    def find(v: Long): Long = if (parent(v) == v) v else { val r = find(parent(v)); parent(v) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = verts.map(v => v -> find(v)).toMap
+    assert(comps(edges, maxIter = 80) === want)
+    assert(starComps(edges) === want)
+  }
+
   test("star contraction needs far fewer rounds than hash-to-min on a path") {
     // 0-1-2-...-40: diameter 40. hash-to-min propagates the min one hop
     // per round (O(diameter)); star contraction halves component height
