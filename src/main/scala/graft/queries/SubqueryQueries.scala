@@ -81,6 +81,23 @@ object SubqueryQueries {
            ORDER BY o_orderkey""")
     }),
 
+    // Recursive CTE (Spark 4): an ancestor walk over the implicit binary
+    // hierarchy parent(k) = k div 2 — per-row varying recursion depth
+    // (≈ log2(custkey) levels), the acyclic shape Spark's UNION ALL
+    // recursion supports today (UNION-distinct fixpoints, e.g. cyclic
+    // graph closure, still raise UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE —
+    // that use case runs through operators.Components instead).
+    "q_recursive_cte" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      s.sql(
+        """WITH RECURSIVE anc(key, a, depth) AS (
+             SELECT c_custkey, c_custkey, 0 FROM customer
+             UNION ALL
+             SELECT key, a DIV 2, depth + 1 FROM anc WHERE a > 0)
+           SELECT key, max(depth) AS levels, min(a) AS root
+           FROM anc GROUP BY key ORDER BY key""")
+    }),
+
     // Correlated SCALAR subqueries: orders above their own customer's
     // average order price. avg() on DOUBLE is summation-order-dependent,
     // so the comparison is algebraically rearranged into exact decimal:
@@ -130,6 +147,13 @@ object SubqueryQueries {
          LEFT JOIN LATERAL (SELECT max(l.l_quantity) AS mq FROM lineitem l
                             WHERE l.l_orderkey = o.o_orderkey) t ON true
          ORDER BY o_orderkey""",
+    "q_recursive_cte" ->
+      """WITH RECURSIVE anc(key, a, depth) AS (
+           SELECT c_custkey, c_custkey, 0 FROM customer
+           UNION ALL
+           SELECT key, a // 2, depth + 1 FROM anc WHERE a > 0)
+         SELECT key, max(depth) AS levels, min(a) AS root
+         FROM anc GROUP BY key ORDER BY key""",
     "q_scalar_corr" ->
       """SELECT o_orderkey, o_custkey FROM orders o
          WHERE CAST(o.o_totalprice AS DECIMAL(18,2))
