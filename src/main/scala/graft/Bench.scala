@@ -92,11 +92,11 @@ object Bench {
     // omit the errors map when empty — every byte counts against the tail
     val errPart = if (errs == "{}") "" else s""","errors":$errs"""
     val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"queries":$qs$errPart,"sf":"$sfDir"}"""
-    // Failsafe when the corpus outgrows the tail budget: re-emit with the
-    // uniform "q_" name prefix stripped (recoverable — every query name
-    // has it) and 1-decimal seconds. ~280 chars of headroom at the
-    // current 82 queries; the compact form buys ~25 more queries before
-    // this trips.
+    // Failsafes when the corpus outgrows the tail budget (at 100+
+    // queries the full form exceeds it every run): tier 2 re-emits with
+    // the uniform "q_" name prefix stripped (recoverable -- every query
+    // name has it) and 1-decimal seconds; tier 3 (below) goes to integer
+    // centiseconds.
     val sfShort = sfDir.split('/').last
     val compact = {
       val qs1 = results.map { case (k, v, _) =>

@@ -150,6 +150,24 @@ object Components {
                               maxIter: Int = 50): DataFrame =
     starWithRounds(edges, aCol, bCol, maxIter)._1
 
+  /** Structural fixpoint test for the star alternation: the edge set is
+    * a union of stars iff (1) every child has exactly one parent and
+    * (2) no parent is itself a child (no 2-chains). Two bounded-count
+    * jobs over the cached edge set — used only as the fallback when an
+    * Observation's metrics are missed.
+    */
+  private def isStarFixpoint(ee: DataFrame): Boolean = {
+    val multiParent = ee.groupBy("u").agg(countDistinct("v").as("c"))
+      .filter(col("c") > 1).limit(1).count() > 0
+    if (multiParent) false
+    else {
+      val chained = ee.join(
+          ee.select(col("u").as("pu")), col("v") === col("pu"), "left_semi")
+        .limit(1).count() > 0
+      !chained
+    }
+  }
+
   private[graft] def starWithRounds(
       edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int): (DataFrame, Int) = {
@@ -199,11 +217,18 @@ object Components {
         .localCheckpoint()
       ls.unpersist(blocking = false)
       ee = ss
-      // -1 = metrics missed: can't prove fixpoint this round, keep going
-      // (maxIter still bounds the loop)
       val cl = observedCount(obsL).getOrElse(-1L)
       val cs = observedCount(obsS).getOrElse(-1L)
-      changed = if (cl == 0L && cs == 0L) 0L else math.max(1L, cl.max(cs))
+      changed =
+        if (cl == 0L && cs == 0L) 0L
+        else if (cl >= 0L && cs >= 0L) math.max(1L, cl.max(cs))
+        // metrics missed (listener bus dropped the CollectMetrics events):
+        // fall back to an explicit structural fixpoint check over the
+        // checkpointed edge set — same degradation discipline as
+        // hash-to-min's explicit count — so a converged run can never be
+        // misreported as non-convergence
+        else if (isStarFixpoint(ee)) 0L
+        else 1L
       iter += 1
     }
     if (changed > 0)

@@ -479,9 +479,12 @@ object Similarity {
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int = 8,
               codes: Int = 16, sampleMod: Int = 4,
               trainIters: Int = 3): PQModel = {
+    // zero-norm guard mirrors pqEncode: 0/0 would write NaN subvectors
+    // into whichever codebook cell absorbs them, silently poisoning it
     val v = normed(df, idCol, vecCol)
-      .select(col("id"), zip_with(col("v"),
-        array_repeat(col("nrm"), size(col("v"))), (x, n) => x / n).as("v"))
+      .select(col("id"), when(col("nrm") === 0, col("v"))
+        .otherwise(zip_with(col("v"),
+          array_repeat(col("nrm"), size(col("v"))), (x, n) => x / n)).as("v"))
     val dim = v.select(size(col("v"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m

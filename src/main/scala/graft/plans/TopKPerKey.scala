@@ -35,10 +35,11 @@ import org.apache.spark.sql.types.IntegerType
   *     memory stays bounded at flushThreshold×k rows with correctness
   *     unchanged (a flush only weakens the reduction, never drops a
   *     global top-k candidate).
-  *   - final (reduce side): requires `ClusteredDistribution(keys)` (the
-  *     planner inserts the one hash exchange), re-heaps the ≤ k
-  *     candidates per key, and emits each key's rows best-first with a
-  *     1-based `rank` column appended.
+  *   - final (reduce side): requires `ClusteredDistribution(keys)` AND
+  *     (keys, order) child ordering — the planner inserts the one hash
+  *     exchange plus a spillable sort over the ≤ k survivors per key —
+  *     then streams: the first k rows of each key run are the top-k,
+  *     rank = position. Reducer state is O(1).
   *
   * At 100 TB the win is the shuffle: grouping 10^9 orders per customer
   * for top-3 ships 3 rows per customer instead of every order, and no
@@ -163,9 +164,15 @@ case class TopKPerKeyPartialExec(keys: Seq[Expression], order: Seq[SortOrder],
     copy(child = newChild)
 }
 
-/** Reduce side: after the hash exchange on `keys`, re-heaps the ≤ k
-  * surviving candidates per key and emits them best-first with the
-  * 1-based rank appended.
+/** Reduce side: after the hash exchange on `keys`, a STREAMING pass.
+  * `requiredChildOrdering` asks the planner for (keys, order) ordering —
+  * EnsureRequirements plants Spark's spillable SortExec over the ≤ k
+  * rows per key the partial side lets through — so rows arrive grouped
+  * by key and already best-first: emission is "first k rows of each key
+  * run, rank = position". Reducer memory is O(1) (current key + a
+  * counter); an earlier hash-of-heaps design buffered every key's heap
+  * in an unspillable map, which OOMs on near-unique keys where the
+  * map-side reduction can't shrink anything.
   */
 case class TopKPerKeyFinalExec(keys: Seq[Expression], order: Seq[SortOrder],
                                k: Int, rankAttr: AttributeReference,
@@ -173,31 +180,29 @@ case class TopKPerKeyFinalExec(keys: Seq[Expression], order: Seq[SortOrder],
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(keys.map(SortOrder(_, Ascending)) ++ order)
   override protected def doExecute(): RDD[InternalRow] = {
-    val (ks, so, attrs, kk) = (keys, order, child.output, k)
+    val (ks, attrs, kk) = (keys, child.output, k)
     val outAttrs = output
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(ks, attrs)
-      val ord = new LazilyGeneratedOrdering(so, attrs)
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      it.foreach { row =>
-        val key = keyProj(row)
-        heaps.get(key) match {
-          case Some(pq) => TopKHeaps.offer(pq, row, kk, ord)
-          case None =>
-            val pq = mutable.PriorityQueue.empty[InternalRow](ord)
-            TopKHeaps.offer(pq, row, kk, ord)
-            heaps.put(key.copy(), pq)
-        }
-      }
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
-      heaps.values.toArray.iterator.flatMap { pq =>
-        TopKHeaps.drain(pq).iterator.zipWithIndex.map { case (row, i) =>
-          rankRow.update(0, i + 1)
-          outProj(joined(row, rankRow))
+      var currentKey: UnsafeRow = null
+      var emitted = 0
+      it.flatMap { row =>
+        val key = keyProj(row)
+        if (currentKey == null || currentKey != key) {
+          currentKey = key.copy()
+          emitted = 0
         }
+        if (emitted < kk) {
+          emitted += 1
+          rankRow.update(0, emitted)
+          Iterator.single(outProj(joined(row, rankRow)))
+        } else Iterator.empty
       }
     }, preservesPartitioning = true)
   }

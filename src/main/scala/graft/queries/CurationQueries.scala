@@ -16,6 +16,23 @@ object CurationQueries {
 
   private val docs = (s: SparkSession, d: String) => Tables.documents(s, d)
 
+  /** Duplicate-3-gram fraction of a tokens column `w` (requires
+    * size(w) >= 3) — shared by q_rep_ratio and the composed
+    * q_curate_full so the gate and the standalone score can never
+    * drift apart.
+    */
+  private def repExpr(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lit(1.0) - size(array_distinct(transform(
+      sequence(lit(0), size(w) - 3),
+      i => array_join(slice(w, i + lit(1), lit(3)), " "))))
+      .cast("double") / (size(w) - 2).cast("double")
+
+  /** DuckDB spelling of [[repExpr]] over a list column `w`. */
+  private val repSql: String =
+    """1.0 - len(list_distinct(list_transform(range(len(w) - 2),
+             i -> array_to_string(w[i+1:i+3], ' '))))
+           / (len(w) - 2)"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-source document cap (crawl curation: no domain may dominate the
     // corpus). Deterministic keep-set: the k lowest doc_ids per source.
@@ -39,13 +56,7 @@ object CurationQueries {
       docs(s, d)
         .select(col("doc_id"), w.as("w"))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id"),
-          round(lit(1.0) -
-            size(array_distinct(transform(
-              sequence(lit(0), size(col("w")) - 3),
-              i => array_join(slice(col("w"), i + lit(1), lit(3)), " "))))
-              .cast("double") / (size(col("w")) - 2).cast("double"),
-            6).as("rep"))
+        .select(col("doc_id"), round(repExpr(col("w")), 6).as("rep"))
         .orderBy("doc_id")
     }),
 
@@ -108,11 +119,7 @@ object CurationQueries {
       val scored = docs(s, d)
         .select(col("doc_id"), col("lang"), col("source"), w.as("w"))
         .filter(size(col("w")) >= 3)
-        .withColumn("rep",
-          lit(1.0) - size(array_distinct(transform(
-            sequence(lit(0), size(col("w")) - 3),
-            i => array_join(slice(col("w"), i + lit(1), lit(3)), " "))))
-            .cast("double") / (size(col("w")) - 2).cast("double"))
+        .withColumn("rep", repExpr(col("w")))
         .filter(col("rep") <= 0.05)
       val capW = Window.partitionBy("source").orderBy("doc_id")
       scored
@@ -132,11 +139,8 @@ object CurationQueries {
            FROM documents) t
          WHERE rn <= 10 ORDER BY doc_id""",
     "q_rep_ratio" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-         SELECT doc_id,
-                round(1.0 - len(list_distinct(list_transform(range(len(w) - 2),
-                        i -> array_to_string(w[i+1:i+3], ' '))))
-                      / (len(w) - 2), 6) AS rep
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         SELECT doc_id, round($repSql, 6) AS rep
          FROM t WHERE len(w) >= 3 ORDER BY doc_id""",
     "q_seq_pack" ->
       """WITH t AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS toks
@@ -147,13 +151,10 @@ object CurationQueries {
                            / 512) AS BIGINT) AS bin
          FROM t ORDER BY doc_id""",
     "q_curate_full" ->
-      """WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+      s"""WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w
                     FROM documents),
             q AS (SELECT doc_id, lang, source, w FROM t
-                  WHERE len(w) >= 3
-                    AND 1.0 - len(list_distinct(list_transform(range(len(w) - 2),
-                            i -> array_to_string(w[i+1:i+3], ' '))))
-                          / (len(w) - 2) <= 0.05),
+                  WHERE len(w) >= 3 AND $repSql <= 0.05),
             capped AS (SELECT doc_id, lang, source, len(w) AS toks,
                               row_number() OVER (PARTITION BY source
                                                  ORDER BY doc_id) AS rn

@@ -130,6 +130,17 @@ object RelationalQueries {
     }),
   )
 
+  // shared by q_topk_group (window idiom) and q_topk_native (custom
+  // operator): the equivalence claim IS the shared oracle — editing one
+  // without the other must be impossible
+  private val topkOracle: String =
+    """SELECT o_custkey, o_orderkey, rn FROM (
+         SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+         FROM orders) t
+       WHERE rn <= 3 ORDER BY o_custkey, rn"""
+
   val oracles: Map[String, String] = Map(
     "q_proj_filter" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net_price
@@ -154,20 +165,8 @@ object RelationalQueries {
     "q_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50""",
-    "q_topk_group" ->
-      """SELECT o_custkey, o_orderkey, rn FROM (
-           SELECT o_custkey, o_orderkey,
-                  row_number() OVER (PARTITION BY o_custkey
-                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-           FROM orders) t
-         WHERE rn <= 3 ORDER BY o_custkey, rn""",
-    "q_topk_native" ->
-      """SELECT o_custkey, o_orderkey, rn FROM (
-           SELECT o_custkey, o_orderkey,
-                  row_number() OVER (PARTITION BY o_custkey
-                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-           FROM orders) t
-         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_topk_group" -> topkOracle,
+    "q_topk_native" -> topkOracle,
     "q_union_all" ->
       """SELECT name FROM (
            SELECT n_name AS name FROM nation UNION ALL SELECT r_name AS name FROM region) t

@@ -67,13 +67,29 @@ private[sources] class Pm25ScanBuilder(path: String)
 
 private[sources] class Pm25Scan(path: String, required: StructType)
     extends Scan with Batch {
+  // The SESSION's Hadoop configuration, not a bare `new Configuration()`:
+  // spark.hadoop.* settings (object-store credentials/endpoints, HA
+  // nameservices, fs impls) must reach both the driver-side listing and
+  // the executor-side readers. Shipped to readers as a Map — Hadoop's
+  // Configuration is not Serializable.
+  private val hadoopProps: Map[String, String] = {
+    import scala.collection.JavaConverters._
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+  private def hadoopConf(): Configuration = {
+    val c = new Configuration(false)
+    hadoopProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
   override def readSchema(): StructType = required
   override def description(): String =
     s"pm25 cols=[${required.fieldNames.mkString(",")}]"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf())
     val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
@@ -81,18 +97,21 @@ private[sources] class Pm25Scan(path: String, required: StructType)
     files.map(f => Pm25Partition(f): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new Pm25ReaderFactory(required.fieldNames)
+    new Pm25ReaderFactory(required.fieldNames, hadoopProps)
 }
 
 private[sources] case class Pm25Partition(file: String) extends InputPartition
 
-private[sources] class Pm25ReaderFactory(requiredNames: Array[String])
+private[sources] class Pm25ReaderFactory(requiredNames: Array[String],
+                                          hadoopProps: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new Pm25Reader(partition.asInstanceOf[Pm25Partition].file, requiredNames)
+    new Pm25Reader(partition.asInstanceOf[Pm25Partition].file, requiredNames,
+      hadoopProps)
 }
 
-private[sources] class Pm25Reader(file: String, requiredNames: Array[String])
+private[sources] class Pm25Reader(file: String, requiredNames: Array[String],
+                                  hadoopProps: Map[String, String])
     extends PartitionReader[InternalRow] {
   // source-position and type per required field, resolved once
   private val fieldIdx: Array[Int] = requiredNames.map { n =>
@@ -105,7 +124,9 @@ private[sources] class Pm25Reader(file: String, requiredNames: Array[String])
 
   private val in = {
     val p = new Path(file)
-    val fs = p.getFileSystem(new Configuration())
+    val conf = new Configuration(false)
+    hadoopProps.foreach { case (k, v) => conf.set(k, v) }
+    val fs = p.getFileSystem(conf)
     new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
   }
   private var current: InternalRow = _
