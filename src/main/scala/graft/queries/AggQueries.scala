@@ -218,6 +218,77 @@ object AggQueries {
     // linear interpolation at rank p*(n-1) over the sorted group. Exact
     // percentile sorts each group's values; at 100 TB prefer the
     // approx_percentile sketch unless exactness is contractual.
+    // LISTAGG ... WITHIN GROUP (Spark 4's ANSI ordered string
+    // aggregation — a distinct code path from collect_list+sort: the
+    // SortOrder is inside the aggregate, so the partial/final merge keeps
+    // per-group buffers ordered instead of sorting a collected array).
+    "q_listagg" -> ((s, d) => {
+      Tables.nation(s, d).createOrReplaceTempView("nation")
+      Tables.region(s, d).createOrReplaceTempView("region")
+      s.sql(
+        """SELECT r_name,
+                  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                    AS members
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name ORDER BY r_name""")
+    }),
+
+    // Linear-regression aggregates (regr_* family) — single-pass
+    // covariance-form statistics; partial+final mergeable like any
+    // algebraic aggregate, so they scale as one shuffle of 6 doubles
+    // per group regardless of row count.
+    "q_regr" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("regr_count(l_extendedprice, l_quantity)").as("n"),
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6).as("icept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+          round(expr("regr_avgx(l_extendedprice, l_quantity)"), 6).as("avgx"),
+          round(expr("regr_avgy(l_extendedprice, l_quantity)"), 6).as("avgy"))
+        .orderBy("l_returnflag")),
+
+    // Boolean and bitwise aggregates — bool_and/bool_or short-circuit
+    // logically but still run as one-byte partial aggregates; bit_*
+    // fold 8-byte words. Both are order-insensitive (commutative,
+    // associative) so shuffle order can't change the result.
+    "q_bool_bit" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          bool_and(col("value") > 0).as("all_pos"),
+          bool_or(col("value") > 99).as("any_big"),
+          bit_and(col("user_id")).as("uid_and"),
+          bit_or(col("user_id")).as("uid_or"),
+          bit_xor(col("event_id")).as("eid_xor"))
+        .orderBy("event_type")),
+
+    // Mergeable HLL sketches (DataSketches hll_sketch_agg/hll_union_agg
+    // — vs q_approx_distinct's opaque approx_count_distinct): per
+    // (flag, status) sub-sketches are unioned to per-flag estimates,
+    // the pre-aggregate-then-merge shape of a 100 TB rollup where daily
+    // sketch bytes are stored and unioned at query time. The verifiable
+    // projection is the accuracy contract (±5 % of exact), not the
+    // sketch bytes.
+    "q_hll_band" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """WITH sub AS (SELECT l_returnflag, l_linestatus,
+                               hll_sketch_agg(l_orderkey) AS sk
+                        FROM lineitem GROUP BY 1, 2),
+                m AS (SELECT l_returnflag,
+                             hll_sketch_estimate(hll_union_agg(sk)) AS est
+                      FROM sub GROUP BY 1),
+                e AS (SELECT l_returnflag,
+                             count(DISTINCT l_orderkey) AS exact_ord
+                      FROM lineitem GROUP BY 1)
+           SELECT e.l_returnflag, e.exact_ord,
+                  abs(m.est - e.exact_ord) <= 0.05 * e.exact_ord AS in_band
+           FROM e JOIN m USING (l_returnflag)
+           ORDER BY l_returnflag""")
+    }),
+
     "q_percentile" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -310,6 +381,32 @@ object AggQueries {
       """SELECT event_type AS top_type, true AS sketch_has_top
          FROM events GROUP BY event_type
          ORDER BY count(*) DESC, event_type LIMIT 1""",
+    "q_listagg" ->
+      """SELECT r_name,
+                string_agg(n_name, ',' ORDER BY n_name) AS members
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q_regr" ->
+      """SELECT l_returnflag,
+                regr_count(l_extendedprice, l_quantity) AS n,
+                round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+                round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
+                round(regr_avgy(l_extendedprice, l_quantity), 6) AS avgy
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_bool_bit" ->
+      """SELECT event_type,
+                bool_and(value > 0) AS all_pos,
+                bool_or(value > 99) AS any_big,
+                bit_and(user_id) AS uid_and,
+                bit_or(user_id) AS uid_or,
+                bit_xor(event_id) AS eid_xor
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_hll_band" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_ord,
+                true AS in_band
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_percentile" ->
       """SELECT l_returnflag,
                 round(quantile_cont(l_quantity, 0.25), 6) AS p25,

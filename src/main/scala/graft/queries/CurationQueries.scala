@@ -107,6 +107,58 @@ object CurationQueries {
             "[ENTITY]").as("redacted"))
         .orderBy("doc_id")),
 
+    // Benchmark decontamination: flag corpus documents sharing any word
+    // 4-gram with a held-out benchmark set (stand-in: doc_id % 10 == 0 —
+    // the synthetic corpus has no real benchmark, but the operator shape
+    // is exactly the n-gram-overlap decontamination run before
+    // pretraining). Scale design: each side explodes to (gram-hash,
+    // doc_id) rows — xxhash64 narrows the shuffle row to 16 bytes vs the
+    // full gram string, at a 2^-64 false-positive risk per pair, the
+    // same accepted trade as MinHash dedup — the benchmark side is
+    // distinct-ed (small: |benchmark grams|) and the join is a plain
+    // equi-join on the hash that AQE broadcasts when the benchmark fits.
+    // No driver-side data path. (4-grams, not the 8-13 of production
+    // decontamination: corpus-calibrated so the synthetic vocab yields
+    // hits at test sf.)
+    "q_decontaminate" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      def grams(w: org.apache.spark.sql.Column) =
+        transform(sequence(lit(0), size(w) - 4),
+          i => xxhash64(array_join(slice(w, i + lit(1), lit(4)), " ")))
+      val base = docs(s, d)
+        .filter(size(toks) >= 4)
+        .select(col("doc_id"), explode(grams(toks)).as("g"))
+      val bench = base.filter(col("doc_id") % 10 === 0)
+        .select("g").distinct()
+      base.filter(col("doc_id") % 10 =!= 0)
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_hit"))
+        .orderBy("doc_id")
+    }),
+
+    // Fixed-token-window chunking with overlap (window 32, stride 24) —
+    // the pre-tokenizer split of long documents into training sequences.
+    // Chunk starts are stride multiples; the final chunk is the first
+    // one whose window reaches the end, so every token lands in ≥1 chunk
+    // and no chunk is fully contained in its predecessor. All codegen'd
+    // array expressions + one generator — map-only at any corpus size,
+    // no shuffle before the contract sort.
+    "q_chunk_docs" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      val nChunks =
+        floor((greatest(size(col("w")) - lit(32), lit(0)) + lit(23)) / lit(24))
+          .cast("int") + 1
+      docs(s, d)
+        .select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), nChunks - 1),
+            i => array_join(slice(col("w"), i * 24 + 1, lit(32)), " "))))
+        .withColumnRenamed("pos", "chunk_id")
+        .withColumnRenamed("col", "chunk")
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // The curation DAG end-to-end: repetition-quality gate → per-source
     // cap → packing-ready token counts, composed exactly as a production
     // corpus build would chain them. Each stage is individually
@@ -161,6 +213,25 @@ object CurationQueries {
                        FROM q)
          SELECT doc_id, lang, source, toks FROM capped
          WHERE rn <= 15 ORDER BY doc_id""",
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           g AS (SELECT doc_id,
+                        unnest(list_transform(range(len(w) - 3),
+                          i -> array_to_string(w[i+1:i+4], ' '))) AS g
+                 FROM t WHERE len(w) >= 4),
+           b AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0)
+         SELECT doc_id, count(DISTINCT g) AS n_hit
+         FROM g JOIN b USING (g)
+         WHERE doc_id % 10 <> 0
+         GROUP BY doc_id ORDER BY doc_id""",
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+                           (greatest(len(string_split(text, ' ')) - 32, 0) + 23) // 24 + 1 AS nc
+                    FROM documents),
+           g AS (SELECT doc_id, w, unnest(range(nc)) AS i FROM t)
+         SELECT doc_id, i AS chunk_id,
+                array_to_string(w[i*24+1:i*24+32], ' ') AS chunk
+         FROM g ORDER BY doc_id, chunk_id""",
     "q_edit_distance" ->
       """SELECT doc_id,
                 levenshtein(substr(text, 1, 64),
