@@ -45,29 +45,35 @@ object Bench {
     // and the remaining reps are skipped.
     val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
-    val results = SparkEntry.queries.toSeq
+    // Reps are interleaved as FULL SWEEPS (run the whole corpus, then
+    // run it again), not back-to-back per query: session transients —
+    // a major GC, a JIT deopt storm as 120 codegen'd plans fill the
+    // code cache — last seconds, so three consecutive reps of one query
+    // can all land inside the same bad window and min() keeps the
+    // inflated number (observed: a query timing 6.2 s min-of-3
+    // consecutive but 0.8 s in isolation). Across sweeps minutes apart,
+    // a transient would have to recur at the same query three times.
+    val names = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      var best = Double.MaxValue
-      var err: Option[String] = None
-      var rep = 0
-      while (rep < reps && err.isEmpty) {
-        val t0 = System.nanoTime()
-        // noop sink, not count(): count() lets Catalyst prune projections
-        // entirely for narrow queries, under-measuring expression work;
-        // noop materializes every output column.
-        err = try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          None
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          Some(e.toString.replaceAll("[\\r\\n\\t]", " ").take(300))
-        }
+    val best = scala.collection.mutable.Map[String, Double]()
+    val firstErr = scala.collection.mutable.Map[String, String]()
+    for (sweep <- 0 until reps; (name, fn) <- names
+         if !firstErr.contains(name)) {
+      val t0 = System.nanoTime()
+      // noop sink, not count(): count() lets Catalyst prune projections
+      // entirely for narrow queries, under-measuring expression work;
+      // noop materializes every output column.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        if (err.isEmpty && dt < best) best = dt
-        rep += 1
+        if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: $e")
+        firstErr(name) = e.toString.replaceAll("[\\r\\n\\t]", " ").take(300)
       }
-      (name, if (best == Double.MaxValue) 0.0 else best, err)
+    }
+    val results = names.map { case (name, _) =>
+      (name, best.getOrElse(name, 0.0), firstErr.get(name))
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
@@ -117,10 +123,36 @@ object Bench {
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"qunit":"cs","note":"q_ stripped; queries in centisec","queries":$qs2$errPart,"sf":"$sfShort"}"""
     }
+    // Final fallback for a corpus too large for ANY full per-query map
+    // (at 120 queries even centiseconds overflow the tail): keep the
+    // slowest queries individually — they are what perf judgment reads —
+    // and fold the rest into an explicit "other_cs" remainder plus an
+    // "omitted" count, so nothing is silently dropped and the total
+    // still reconciles. Greedy by descending time until the line fits.
+    def topTier(budget: Int): String = {
+      val sorted = results.sortBy(-_._2)
+      def render(keep: Int): String = {
+        val (top, rest) = sorted.splitAt(keep)
+        val qs3 = top.map { case (k, v, _) =>
+          "\"" + k.stripPrefix("q_") + "\":" + math.round(v * 100)
+        }.mkString("{", ",", "}")
+        val otherCs = math.round(rest.map(_._2).sum * 100)
+        s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"qunit":"cs","note":"q_ stripped; slowest ${top.size} of ${results.size} shown","other_cs":$otherCs,"omitted":${rest.size},"queries":$qs3$errPart,"sf":"$sfShort"}"""
+      }
+      var keep = sorted.length
+      var out = render(keep)
+      while (out.length > budget && keep > 0) {
+        // shrink in steps proportional to the overflow (~18 chars/entry)
+        keep = math.max(0, keep - math.max(1, (out.length - budget) / 18))
+        out = render(keep)
+      }
+      out
+    }
     val json =
       if (full.length <= 1800) full
       else if (compact.length <= 1850) compact
-      else centi
+      else if (centi.length <= 1850) centi
+      else topTier(1780)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     spark.stop()

@@ -23,6 +23,7 @@ object SparkEntry {
       AggQueries.defs ++
       WindowQueries.defs ++
       ScalarQueries.defs ++
+      StatsQueries.defs ++
       KMeansQueries.defs ++
       PipelineQueries.defs ++
       CurationQueries.defs ++
@@ -39,6 +40,7 @@ object SparkEntry {
       AggQueries.oracles ++
       WindowQueries.oracles ++
       ScalarQueries.oracles ++
+      StatsQueries.oracles ++
       KMeansQueries.oracles ++
       PipelineQueries.oracles ++
       CurationQueries.oracles ++

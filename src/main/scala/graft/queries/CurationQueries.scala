@@ -181,6 +181,32 @@ object CurationQueries {
           size(col("w")).as("toks"))
         .orderBy("doc_id")
     }),
+
+    // Unigram language-model scoring — the perplexity-proxy quality
+    // filter (production pipelines score against a KenLM n-gram model;
+    // the unigram variant is the same dataflow with the model TRAINED
+    // IN-QUERY on the corpus itself). avg log p(tok) = avg(ln tf) −
+    // ln(total): two corpus scans + one vocab-sized join that AQE
+    // broadcasts when the vocabulary fits (natural text: ~1e6 words ≪
+    // corpus), else shuffles on the token — never on the document. The
+    // ln values sum through DECIMAL so partial-aggregation order cannot
+    // move a bit; ln itself is a per-engine libm call, guarded by the
+    // 1e-10 quantization (≫ 1-ulp libm divergence) before the sum.
+    "q_unigram_lm" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+      val total = freq.agg(sum("tf").as("tot"))
+      toks.join(freq, "tok")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(round(
+          sum(expr("CAST(ln(CAST(tf AS DOUBLE)) AS DECIMAL(28,10))"))
+            .cast("double") / count(lit(1)) -
+            first(expr("ln(CAST(tot AS DOUBLE))")), 6).as("lm_score"))
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -245,5 +271,18 @@ object CurationQueries {
                 regexp_replace(text, '\b(customer|supplier|user)\b',
                                '[ENTITY]', 'g') AS redacted
          FROM documents ORDER BY doc_id""",
+    "q_unigram_lm" ->
+      """WITH tok AS (SELECT doc_id,
+                             unnest(string_split(lower(text), ' ')) AS tok
+                      FROM documents),
+            f AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+            tot AS (SELECT sum(tf) AS tot FROM f)
+         SELECT doc_id,
+                round(CAST(sum(CAST(ln(tf) AS DECIMAL(28,10))) AS DOUBLE)
+                        / count(*)
+                      - ln(CAST((SELECT tot FROM tot) AS DOUBLE)),
+                      6) AS lm_score
+         FROM tok JOIN f USING (tok)
+         GROUP BY doc_id ORDER BY doc_id""",
   )
 }

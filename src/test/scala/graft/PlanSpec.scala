@@ -91,6 +91,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
+  test("flagship 6-table join: snowflake dims broadcast, date range reaches the orders scan") {
+    val p = planOf("q_tpch_q5")
+    // nation and region (and at this sf, supplier/customer too) must
+    // broadcast — the property that matters at 100 TB is that NO
+    // 25-row dim ever shuffles the fact side
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    // both ends of the o_orderdate range pushed into the orders scan
+    assert("GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(p).isDefined, p.take(2000))
+    assert("LessThan\\(o_orderdate".r.findFirstIn(p).isDefined, p.take(2000))
+    // revenue aggregates partial+final (no single-point agg)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("epoch shuffle ranks without a global single-partition window") {
     val df = SparkEntry.queries("q_epoch_shuffle")(spark, sf)
     val windows = df.queryExecution.optimizedPlan.collect {

@@ -155,6 +155,42 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime Bloom-filter prunes the fact side of a selective dim join") {
+    // Spark's InjectRuntimeFilter: when one join side carries a selective
+    // filter, build a Bloom filter over its join keys and push a
+    // might_contain() probe into the OTHER side's scan — at 100 TB this
+    // skips fact rows before the shuffle, the row-level analogue of
+    // dynamic partition pruning. Local thresholds are tuned for tiny
+    // test data; the PLAN SHAPE (a bloom-filter semi-filter under the
+    // fact scan) is the scale property.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // fact side must look "big enough to be worth filtering"
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.number.threshold" -> "10",
+      // force the shuffle-join path: broadcast joins get no bloom filter
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val dim = Tables.part(spark, sf).filter(col("p_size") === 10)
+      val fact = Tables.lineitem(spark, sf)
+      val joined = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").count()
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        "no bloom filter injected:\n" + optimized.take(1500))
+      // and the filtered plan computes exactly what the plain one does
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").count()
+      assert(joined.collect().toSet === plain.collect().toSet)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("range-partitioned write: files carry disjoint sorted key ranges") {
     // The sorted-output write pattern: repartitionByRange + sortWithin-
     // Partitions produces files whose key ranges are disjoint and
