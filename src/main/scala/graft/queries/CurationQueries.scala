@@ -207,6 +207,18 @@ object CurationQueries {
             first(expr("ln(CAST(tot AS DOUBLE))")), 6).as("lm_score"))
         .orderBy("doc_id")
     }),
+
+    // Character-class masking (Spark's mask(): upper→X, lower→x,
+    // digit→n, punctuation kept) — the shape-preserving PII transform
+    // used when downstream needs format validity (card/phone/ID fields)
+    // rather than q_redact's token replacement. Map-only at the scan.
+    // The corpus is ASCII, so the oracle's ASCII character classes are
+    // exactly Spark's unicode-aware ones.
+    "q_mask_pii" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          expr("mask(substring(text, 1, 40))").as("masked"))
+        .orderBy("doc_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -284,5 +296,12 @@ object CurationQueries {
                       6) AS lm_score
          FROM tok JOIN f USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
+    "q_mask_pii" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(
+                  substr(text, 1, 40),
+                  '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                  AS masked
+         FROM documents ORDER BY doc_id""",
   )
 }

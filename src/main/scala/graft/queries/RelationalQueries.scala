@@ -128,6 +128,20 @@ object RelationalQueries {
         .exceptAll(Tables.supplier(s, d).select(col("s_nationkey").as("nkey")))
         .orderBy("nkey")
     }),
+
+    // Spark 4 SQL pipe syntax (|> operators): syntax sugar over the same
+    // logical plan — WHERE before AGGREGATE lands as a pre-aggregation
+    // filter pushed to the scan exactly like the ANSI form, which is
+    // what the shared oracle proves.
+    "q_pipe_sql" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """FROM lineitem
+           |> WHERE l_quantity > 30
+           |> AGGREGATE sum(l_quantity) AS qty, count(*) AS n
+              GROUP BY l_returnflag
+           |> ORDER BY l_returnflag""")
+    }),
   )
 
   // shared by q_topk_group (window idiom) and q_topk_native (custom
@@ -187,5 +201,9 @@ object RelationalQueries {
     "q_except_all" ->
       """SELECT c_nationkey AS nkey FROM customer
          EXCEPT ALL SELECT s_nationkey AS nkey FROM supplier ORDER BY nkey""",
+    "q_pipe_sql" ->
+      """SELECT l_returnflag, sum(l_quantity) AS qty, count(*) AS n
+         FROM lineitem WHERE l_quantity > 30
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
   )
 }

@@ -191,6 +191,51 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout: files prune on BOTH clustering columns, sort layout only on one") {
+    import graft.operators.Layout
+    // Two layouts of the same table: sorted by o_custkey alone vs
+    // z-ordered on (o_custkey, o_totalprice). File skipping for a
+    // price-band predicate = #files whose [min,max] price range
+    // intersects the band. The sorted layout cannot skip (every file
+    // spans the full price range); the z-layout's files are Morton
+    // boxes, so a 10%-wide band touches only a fraction of them.
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val n = 8
+    withTempDir("zorder") { zdir =>
+      withTempDir("sorted") { sdir =>
+        Layout.zorderWrite(orders, "o_custkey", "o_totalprice", n, zdir)
+        orders.repartitionByRange(n, col("o_custkey"))
+          .sortWithinPartitions("o_custkey")
+          .write.mode("overwrite").parquet(sdir)
+        def filesTouching(dir: String, lo: Double, hi: Double): (Int, Int) = {
+          val parts = new java.io.File(dir).listFiles()
+            .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+          val touching = parts.count { f =>
+            val r = spark.read.parquet(f)
+              .agg(min("o_totalprice"), max("o_totalprice")).head()
+            r.getDouble(0) <= hi && r.getDouble(1) >= lo
+          }
+          (touching, parts.size)
+        }
+        val Seq(lo, hi) = {
+          val q = orders.stat.approxQuantile("o_totalprice", Array(0.45, 0.55), 0.0)
+          Seq(q(0), q(1))
+        }
+        val (zTouch, zTotal) = filesTouching(zdir, lo, hi)
+        val (sTouch, sTotal) = filesTouching(sdir, lo, hi)
+        assert(zTotal === n && sTotal === n)
+        // sorted-by-custkey layout: every file spans the price range
+        assert(sTouch === n, s"sorted layout unexpectedly skipped: $sTouch/$n")
+        // z-layout: the band must actually skip files
+        assert(zTouch < n, s"z-order layout never skips: $zTouch/$n")
+        // and the layout is a pure reshuffle: contents unchanged
+        assert(spark.read.parquet(zdir).count() === orders.count())
+        assert(spark.read.parquet(zdir).agg(sum("o_orderkey")).head().getLong(0) ===
+          orders.agg(sum("o_orderkey")).head().getLong(0))
+      }
+    }
+  }
+
   test("range-partitioned write: files carry disjoint sorted key ranges") {
     // The sorted-output write pattern: repartitionByRange + sortWithin-
     // Partitions produces files whose key ranges are disjoint and
