@@ -447,6 +447,59 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * k-means-cluster the embeddings, then look for near-duplicate pairs
+    * only WITHIN each cluster. The clustering bounds the pair space —
+    * the shuffle is one exchange on the cell id and each cell pays
+    * |cell|² comparisons, never corpus² — which is the whole trick that
+    * makes semantic dedup run at web scale (the paper dedups LAION-440M
+    * this way with 50k clusters).
+    *
+    * Emits the within-cell pairs (a_id < b_id, exact cosine ≥
+    * threshold). Pairs are exact-verified, so precision is 1 by
+    * construction; recall < 1 exactly when a near-dup pair straddles a
+    * cell boundary — raising nlist trades recall for cell-size bound,
+    * the same knob as the paper's k. (The paper then keeps the cluster
+    * member with the LOWEST centroid similarity; survivor choice is a
+    * keep-rule on the pair graph — compose with
+    * [[graft.operators.Components]] + anti-join like
+    * q_neardup_survivors — and does not change which pairs exist.)
+    */
+  def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nlist: Int = 8,
+                    trainIters: Int = 3): DataFrame = {
+    val v = normed(df, idCol, vecCol)
+    val seedVecs = v.orderBy("id").limit(nlist)
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    val centroids = KMeans.lloyd(v.select("id", "v"), "v", seedVecs,
+      KMeans.EuclideanSq, maxIter = trainIters).centers
+    def sqDist(a: Array[Double], c: Array[Double]): Double = {
+      var acc = 0.0
+      var i = 0
+      val n = math.min(a.length, c.length)
+      while (i < n) { val d = a(i) - c(i); acc += d * d; i += 1 }
+      acc
+    }
+    val cellOf = udf { (arr: Array[Double]) =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        val d = sqDist(arr, centroids(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val cells = v.select(col("id"), col("v"), col("nrm"),
+      cellOf(col("v")).as("cell"))
+    cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        (dotFast(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   // ---------------------------------------------------------------------
   // Product quantization (Jégou et al., "Product Quantization for
   // Nearest Neighbor Search", PAMI 2011) — the memory-scale path: each

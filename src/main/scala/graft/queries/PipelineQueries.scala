@@ -285,6 +285,38 @@ object PipelineQueries {
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("a_id", "b_id")),
 
+    // SemDeDup contract: within-cluster semantic near-dup pairs vs the
+    // exact pair set. Precision is 1 by construction (every emitted pair
+    // is exact-cosine-verified ≥ threshold ⇒ a subset of the exact
+    // pairs — `sound` asserts exactly that); recall < 1 only when a
+    // near-dup pair straddles a k-means cell. Band measured on this
+    // testdata (nlist=8, 3 Lloyd iters, deterministic lowest-id seeds):
+    // 0.7 at sf0.01 (10/14 pairs in-cell; the ORACLE constant) and 0.2
+    // at sf0.001 (2/7) — the 0.45 threshold sits inside this 64-dim
+    // near-random corpus's background cosine distribution (see
+    // Similarity.lshNearDupPairs scaladoc), so pairs are not tight
+    // clusters and cell-straddling is common; on a real corpus SemDeDup
+    // runs at ~0.95+ where pairs ARE tight. Same verified-sf restriction
+    // as the ANN bands (recallContract scaladoc).
+    "q_semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val exact = Similarity
+        .cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
+        .select(col("a_id"), col("b_id"))
+      val sem = Similarity
+        .semDedupPairs(emb, "vec_id", "embedding", 0.45, nlist = 8)
+        .select(col("a_id"), col("b_id"), lit(1).as("hit"))
+      val nExact = sum(coalesce(col("ex"), lit(0)))
+      val hits = sum(when(col("ex") === 1 && col("hit") === 1, 1).otherwise(0))
+      val extra = sum(when(col("ex").isNull && col("hit") === 1, 1).otherwise(0))
+      exact.withColumn("ex", lit(1))
+        .join(sem, Seq("a_id", "b_id"), "full")
+        .agg(nExact.as("n_exact"),
+          (floor(hits.cast("double") / nExact * 10 + lit(1e-9)) /
+            lit(10.0)).as("pair_recall_band"),
+          (extra === 0).as("sound"))
+    }),
+
     // End-to-end curation composition: language gate → quality floor →
     // exact dedup (min-id survivor) → per-doc token budget. Every stage
     // is hash-verified on its own elsewhere; this row verifies their
@@ -590,6 +622,26 @@ object PipelineQueries {
                    i -> a.v[i] * b.v[i])), (x,y) -> x+y)
                / (a.nrm * b.nrm) >= 0.45
          ORDER BY a_id, b_id""",
+    // band/sound constants: measured contract projection (see the query
+    // comment for the measurements and the verified-sf restriction)
+    "q_semdedup" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+                  sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm
+           FROM v)
+         SELECT count(*) AS n_exact,
+                CAST(0.7 AS DOUBLE) AS pair_recall_band,
+                true AS sound
+         FROM n a JOIN n b ON a.vec_id < b.vec_id
+         WHERE list_reduce(list_prepend(0.0,
+                 list_transform(generate_series(1, len(a.v)),
+                   i -> a.v[i] * b.v[i])), (x,y) -> x+y)
+               / (a.nrm * b.nrm) >= 0.45""",
     "q_pipeline_curate" ->
       s"""WITH m AS (
            SELECT doc_id, text,

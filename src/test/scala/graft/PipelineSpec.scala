@@ -162,6 +162,28 @@ class PipelineSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("semdedup recovers planted near-dups and stays a subset of exact pairs") {
+    // Same planting as the LSH test: a +0.01 shift keeps cos ≈ 0.999, so
+    // the copy's nearest centroid is its original's (squared-L2 to every
+    // centroid differs by O(shift)) — planted pairs can only land in the
+    // same cell, making full planted recovery a stable assertion even
+    // though background-pair recall is configuration-dependent.
+    val planted = embeddings.limit(10).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.01f)).as("embedding"))
+    val withPlanted = embeddings.select("vec_id", "embedding").unionAll(planted)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = key(Similarity.cosineNearDupPairs(
+      withPlanted, "vec_id", "embedding", 0.95))
+    val sem = key(Similarity.semDedupPairs(
+      withPlanted, "vec_id", "embedding", 0.95, nlist = 8))
+    val want = embeddings.limit(10).select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    assert(want.subsetOf(sem), "planted near-dup split across cells")
+    assert(sem.subsetOf(exact), "semdedup emitted a sub-threshold pair")
+  }
+
   test("simhash: identical texts collide, near-dup text is close, random is far") {
     import spark.implicits._
     val a = "the quick brown fox jumps over the lazy dog again and again today"
