@@ -72,4 +72,23 @@ object Layout {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Compact a directory of small parquet files into ~targetBytes
+    * outputs — the small-files antidote: a streaming/CDC sink that
+    * commits per trigger leaves thousands of KB-scale files whose
+    * per-file open/footer/task overhead dominates the scan at 100 TB
+    * (and strains the metastore/namenode). One round-robin exchange
+    * sized from the actual on-disk bytes; returns the file count.
+    * Production pipelines run this per partition directory so the
+    * exchange never exceeds a partition's data.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+              inDir: String, outDir: String, targetBytes: Long): Int = {
+    val bytes = new java.io.File(inDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
 }

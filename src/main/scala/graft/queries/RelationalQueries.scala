@@ -129,6 +129,47 @@ object RelationalQueries {
         .orderBy("nkey")
     }),
 
+    // MERGE/upsert dataflow without a table format: the full-outer-join
+    // + column-coalesce plan every lakehouse MERGE lowers to. The
+    // "source" (corrections + late-arriving inserts) is derived
+    // deterministically from the target so the oracle replays it
+    // exactly. At scale this is ONE shuffle on the merge key for each
+    // side — same cost as the join it is.
+    "q_merge_upsert" -> ((s, d) => {
+      val target = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
+          col("o_orderstatus").as("status"))
+      val source = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice") + 1000).as("price"), lit("U").as("status"))
+        .unionAll(
+          Tables.orders(s, d).filter(col("o_orderkey") % 97 === 0)
+            .select((col("o_orderkey") + 10000000L).as("k"),
+              col("o_totalprice").as("price"), lit("I").as("status")))
+      target.as("t").join(source.as("s"), Seq("k"), "full")
+        .select(col("k"),
+          coalesce(col("s.price"), col("t.price")).as("price"),
+          coalesce(col("s.status"), col("t.status")).as("status"))
+        .orderBy("k")
+    }),
+
+    // SCD2 interval versioning: each order's price becomes the
+    // customer's "current state" valid from its date until the next
+    // order (NULL = still current) — the lead() idiom that builds
+    // slowly-changing-dimension history from an event log. One shuffle
+    // on the partition key.
+    "q_scd2" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_totalprice").as("price"),
+          col("o_orderdate").as("valid_from"),
+          lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    }),
+
     // Spark 4 SQL pipe syntax (|> operators): syntax sugar over the same
     // logical plan — WHERE before AGGREGATE lands as a pre-aggregation
     // filter pushed to the scan exactly like the ANSI form, which is
@@ -205,5 +246,29 @@ object RelationalQueries {
       """SELECT l_returnflag, sum(l_quantity) AS qty, count(*) AS n
          FROM lineitem WHERE l_quantity > 30
          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_merge_upsert" ->
+      """WITH target AS (
+           SELECT o_orderkey AS k, o_totalprice AS price,
+                  o_orderstatus AS status
+           FROM orders),
+         source AS (
+           SELECT o_orderkey AS k, o_totalprice + 1000 AS price,
+                  'U' AS status
+           FROM orders WHERE o_orderkey % 100 = 0
+           UNION ALL
+           SELECT o_orderkey + 10000000 AS k, o_totalprice AS price,
+                  'I' AS status
+           FROM orders WHERE o_orderkey % 97 = 0)
+         SELECT coalesce(t.k, s.k) AS k,
+                coalesce(s.price, t.price) AS price,
+                coalesce(s.status, t.status) AS status
+         FROM target t FULL JOIN source s ON t.k = s.k
+         ORDER BY k""",
+    "q_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice AS price,
+                o_orderdate AS valid_from,
+                lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS valid_to
+         FROM orders ORDER BY o_custkey, valid_from, o_orderkey""",
   )
 }

@@ -236,6 +236,28 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("compaction: many small files become few target-sized ones, contents unchanged") {
+    import graft.operators.Layout
+    val orders = Tables.orders(spark, sf)
+    withTempDir("small") { sdir =>
+      withTempDir("compacted") { cdir =>
+        orders.repartition(64).write.mode("overwrite").parquet(sdir)
+        def parquets(d: String) = new java.io.File(d).listFiles()
+          .count(_.getName.endsWith(".parquet"))
+        assert(parquets(sdir) === 64)
+        val totalBytes = new java.io.File(sdir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+        Layout.compact(spark, sdir, cdir, targetBytes = totalBytes / 4)
+        val nOut = parquets(cdir)
+        assert(nOut <= 5, s"expected ~4 compacted files, got $nOut")
+        val a = spark.read.parquet(cdir)
+        assert(a.count() === orders.count())
+        assert(a.agg(sum("o_orderkey")).head().getLong(0) ===
+          orders.agg(sum("o_orderkey")).head().getLong(0))
+      }
+    }
+  }
+
   test("range-partitioned write: files carry disjoint sorted key ranges") {
     // The sorted-output write pattern: repartitionByRange + sortWithin-
     // Partitions produces files whose key ranges are disjoint and
