@@ -143,6 +143,25 @@ object StatsQueries {
           count(lit(1)).as("n"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
+
+    // Single-pass data-quality validation (the Deequ/Great-Expectations
+    // shape): key uniqueness, range, completeness, and sign constraints
+    // all computed in ONE aggregation over one scan — at 100 TB the
+    // validation suite must never cost one pass per rule. The composite
+    // key folds to one long (linenumber < 10) so uniqueness is a single
+    // count-distinct, not a distinct over a struct.
+    "q_dq_check" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        (countDistinct(col("l_orderkey") * 10 + col("l_linenumber")) ===
+          count(lit(1))).as("pk_unique"),
+        (sum(when(col("l_quantity").between(1, 50), 0).otherwise(1)) === 0)
+          .as("qty_in_range"),
+        (sum(when(col("l_returnflag").isNull, 1).otherwise(0)) === 0)
+          .as("flag_complete"),
+        (sum(when(col("l_discount") >= 0 && col("l_discount") <= 0.1, 0)
+          .otherwise(1)) === 0).as("disc_in_range"),
+        (min(col("l_extendedprice")) > 0).as("price_positive"))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -236,5 +255,17 @@ object StatsQueries {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate <  TIMESTAMP '1997-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_dq_check" ->
+      """SELECT count(*) AS n_rows,
+                count(DISTINCT l_orderkey * 10 + l_linenumber) = count(*)
+                  AS pk_unique,
+                sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+                  = 0 AS qty_in_range,
+                sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) = 0
+                  AS flag_complete,
+                sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+                         THEN 0 ELSE 1 END) = 0 AS disc_in_range,
+                min(l_extendedprice) > 0 AS price_positive
+         FROM lineitem""",
   )
 }

@@ -34,6 +34,32 @@ object WindowQueries {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Time-series resample + forward-fill: per-customer daily revenue on
+    // a dense date spine (min..max order date), gaps filled with the
+    // last observed value — the standard gap-fill before any
+    // rolling-window feature computation. The spine explodes from ONE
+    // row per customer (no cross join with a calendar table) and the
+    // fill is a running last() — one shuffle on the customer key total.
+    // Customer subset keeps the sf0.01 output bounded (~30 spines of
+    // ~2.4k days); at scale the same plan fans out per key.
+    "q_gap_fill" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .filter(col("o_custkey") % 500 === 0)
+        .groupBy(col("o_custkey"), to_date(col("o_orderdate")).as("day"))
+        .agg(graft.functions.Num.sumMoney(col("o_totalprice")).as("rev"))
+      val spine = daily.groupBy("o_custkey")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("o_custkey"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+            .as("day"))
+      val w = Window.partitionBy("o_custkey").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("o_custkey", "day"), "left")
+        .select(col("o_custkey"), col("day"),
+          last(col("rev"), ignoreNulls = true).over(w).as("filled_rev"))
+        .orderBy("o_custkey", "day")
+    }),
+
     "q_window_running" -> ((s, d) => {
       // running sum through DECIMAL so the prefix sums are exact (a running
       // double sum would drift differently from the oracle's)
@@ -92,6 +118,25 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_gap_fill" ->
+      """WITH daily AS (
+           SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS rev
+           FROM orders WHERE o_custkey % 500 = 0 GROUP BY 1, 2),
+         span AS (SELECT o_custkey, min(day) AS d0, max(day) AS d1
+                  FROM daily GROUP BY 1),
+         spine AS (SELECT o_custkey,
+                          CAST(unnest(generate_series(d0, d1,
+                            INTERVAL 1 DAY)) AS DATE) AS day
+                   FROM span)
+         SELECT s.o_custkey, s.day,
+                last_value(d.rev IGNORE NULLS)
+                  OVER (PARTITION BY s.o_custkey ORDER BY s.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS filled_rev
+         FROM spine s LEFT JOIN daily d USING (o_custkey, day)
+         ORDER BY o_custkey, day""",
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey,
                 row_number() OVER (PARTITION BY o_custkey
