@@ -130,6 +130,25 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(mode).start()
 
+  /** foreachBatch sink with batch-id idempotence — the canonical escape
+    * hatch for sinks without a streaming connector (JDBC, object-store
+    * layouts, multi-destination writes). Exactly-once falls out of
+    * IDEMPOTENCE, not atomic commit: each micro-batch overwrites the
+    * directory keyed by its epoch id, so a retried epoch (failure after
+    * write, before checkpoint commit) rewrites the identical bytes
+    * instead of duplicating them. Downstream reads the directory tree as
+    * one partitioned table.
+    */
+  def idempotentBatchSink(df: DataFrame, dir: String,
+                          checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/batch=$id")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
   case class UserMax(user_id: Long, max_value: Double)
 
   /** Custom keyed state via `mapGroupsWithState`: running max value per

@@ -236,6 +236,36 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition overwrite rewrites only the partitions present in the batch") {
+    // The incremental-reprocessing write mode: re-running one day/shard
+    // of a 100 TB partitioned table must replace exactly that partition,
+    // not truncate the table (static overwrite's behavior). Verified by
+    // rewriting one l_returnflag partition with marker rows and checking
+    // the other partitions' bytes survived.
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    withTempDir("dyn-overwrite") { dir =>
+      try {
+        val li = Tables.lineitem(spark, sf)
+          .select("l_orderkey", "l_quantity", "l_returnflag")
+        li.write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+        val beforeN = spark.read.parquet(dir)
+          .filter(col("l_returnflag") =!= "R").count()
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // reprocess ONLY the R partition: one marker row
+        li.filter(col("l_returnflag") === "R").limit(1)
+          .withColumn("l_quantity", lit(-1.0))
+          .write.partitionBy("l_returnflag").mode("overwrite").parquet(dir)
+        val after = spark.read.parquet(dir)
+        assert(after.filter(col("l_returnflag") === "R").count() === 1)
+        assert(after.filter(col("l_returnflag") =!= "R").count() === beforeN,
+          "dynamic overwrite touched partitions outside the batch")
+      } finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   test("compaction: many small files become few target-sized ones, contents unchanged") {
     import graft.operators.Layout
     val orders = Tables.orders(spark, sf)
