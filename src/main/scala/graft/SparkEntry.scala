@@ -24,6 +24,7 @@ object SparkEntry {
       WindowQueries.defs ++
       ScalarQueries.defs ++
       StatsQueries.defs ++
+      TextMetricsQueries.defs ++
       KMeansQueries.defs ++
       PipelineQueries.defs ++
       CurationQueries.defs ++
@@ -41,6 +42,7 @@ object SparkEntry {
       WindowQueries.oracles ++
       ScalarQueries.oracles ++
       StatsQueries.oracles ++
+      TextMetricsQueries.oracles ++
       KMeansQueries.oracles ++
       PipelineQueries.oracles ++
       CurationQueries.oracles ++

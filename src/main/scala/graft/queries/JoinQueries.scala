@@ -146,6 +146,23 @@ object JoinQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Planned skew mitigation for a join: same result set as
+    // q_join_inner, but routed through Skew.saltedJoin — the fact side
+    // salts deterministically, the build side replicates 8×, and a
+    // heavy-hitter custkey spreads over 8 reducer tasks instead of one.
+    // Used when the build side is too big to broadcast and one key
+    // dominates (AQE splits probe-side skew only).
+    "q_skew_join" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .withColumnRenamed("c_custkey", "o_custkey")
+      graft.operators.Skew
+        .saltedJoin(Tables.orders(s, d), dim,
+          key = "o_custkey", uniqueCol = "o_orderkey", salt = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), Num.sumMoney(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q_asof_join" -> ((s, d) => {
       // point-in-time enrichment: each click gets the most recent purchase
       // (value + its ts) by the same user at or before the click. The
@@ -231,6 +248,12 @@ object JoinQueries {
          ORDER BY revenue DESC, o_orderdate, l_orderkey
          LIMIT 10""",
     "q_join_hash" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // salting is plan-level only — the declarative answer is the plain join
+    "q_skew_join" ->
       """SELECT c_mktsegment, count(*) AS n,
                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey

@@ -134,6 +134,25 @@ object ScalarQueries {
         .orderBy("event_id")
     }),
 
+    // URL decomposition with parse_url — the domain/path/query-param
+    // extraction every web-crawl curation pipeline starts with (per-
+    // domain caps, site filters). The corpus carries no URL column, so
+    // a deterministic URL is synthesized from (source, doc_id, lang)
+    // and parsed back; the oracle reconstructs the parts by string
+    // algebra, so the check verifies parse_url's semantics rather than
+    // restating them.
+    "q_url_fns" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+            col("doc_id").cast("string"), lit("?lang="), col("lang")).as("url"))
+        .select(col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("qlang"))
+        .orderBy("doc_id")
+    }),
+
     // try_* arithmetic: NULL-on-error escape hatches (divide-by-zero
     // here) — the ANSI-safe forms a migrating SQL workload reaches for.
     "q_try_arith" -> ((s, d) => {
@@ -234,6 +253,12 @@ object ScalarQueries {
                 json_extract_string(props, '$.k') AS k_str,
                 json_extract(props, '$.missing') IS NULL AS miss_null
          FROM events ORDER BY event_id""",
+    "q_url_fns" ->
+      """SELECT doc_id,
+                source || '.example.com' AS host,
+                '/docs/' || doc_id AS path,
+                lang AS qlang
+         FROM documents ORDER BY doc_id""",
     "q_try_arith" ->
       """SELECT l_orderkey, l_linenumber,
                 round(l_extendedprice / nullif(l_quantity - 30, 0), 6)

@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics queries: token-distribution entropy and PMI token
+  * co-occurrence — the measurements a pretraining-data team runs to
+  * characterize a crawl (vocabulary concentration, topical association)
+  * before and after curation.
+  *
+  * Both follow the repo's determinism rule for float aggregation: any
+  * SUM over doubles is quantized to DECIMAL per-term first (decimal
+  * addition is exact, so shuffle order cannot move a bit), and the only
+  * double ops left are single divisions/ln over exactly-representable
+  * integers — bit-identical on any engine (same pattern as
+  * q_unigram_lm).
+  */
+object TextMetricsQueries {
+
+  private val docs = (s: SparkSession, d: String) => Tables.documents(s, d)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Shannon entropy of the token distribution per language — the
+    // vocabulary-concentration metric (low entropy = template/boiler-
+    // plate spam). Two aggregations: token counts shuffle on
+    // (lang, tok); the per-lang totals are a handful of rows and
+    // broadcast back. -p·ln(p) terms are quantized to DECIMAL before
+    // the final sum so reducer order is irrelevant.
+    "q_entropy" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("lang"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+      val cnt = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val tot = cnt.groupBy("lang").agg(sum("c").as("t"))
+      cnt.join(broadcast(tot), "lang")
+        .select(col("lang"),
+          expr("""CAST(-(CAST(c AS DOUBLE) / t) * ln(CAST(c AS DOUBLE) / t)
+                  AS DECIMAL(28,12))""").as("term"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_vocab"),
+          round(sum("term").cast("double"), 6).as("entropy"))
+        .orderBy("lang")
+    }),
+
+    // Pointwise mutual information over co-occurring token pairs,
+    // restricted to the top-20 tokens by document frequency (the
+    // vocabulary filter is what bounds the pair space at scale: pairs
+    // per document <= K²/2, never |doc|²). Pair generation is
+    // map-side — tokens are collected per doc as a sorted set and
+    // expanded with array lambdas, so the only shuffles are the
+    // groupBy(doc_id) and the final groupBy(pair); no self-join.
+    "q_cooccur" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      // deterministic top-K: ties broken by token
+      val top = dfreq.orderBy(col("df").desc, col("tok")).limit(20)
+      val nDocs = docs(s, d).count() // one scalar, driver-held by design
+      val pairs = toks
+        .join(broadcast(top.select("tok")), "tok")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_set(col("tok"))).as("ts"))
+        .select(explode(expr(
+          """flatten(transform(ts, (x, i) ->
+               transform(slice(ts, i + 2, size(ts)),
+                         y -> struct(x AS ta, y AS tb))))""")).as("p"))
+        .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+        .agg(count(lit(1)).as("nab"))
+      pairs
+        .join(broadcast(top.select(col("tok").as("ta"), col("df").as("dfa"))), "ta")
+        .join(broadcast(top.select(col("tok").as("tb"), col("df").as("dfb"))), "tb")
+        .select(col("ta"), col("tb"), col("nab"),
+          round(log(col("nab") * lit(nDocs)
+            / (col("dfa") * col("dfb")).cast("double")), 6).as("pmi"))
+        .orderBy("ta", "tb")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_entropy" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
+                      FROM documents),
+            c AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+            t AS (SELECT lang, sum(c) AS t FROM c GROUP BY 1)
+         SELECT lang, count(*) AS n_vocab,
+                round(CAST(sum(CAST(-(CAST(c.c AS DOUBLE) / t.t)
+                                    * ln(CAST(c.c AS DOUBLE) / t.t)
+                                    AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+         FROM c JOIN t USING (lang)
+         GROUP BY lang ORDER BY lang""",
+    // the oracle states pair semantics the simple way (per-doc distinct
+    // tokens self-joined); the Spark side reaches the same multiset via
+    // map-side array expansion
+    "q_cooccur" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, tok FROM (
+                        SELECT doc_id,
+                               unnest(string_split(lower(text), ' ')) AS tok
+                        FROM documents)),
+            dfreq AS (SELECT tok, count(*) AS df FROM tok GROUP BY tok),
+            top AS (SELECT tok, df FROM dfreq
+                    ORDER BY df DESC, tok LIMIT 20),
+            kept AS (SELECT doc_id, tok FROM tok JOIN top USING (tok)),
+            n AS (SELECT count(*) AS n FROM documents),
+            pairs AS (SELECT a.tok AS ta, b.tok AS tb, count(*) AS nab
+                      FROM kept a JOIN kept b USING (doc_id)
+                      WHERE a.tok < b.tok GROUP BY 1, 2)
+         SELECT ta, tb, nab,
+                round(ln(CAST(nab * (SELECT n FROM n) AS DOUBLE)
+                         / (ta_df.df * tb_df.df)), 6) AS pmi
+         FROM pairs
+         JOIN top ta_df ON pairs.ta = ta_df.tok
+         JOIN top tb_df ON pairs.tb = tb_df.tok
+         ORDER BY ta, tb""",
+  )
+}

@@ -99,6 +99,30 @@ class ScaleSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 3, p.take(1000))
   }
 
+  test("salted join equals direct join, including left rows with no match") {
+    val orders = Tables.orders(spark, sf)
+    val cust = Tables.customer(spark, sf)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("o_orderkey"), col("c_mktsegment"))
+        .collect().map(_.mkString("|")).toSeq.sorted
+    // inner parity
+    assert(canon(Skew.saltedJoin(orders, cust, "o_custkey", "o_orderkey", salt = 8))
+      === canon(orders.join(cust, Seq("o_custkey"), "inner")))
+    // left parity: drop half the dim so some fact rows go unmatched
+    val halfDim = cust.filter(col("o_custkey") % 2 === 0)
+    assert(canon(Skew.saltedJoin(orders, halfDim, "o_custkey", "o_orderkey",
+        salt = 8, joinType = "left"))
+      === canon(orders.join(halfDim, Seq("o_custkey"), "left")))
+    // the salted plan really joins on (key, salt): a heavy key's fact
+    // rows split across salt buckets — count per (key, bucket) > 1 bucket
+    val buckets = orders.withColumn("_s",
+        pmod(xxhash64(col("o_orderkey")), lit(8L)))
+      .groupBy("o_custkey").agg(countDistinct(col("_s")).as("nb"))
+      .agg(max("nb")).collect()(0).getLong(0)
+    assert(buckets > 1, "salt failed to spread any key over multiple buckets")
+  }
+
   test("AQE splits a skewed shuffle-join partition at runtime") {
     // Complements the PLANNED mitigation (Skew.saltedAgg, above): when the
     // heavy key is not known up front, AQE's runtime skew-join split is
