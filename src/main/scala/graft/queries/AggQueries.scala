@@ -122,6 +122,19 @@ object AggQueries {
         .orderBy("l_partkey")
     }),
 
+    // GROUP BY ALL / ORDER BY ALL (SQL shorthand resolution: every
+    // non-aggregate select item becomes a grouping key) — pure analyzer
+    // sugar, so the plan is byte-identical to the explicit form; the row
+    // proves the resolution agrees with DuckDB's, which pioneered the
+    // syntax.
+    "q_group_by_all" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+           FROM lineitem GROUP BY ALL ORDER BY ALL""")
+    }),
+
     // Pivot (long→wide reshape) with EXPLICIT pivot values: no value-
     // discovery job, one shuffle, and the plan is identical at any scale.
     // count over an absent (user, type) combo yields null → filled 0 to
@@ -340,6 +353,10 @@ object AggQueries {
                 sum(l_quantity) AS sum_qty
          FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          ORDER BY flag, status""",
+    "q_group_by_all" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY ALL ORDER BY ALL""",
     "q_having" ->
       """SELECT l_partkey, sum(l_quantity) AS qty FROM lineitem
          GROUP BY l_partkey HAVING sum(l_quantity) > 100 ORDER BY l_partkey""",

@@ -76,6 +76,26 @@ object TextMetricsQueries {
             / (col("dfa") * col("dfb")).cast("double")), 6).as("pmi"))
         .orderBy("ta", "tb")
     }),
+    // Learned-quality-filter application: a logistic scorer (fixed
+    // public weights standing in for a trained model's) evaluated as a
+    // codegen'd column expression — the shape in which a real pipeline
+    // applies its fastText/logreg quality classifier to 100 TB: map-only
+    // scan, no shuffle until the final contract sort. Features are exact
+    // integer ratios; the only transcendental is one exp(), quantized by
+    // round(,6) like every float emission in this corpus.
+    "q_quality_logit" -> ((s, d) => {
+      val nChars = length(col("text")).cast("double")
+      val toks = size(split(col("text"), " ")).cast("double")
+      val avgTokLen = nChars / (toks + lit(1.0))
+      val vowelRatio =
+        (nChars - length(regexp_replace(col("text"), "[aeiou]", ""))) / nChars
+      val z = lit(-3.0) + lit(0.4) * avgTokLen + lit(4.0) * vowelRatio
+      docs(s, d)
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"))
+        .withColumn("keep", col("score") >= 0.5)
+        .orderBy("doc_id")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -113,5 +133,19 @@ object TextMetricsQueries {
          JOIN top ta_df ON pairs.ta = ta_df.tok
          JOIN top tb_df ON pairs.tb = tb_df.tok
          ORDER BY ta, tb""",
+    "q_quality_logit" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  CAST(length(text) AS DOUBLE)
+                    / (len(string_split(text, ' ')) + 1.0) AS atl,
+                  CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+                       AS DOUBLE) / length(text) AS vr
+           FROM documents)
+         SELECT doc_id,
+                round(1.0 / (1.0 + exp(-(-3.0 + 0.4 * atl + 4.0 * vr))), 6)
+                  AS score,
+                round(1.0 / (1.0 + exp(-(-3.0 + 0.4 * atl + 4.0 * vr))), 6) >= 0.5
+                  AS keep
+         FROM f ORDER BY doc_id""",
   )
 }

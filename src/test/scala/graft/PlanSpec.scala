@@ -184,6 +184,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("text-metrics plans: logit scorer is map-only, cooccur joins only broadcast") {
+    // q_quality_logit applies the scorer as a scan-stage expression:
+    // the only exchange allowed is the final orderBy's range partition.
+    val lp = sourceOf("q_quality_logit")
+    assert("Exchange".r.findAllIn(lp).size <= 1, lp.take(900))
+    // q_cooccur: the pair space is bounded by the broadcast top-K
+    // vocabulary and pairs are generated map-side from a per-doc sorted
+    // set — a SortMergeJoin anywhere means it degenerated into the
+    // self-join form whose shuffle carries |doc_tokens|² rows.
+    val cp = sourceOf("q_cooccur")
+    assert(!cp.contains("SortMergeJoin"), cp.take(1200))
+    assert(!cp.contains("CartesianProduct"), cp.take(1200))
+    assert("BroadcastHashJoin".r.findAllIn(cp).size >= 2, cp.take(1200))
+  }
+
+  test("salted join: build side replicates via explode and the join key carries the salt") {
+    // (At test scale the tiny exploded dim may still broadcast — result-
+    // identical; past the broadcast threshold the same plan becomes a
+    // shuffled join on (key, _salt), which is what spreads the hot key.)
+    val p = sourceOf("q_skew_join")
+    assert(p.contains("Generate explode"), p.take(1200))
+    assert(p.contains("_salt"), p.take(1200))
+  }
+
   test("exact similarity ops: blocked grid, no join, no driver-side data path") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val sc = spark.sparkContext

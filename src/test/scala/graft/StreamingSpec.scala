@@ -6,7 +6,7 @@ import java.sql.Timestamp
 import graft.streaming.Streams
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 
 /** Streaming group (SURVEY §2B last row), oracle=parity: the streaming
   * result of each transform on a bounded input must equal the batch result
@@ -225,6 +225,41 @@ class StreamingSpec extends SparkSpec {
     // no loss, no duplicates, value-level parity
     assert(got.count() === ev.count())
     assert(got.select("event_id").distinct().count() === ev.count())
+    assert(canon(got) === canon(ev))
+  }
+
+  test("Trigger.AvailableNow drains pending input then self-terminates (scheduled-incremental mode)") {
+    // The cron-batch pattern at 100 TB: a periodic job starts the stream,
+    // AvailableNow processes everything that arrived since the last
+    // checkpoint — honoring rate limits across multiple micro-batches
+    // (maxFilesPerTrigger=1 forces that) — then terminates on its own.
+    // Streaming's exactly-once offset/commit bookkeeping with batch-job
+    // economics: no always-on cluster.
+    val in = tmp("graft-an-in")
+    val out = tmp("graft-an-out")
+    val ckpt = tmp("graft-an-ckpt")
+    val ev = batchEvents.select("event_id", "user_id", "value")
+    ev.filter(col("event_id") % 2 === 0)
+      .repartition(3).write.mode("append").parquet(in)
+    val schema = spark.read.parquet(in).schema
+    def runOnce(): Unit = {
+      val q = Streams.parquetStream(spark, in, schema, maxFilesPerTrigger = Some(1))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    }
+    runOnce()
+    assert(spark.read.parquet(out).count()
+      === ev.filter(col("event_id") % 2 === 0).count())
+    // rows that land between scheduled runs are picked up by the next one
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(in)
+    runOnce()
+    val got = spark.read.parquet(out)
+    assert(got.count() === ev.count())
     assert(canon(got) === canon(ev))
   }
 
