@@ -284,6 +284,43 @@ object PipelineQueries {
       recallContract(bf, top5)
     }),
 
+    // IVF-PQ (the fourth ANN architecture, and the one production
+    // billion-vector systems actually run): coarse cells bound WHICH
+    // vectors each query scans, PQ codes bound the BYTES per scanned
+    // vector — flat ADC (q_ann_pq) still reads every code at 10^11
+    // vectors; this reads nprobe/nlist of them. Same 50-deep candidate
+    // + exact re-rank contract as q_ann_pq. Parameters (nlist=16,
+    // nprobe=8, m=8, codes=64) grid-measured: band 0.7 at sf0.001 and
+    // sf0.01, band 0.5 at sf0.1 — recall_ok (the ≥0.5 floor) holds at
+    // every verified scale while ADC-scanning only half the cells (the
+    // oracle CASEs the band on corpus cardinality). The sf0.1 band
+    // sits exactly at the floor: cell-boundary misses stack on code
+    // quantization in this near-random regime; raise nprobe before
+    // shipping against a corpus whose recall floor is contractual.
+    "q_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val sampleQ = Sampling.hashSample(emb, "vec_id", 0.1)
+      val queries = sampleQ.select(col("vec_id").cast("long"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      val cand = Similarity.ivfPqSearch(emb, "vec_id", "embedding",
+          queries, k = 50, nlist = 16, nprobe = 8, m = 8, codes = 64)
+        .filter(col("qid") =!= col("id"))
+      val v = emb.select(col("vec_id").cast("long").as("vid"), col("embedding"))
+      val scored = cand
+        .join(v.select(col("vid").as("q_vid"), col("embedding").as("q_emb")),
+          col("qid") === col("q_vid"))
+        .join(v, col("id") === col("vid"))
+        .select(col("qid"), col("id").as("nid"),
+          Similarity.cosine(col("q_emb"), col("embedding")).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+      val top5 = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5).select("qid", "nid")
+      val bf = Similarity.bruteForceTopKFor(sampleQ, emb, "vec_id", "embedding", k = 5)
+      recallContract(bf, top5)
+    }),
+
     // Embedding near-dup pairs at cosine ≥ 0.45 (testdata max ≈ 0.51).
     // Exact blocked path, NOT LSH: 0.45 sits inside the background cosine
     // distribution of these near-random embeddings, where bucket pruning
@@ -592,6 +629,12 @@ object PipelineQueries {
       """SELECT count(*) AS n_queries,
                 CAST(CASE WHEN (SELECT count(*) FROM embeddings) >= 2000
                      THEN 0.6 ELSE 0.7 END AS DOUBLE) AS recall_band,
+                true AS recall_ok FROM embeddings
+         WHERE (CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 < 429496729""",
+    "q_ann_ivfpq" ->
+      """SELECT count(*) AS n_queries,
+                CAST(CASE WHEN (SELECT count(*) FROM embeddings) >= 2000
+                     THEN 0.5 ELSE 0.7 END AS DOUBLE) AS recall_band,
                 true AS recall_ok FROM embeddings
          WHERE (CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 < 429496729""",
     "q_cosine_topk" ->

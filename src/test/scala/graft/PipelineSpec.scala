@@ -331,4 +331,30 @@ class PipelineSpec extends SparkSpec {
     encoded.unpersist(blocking = false)
     withPlanted.unpersist(blocking = false)
   }
+
+  test("ivf-pq: planted near-dup recovery through cell routing + code quantization") {
+    // Composition property: a planted near-copy (cos ≈ 0.999) must
+    // survive BOTH approximations — its query must probe the cell its
+    // original landed in (a 0.01-shifted vector maps to the same or an
+    // adjacent cell, covered by nprobe=8 of nlist=8 = all cells here;
+    // the interesting failure mode is the code mismatch) AND the ADC
+    // scan must rank the original into the 10-deep candidate list.
+    val planted = embeddings.limit(10).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x + lit(0.01f)).as("embedding"))
+    val withPlanted = embeddings.select("vec_id", "embedding").unionAll(planted)
+      .cache()
+    val queries = planted.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).map(_.toDouble).toArray))
+    val got = Similarity.ivfPqSearch(withPlanted, "vec_id", "embedding",
+        queries, k = 10, nlist = 8, nprobe = 8, m = 8, codes = 16)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    queries.foreach { case (qid, _) =>
+      assert(got(qid).contains(qid), s"query $qid lost itself: ${got(qid)}")
+      assert(got(qid).contains(qid - 1000000L),
+        s"query $qid missed its planted original: ${got(qid)}")
+    }
+    withPlanted.unpersist(blocking = false)
+  }
 }

@@ -394,6 +394,65 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("dirty ingestion: PERMISSIVE quarantines corrupt rows, FAILFAST throws") {
+    // What a 100 TB crawl ingest actually meets: malformed lines. The
+    // engine contract is mode-selectable — PERMISSIVE keeps the scan
+    // alive and routes broken rows to _corrupt_record for a quarantine
+    // sink; FAILFAST turns the first broken row into a job error for
+    // contractual feeds. DROPMALFORMED silently narrows the corpus and
+    // is deliberately NOT used anywhere in this engine.
+    import org.apache.spark.sql.types._
+    withTempDir("graft-dirty") { dir =>
+      val p = java.nio.file.Paths.get(dir, "rows.csv")
+      java.nio.file.Files.writeString(p,
+        "1,alpha,10\n2,beta,not_a_number\n3,gamma,30\n")
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType),
+        StructField("qty", LongType), StructField("_corrupt_record", StringType)))
+      val got = spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(dir + "/rows.csv")
+        .cache() // corrupt-record column cannot be queried alone without it
+      assert(got.count() === 3)
+      assert(got.filter(col("_corrupt_record").isNotNull).count() === 1)
+      assert(got.filter(col("_corrupt_record").isNull)
+        .agg(sum("qty")).head.getLong(0) === 40)
+      got.unpersist(blocking = false)
+      val strictSchema = StructType(schema.fields.filter(_.name != "_corrupt_record"))
+      val thrown = intercept[Exception] {
+        spark.read.schema(strictSchema)
+          .option("mode", "FAILFAST").csv(dir + "/rows.csv").collect()
+      }
+      assert(thrown.getMessage.toLowerCase.contains("malformed")
+        || thrown.getCause != null, thrown.getMessage.take(300))
+    }
+  }
+
+  test("parquet schema evolution: mergeSchema unions columns across file generations") {
+    // Incremental pipelines add columns over time; old files must stay
+    // readable next to new ones. mergeSchema reconciles the footers —
+    // absent columns read as NULL — so a corpus never needs rewriting
+    // just to add a field.
+    withTempDir("graft-evolve") { dir =>
+      Tables.nation(spark, sf).select("n_nationkey", "n_name")
+        .write.mode("overwrite").parquet(dir + "/gen=1")
+      Tables.nation(spark, sf)
+        .select(col("n_nationkey"), col("n_name"), lit("v2").as("ingest_tag"))
+        .write.mode("overwrite").parquet(dir + "/gen=2")
+      val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+      assert(merged.columns.toSet ===
+        Set("n_nationkey", "n_name", "ingest_tag", "gen"))
+      val n = Tables.nation(spark, sf).count()
+      assert(merged.count() === 2 * n)
+      // old generation surfaces the new column as NULL, new one is filled
+      assert(merged.filter(col("gen") === 1)
+        .filter(col("ingest_tag").isNull).count() === n)
+      assert(merged.filter(col("gen") === 2)
+        .filter(col("ingest_tag") === "v2").count() === n)
+    }
+  }
+
   test("balancedSample equalizes strata deterministically") {
     val docs = Tables.documents(spark, sf)
     val got = graft.operators.Sampling.balancedSample(docs, "lang", "doc_id")
