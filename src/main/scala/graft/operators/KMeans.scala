@@ -165,7 +165,7 @@ object KMeans {
     val dists = array(centers.map(c => metric.dist(col(vecCol), c.toSeq)).toIndexedSeq: _*)
     assign(df, vecCol, centers, metric)
       .select(element_at(dists, col("cluster")).as("d"))
-      .agg(sum(col("d"))).head.getDouble(0)
+      .agg(sum(col("d"))).head().getDouble(0)
   }
 
   /** Representative-row pick (reference reducer, src/Kmeans.java:114-130).

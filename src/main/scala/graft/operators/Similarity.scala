@@ -538,7 +538,7 @@ object Similarity {
       .select(col("id"), when(col("nrm") === 0, col("v"))
         .otherwise(zip_with(col("v"),
           array_repeat(col("nrm"), size(col("v"))), (x, n) => x / n)).as("v"))
-    val dim = v.select(size(col("v"))).head.getInt(0)
+    val dim = v.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
     val longForm = v

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util
 
-import scala.collection.JavaConverters._
+import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -73,7 +73,7 @@ private[sources] class Pm25Scan(path: String, required: StructType)
   // the executor-side readers. Shipped to readers as a Map — Hadoop's
   // Configuration is not Serializable.
   private val hadoopProps: Map[String, String] = {
-    import scala.collection.JavaConverters._
+    import scala.jdk.CollectionConverters._
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
     conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
