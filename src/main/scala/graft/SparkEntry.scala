@@ -25,6 +25,7 @@ object SparkEntry {
       ScalarQueries.defs ++
       StatsQueries.defs ++
       TextMetricsQueries.defs ++
+      FuzzQueries.defs ++
       KMeansQueries.defs ++
       PipelineQueries.defs ++
       CurationQueries.defs ++
@@ -43,6 +44,7 @@ object SparkEntry {
       ScalarQueries.oracles ++
       StatsQueries.oracles ++
       TextMetricsQueries.oracles ++
+      FuzzQueries.oracles ++
       KMeansQueries.oracles ++
       PipelineQueries.oracles ++
       CurationQueries.oracles ++

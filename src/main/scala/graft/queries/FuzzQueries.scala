@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seeded predicate-fuzz corpus: N random boolean expression trees over
+  * lineitem, each rendered from ONE AST into BOTH a Spark Column and the
+  * DuckDB oracle SQL. Hand-written queries exercise operators the author
+  * thought to combine; these exercise the combinations nobody thought
+  * of (NOT over OR over mixed numeric/timestamp/string comparisons),
+  * with the cross-engine hash check as the judge.
+  *
+  * Determinism: the generator runs once at class load from a FIXED seed,
+  * so every JVM — Verify, Bench, the driver — sees byte-identical
+  * queries; regenerating with a new seed is a deliberate code change.
+  * The shared-AST design cannot hide a Spark bug behind an identical
+  * oracle bug: the two engines share only the rendered text/plan, not
+  * evaluation code. All leaf literals parse to exactly-representable
+  * comparisons in both engines (IEEE doubles from the same decimal
+  * string, UTC-midnight timestamps, exact strings), so no row can flip
+  * on parsing differences.
+  */
+object FuzzQueries {
+
+  private sealed trait P
+  private case class Leaf(c: String, op: String, sqlLit: String,
+                          colLit: Column) extends P
+  private case class And(a: P, b: P) extends P
+  private case class Or(a: P, b: P) extends P
+  private case class Not(a: P) extends P
+
+  private def toCol(p: P): Column = p match {
+    case Leaf(c, op, _, l) => op match {
+      case "<"  => col(c) < l
+      case "<=" => col(c) <= l
+      case ">"  => col(c) > l
+      case ">=" => col(c) >= l
+      case "="  => col(c) === l
+    }
+    case And(a, b) => toCol(a) && toCol(b)
+    case Or(a, b)  => toCol(a) || toCol(b)
+    case Not(a)    => !toCol(a)
+  }
+
+  private def toSql(p: P): String = p match {
+    case Leaf(c, op, v, _) => s"$c $op $v"
+    case And(a, b) => s"(${toSql(a)} AND ${toSql(b)})"
+    case Or(a, b)  => s"(${toSql(a)} OR ${toSql(b)})"
+    case Not(a)    => s"(NOT ${toSql(a)})"
+  }
+
+  /** Leaf grammar over lineitem's columns; value ranges chosen so
+    * predicates are selective but rarely empty (data ranges: quantity
+    * 1..50, extendedprice ~900..105000, discount 0..0.10 in cents,
+    * shipdate 1995..2001).
+    */
+  private def genLeaf(rng: scala.util.Random): Leaf =
+    rng.nextInt(8) match {
+      case 0 =>
+        val v = 1 + rng.nextInt(50)
+        Leaf("l_quantity", pick(rng, "<", "<=", ">", ">=", "="),
+          v.toString, lit(v.toDouble))
+      case 1 =>
+        val v = 1000 + rng.nextInt(104000)
+        Leaf("l_extendedprice", pick(rng, "<", ">"), v.toString, lit(v.toDouble))
+      case 2 =>
+        val cents = rng.nextInt(11)
+        val s = f"0.${cents}%02d"
+        Leaf("l_discount", pick(rng, "<=", ">="), s, lit(s.toDouble))
+      case 3 =>
+        val cents = rng.nextInt(9)
+        val s = f"0.${cents}%02d"
+        Leaf("l_tax", pick(rng, "<=", ">="), s, lit(s.toDouble))
+      case 4 =>
+        val d = f"${1995 + rng.nextInt(7)}%04d-${1 + rng.nextInt(12)}%02d-${1 + rng.nextInt(28)}%02d"
+        Leaf("l_shipdate", pick(rng, "<", ">="),
+          s"TIMESTAMP '$d 00:00:00'", lit(d).cast("timestamp"))
+      case 5 =>
+        val v = pick(rng, "A", "N", "R")
+        Leaf("l_returnflag", "=", s"'$v'", lit(v))
+      case 6 =>
+        val v = pick(rng, "O", "F")
+        Leaf("l_linestatus", "=", s"'$v'", lit(v))
+      case 7 =>
+        val v = 1 + rng.nextInt(7)
+        Leaf("l_linenumber", pick(rng, "=", "<="), v.toString, lit(v))
+    }
+
+  private def pick[A](rng: scala.util.Random, xs: A*): A = xs(rng.nextInt(xs.length))
+
+  private def gen(rng: scala.util.Random, depth: Int): P =
+    if (depth <= 0 || rng.nextInt(3) == 0) genLeaf(rng)
+    else rng.nextInt(3) match {
+      case 0 => And(gen(rng, depth - 1), gen(rng, depth - 1))
+      case 1 => Or(gen(rng, depth - 1), gen(rng, depth - 1))
+      case 2 => Not(gen(rng, depth - 1))
+    }
+
+  /** The fixed fuzz set: seed 20260813, 10 trees of depth ≤ 3. */
+  private val preds: Seq[(String, P)] = {
+    val rng = new scala.util.Random(20260813L)
+    (0 until 10).map(i => (f"q_fuzz_$i%02d", gen(rng, 3)))
+  }
+
+  private def run(s: SparkSession, d: String, p: P): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(toCol(p))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("ext"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def sqlOf(p: P): String =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS ext
+       FROM lineitem WHERE ${toSql(p)}
+       GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] =
+    preds.map { case (name, p) =>
+      name -> ((s: SparkSession, d: String) => run(s, d, p))
+    }.toMap
+
+  val oracles: Map[String, String] =
+    preds.map { case (name, p) => name -> sqlOf(p) }.toMap
+}
