@@ -89,18 +89,10 @@ object FuzzQueries {
 
   private def pick[A](rng: scala.util.Random, xs: A*): A = xs(rng.nextInt(xs.length))
 
-  private def gen(rng: scala.util.Random, depth: Int): P =
-    if (depth <= 0 || rng.nextInt(3) == 0) genLeaf(rng)
-    else rng.nextInt(3) match {
-      case 0 => And(gen(rng, depth - 1), gen(rng, depth - 1))
-      case 1 => Or(gen(rng, depth - 1), gen(rng, depth - 1))
-      case 2 => Not(gen(rng, depth - 1))
-    }
-
   /** The fixed fuzz set: seed 20260813, 10 trees of depth ≤ 3. */
   private val preds: Seq[(String, P)] = {
     val rng = new scala.util.Random(20260813L)
-    (0 until 10).map(i => (f"q_fuzz_$i%02d", gen(rng, 3)))
+    (0 until 10).map(i => (f"q_fuzz_$i%02d", genOver(rng, 3, genLeaf)))
   }
 
   private def run(s: SparkSession, d: String, p: P): DataFrame =
@@ -120,11 +112,106 @@ object FuzzQueries {
        GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus"""
 
+  // ---------------------------------------------------------------------
+  // Join fuzz: random (join type × orders predicate × lineitem predicate)
+  // triples — the pushdown/join-rewrite interactions (a semi-join with a
+  // NOT on one side, a left join whose build-side filter must stay UNDER
+  // the join, ...) that hand-written joins don't sweep.
+  // ---------------------------------------------------------------------
+
+  private def genLeafOrders(rng: scala.util.Random): Leaf =
+    rng.nextInt(4) match {
+      case 0 =>
+        val v = 2000 + rng.nextInt(497000)
+        Leaf("o_totalprice", pick(rng, "<", ">"), v.toString, lit(v.toDouble))
+      case 1 =>
+        val v = pick(rng, "P", "O", "F")
+        Leaf("o_orderstatus", "=", s"'$v'", lit(v))
+      case 2 =>
+        val d = f"${1995 + rng.nextInt(7)}%04d-${1 + rng.nextInt(12)}%02d-${1 + rng.nextInt(28)}%02d"
+        Leaf("o_orderdate", pick(rng, "<", ">="),
+          s"TIMESTAMP '$d 00:00:00'", lit(d).cast("timestamp"))
+      case 3 =>
+        val v = pick(rng, "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        Leaf("o_orderpriority", "=", s"'$v'", lit(v))
+    }
+
+  private def genOver(rng: scala.util.Random, depth: Int,
+                      leaf: scala.util.Random => Leaf): P =
+    if (depth <= 0 || rng.nextInt(3) == 0) leaf(rng)
+    else rng.nextInt(3) match {
+      case 0 => And(genOver(rng, depth - 1, leaf), genOver(rng, depth - 1, leaf))
+      case 1 => Or(genOver(rng, depth - 1, leaf), genOver(rng, depth - 1, leaf))
+      case 2 => Not(genOver(rng, depth - 1, leaf))
+    }
+
+  private val joinPreds: Seq[(String, String, P, P)] = {
+    val rng = new scala.util.Random(474747L)
+    (0 until 5).map { i =>
+      (f"q_fuzzjoin_$i%02d",
+        pick(rng, "inner", "left", "left_semi", "left_anti"),
+        genOver(rng, 2, genLeafOrders),
+        genOver(rng, 2, genLeaf))
+    }
+  }
+
+  private def runJoin(s: SparkSession, d: String, jt: String,
+                      pO: P, pL: P): DataFrame = {
+    val o = Tables.orders(s, d).filter(toCol(pO))
+    val l = Tables.lineitem(s, d).filter(toCol(pL))
+    val tp = sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("tp")
+    val joined = o.join(l, col("o_orderkey") === col("l_orderkey"), jt)
+    val agg = jt match {
+      case "inner" | "left" =>
+        joined.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), count(col("l_orderkey")).as("m"), tp)
+      case _ => // semi/anti expose only the left side
+        joined.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), tp)
+    }
+    agg.orderBy("o_orderpriority")
+  }
+
+  private def joinSqlOf(jt: String, pO: P, pL: P): String = {
+    val tp = "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp"
+    jt match {
+      case "inner" =>
+        s"""SELECT o_orderpriority, count(*) AS n, count(l_orderkey) AS m, $tp
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE (${toSql(pO)}) AND (${toSql(pL)})
+           GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      case "left" =>
+        s"""SELECT o_orderpriority, count(*) AS n, count(l_orderkey) AS m, $tp
+           FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE ${toSql(pL)}) l
+             ON o_orderkey = l.l_orderkey
+           WHERE ${toSql(pO)}
+           GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      case "left_semi" =>
+        s"""SELECT o_orderpriority, count(*) AS n, $tp
+           FROM orders o
+           WHERE (${toSql(pO)}) AND EXISTS (SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey AND (${toSql(pL)}))
+           GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      case "left_anti" =>
+        s"""SELECT o_orderpriority, count(*) AS n, $tp
+           FROM orders o
+           WHERE (${toSql(pO)}) AND NOT EXISTS (SELECT 1 FROM lineitem l
+             WHERE l.l_orderkey = o.o_orderkey AND (${toSql(pL)}))
+           GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    }
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     preds.map { case (name, p) =>
       name -> ((s: SparkSession, d: String) => run(s, d, p))
-    }.toMap
+    }.toMap ++
+      joinPreds.map { case (name, jt, pO, pL) =>
+        name -> ((s: SparkSession, d: String) => runJoin(s, d, jt, pO, pL))
+      }.toMap
 
   val oracles: Map[String, String] =
-    preds.map { case (name, p) => name -> sqlOf(p) }.toMap
+    preds.map { case (name, p) => name -> sqlOf(p) }.toMap ++
+      joinPreds.map { case (name, jt, pO, pL) =>
+        name -> joinSqlOf(jt, pO, pL)
+      }.toMap
 }
