@@ -201,17 +201,116 @@ object FuzzQueries {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Window fuzz: random (function × partition × order direction × ROWS
+  // frame) combinations — frames and peer handling are the classic
+  // cross-engine window divergence, and every generated ORDER BY ends in
+  // the (l_orderkey, l_linenumber) unique tiebreak so navigation
+  // functions are total-order deterministic on both engines.
+  // ---------------------------------------------------------------------
+
+  private case class WFn(sqlFn: String,
+                         col: org.apache.spark.sql.expressions.WindowSpec => Column,
+                         framed: Boolean)
+
+  private def genWFn(rng: scala.util.Random): WFn = rng.nextInt(8) match {
+    case 0 => WFn("row_number()", w => row_number().over(w), framed = false)
+    case 1 => WFn("rank()", w => rank().over(w), framed = false)
+    case 2 => WFn("dense_rank()", w => dense_rank().over(w), framed = false)
+    case 3 =>
+      val k = 1 + rng.nextInt(3)
+      WFn(s"lag(l_quantity, $k)", w => lag(col("l_quantity"), k).over(w), framed = false)
+    case 4 =>
+      val k = 1 + rng.nextInt(2)
+      WFn(s"lead(l_quantity, $k)", w => lead(col("l_quantity"), k).over(w), framed = false)
+    case 5 => WFn("CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))%OVER% AS DOUBLE)",
+      w => sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"),
+      framed = true)
+    case 6 => WFn("min(l_extendedprice)%OVER%",
+      w => min(col("l_extendedprice")).over(w), framed = true)
+    case 7 => WFn("count(*)%OVER%",
+      w => count(lit(1)).over(w), framed = true)
+  }
+
+  private val frames: Seq[(String, (Long, Long))] = Seq(
+    ("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+      (org.apache.spark.sql.expressions.Window.unboundedPreceding, 0L)),
+    ("ROWS BETWEEN 2 PRECEDING AND CURRENT ROW", (-2L, 0L)),
+    ("ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING", (0L, 2L)),
+    ("ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING", (-1L, 1L)))
+
+  private val partPool: Seq[Seq[String]] = Seq(
+    Seq("l_returnflag"), Seq("l_linestatus"),
+    Seq("l_returnflag", "l_linestatus"), Seq("l_linenumber"))
+
+  private case class WCase(alias: String, fn: WFn, part: Seq[String],
+                           desc: Boolean, frame: Option[(String, (Long, Long))]) {
+    def sparkCol: Column = {
+      import org.apache.spark.sql.expressions.Window
+      val ord =
+        (if (desc) col("l_extendedprice").desc else col("l_extendedprice").asc) +:
+          Seq(col("l_orderkey").asc, col("l_linenumber").asc)
+      val base = Window.partitionBy(part.map(col): _*).orderBy(ord: _*)
+      val w = frame.map { case (_, (lo, hi)) => base.rowsBetween(lo, hi) }
+        .getOrElse(base)
+      fn.col(w).as(alias)
+    }
+    def sql: String = {
+      val dir = if (desc) "DESC" else "ASC"
+      val over = s"OVER (PARTITION BY ${part.mkString(", ")} " +
+        s"ORDER BY l_extendedprice $dir, l_orderkey, l_linenumber" +
+        frame.map(f => " " + f._1).getOrElse("") + ")"
+      val body =
+        if (fn.sqlFn.contains("%OVER%")) fn.sqlFn.replace("%OVER%", s" $over")
+        else s"${fn.sqlFn} $over"
+      s"$body AS $alias"
+    }
+  }
+
+  private val winCases: Seq[(String, Seq[WCase])] = {
+    val rng = new scala.util.Random(999331L)
+    (0 until 5).map { i =>
+      val cases = (0 until 3).map { j =>
+        val fn = genWFn(rng)
+        WCase(s"w$j", fn, pick(rng, partPool: _*), rng.nextBoolean(),
+          if (fn.framed) Some(pick(rng, frames: _*)) else None)
+      }
+      (f"q_fuzzwin_$i%02d", cases)
+    }
+  }
+
+  // (l_orderkey, l_linenumber) is NOT unique in this testdata (duplicated
+  // line rows); (l_orderkey, l_linenumber, l_extendedprice) is — verified
+  // at all three sfs — so both the window ORDER BYs (which end in the
+  // orderkey/linenumber tiebreak AFTER l_extendedprice) and the final
+  // output sort below are total, which is what makes the row-order hash
+  // comparable across engines.
+  private def runWin(s: SparkSession, d: String, cases: Seq[WCase]): DataFrame =
+    Tables.lineitem(s, d)
+      .select(Seq(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice")) ++ cases.map(_.sparkCol): _*)
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+
+  private def winSqlOf(cases: Seq[WCase]): String =
+    s"""SELECT l_orderkey, l_linenumber, l_extendedprice,
+              ${cases.map(_.sql).mkString(", ")}
+       FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     preds.map { case (name, p) =>
       name -> ((s: SparkSession, d: String) => run(s, d, p))
     }.toMap ++
       joinPreds.map { case (name, jt, pO, pL) =>
         name -> ((s: SparkSession, d: String) => runJoin(s, d, jt, pO, pL))
+      }.toMap ++
+      winCases.map { case (name, cs) =>
+        name -> ((s: SparkSession, d: String) => runWin(s, d, cs))
       }.toMap
 
   val oracles: Map[String, String] =
     preds.map { case (name, p) => name -> sqlOf(p) }.toMap ++
       joinPreds.map { case (name, jt, pO, pL) =>
         name -> joinSqlOf(jt, pO, pL)
-      }.toMap
+      }.toMap ++
+      winCases.map { case (name, cs) => name -> winSqlOf(cs) }.toMap
 }
