@@ -296,6 +296,109 @@ object FuzzQueries {
               ${cases.map(_.sql).mkString(", ")}
        FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice"""
 
+  // ---------------------------------------------------------------------
+  // Aggregate fuzz: random grouping structure (plain / ROLLUP / CUBE /
+  // GROUPING SETS) × random aggregate list × optional HAVING — the
+  // grouping-null and duplicate-grouping-set semantics that differ
+  // subtly across engines. Rendered via spark.sql so the SQL path's
+  // grouping-set resolution is what's exercised; the oracle is the
+  // same text modulo nothing (both engines parse ANSI GROUP BY
+  // extensions identically) — the HASH check is still cross-engine
+  // because evaluation is independent.
+  // ---------------------------------------------------------------------
+
+  private case class AggCase(grouping: String, having: Option[String])
+
+  private val aggCases: Seq[(String, AggCase)] = {
+    val rng = new scala.util.Random(55511L)
+    val keys = Seq("l_returnflag", "l_linestatus", "l_linenumber")
+    (0 until 5).map { i =>
+      // every selected key must appear in the grouping spec (ANSI), so
+      // the randomness is in the STRUCTURE over all three keys: the
+      // hierarchy order for ROLLUP, the subset lattice for SETS
+      val ks = rng.shuffle(keys)
+      val grouping = rng.nextInt(4) match {
+        case 0 => ks.mkString(", ")
+        case 1 => s"ROLLUP (${ks.mkString(", ")})"
+        case 2 => s"CUBE (${ks.mkString(", ")})"
+        case 3 =>
+          // distinct subsets only — duplicate grouping sets are an
+          // engine-divergent corner ANSI leaves murky
+          val sets = Seq(ks.mkString(", "), ks.take(2).mkString(", "), ks.head, "")
+          s"GROUPING SETS ((${sets.distinct.mkString("), (")}))"
+      }
+      val having = if (rng.nextBoolean())
+        Some(s"count(*) >= ${1 + rng.nextInt(20)}") else None
+      (f"q_fuzzagg_$i%02d", AggCase(grouping, having))
+    }
+  }
+
+  private def aggSqlOf(c: AggCase): String = {
+    // grouping keys appear in SELECT; grouping-set nulls are
+    // disambiguated from data nulls by grouping() markers. The final
+    // sort is total: gid identifies the grouping set, and within one
+    // set the grouped keys are unique by construction (and non-NULL —
+    // lineitem's keys carry no data nulls — so the engines' different
+    // default NULL sort order can never reorder rows here).
+    s"""SELECT l_returnflag, l_linestatus, l_linenumber,
+              grouping(l_returnflag) + 2 * grouping(l_linestatus)
+                + 4 * grouping(l_linenumber) AS gid,
+              count(*) AS n,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+              min(l_extendedprice) AS mn
+       FROM lineitem
+       GROUP BY ${c.grouping}${c.having.map(h => s" HAVING $h").getOrElse("")}
+       ORDER BY gid, l_returnflag, l_linestatus, l_linenumber"""
+  }
+
+  // Spark evaluates the same ANSI text natively — grouping columns not
+  // present in a grouping set read as NULL with grouping()=1, exactly
+  // the resolution under test; the hash check stays cross-engine
+  // because only the TEXT is shared, never evaluation.
+  private def runAgg(s: SparkSession, d: String, c: AggCase): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(aggSqlOf(c))
+  }
+
+  // ---------------------------------------------------------------------
+  // Set-op fuzz: random INTERSECT / EXCEPT / UNION (ALL and DISTINCT)
+  // chains over two filtered projections of the same table — multiset
+  // vs set semantics and NULL equality in set ops.
+  // ---------------------------------------------------------------------
+
+  private val setCases: Seq[(String, (P, P, String))] = {
+    val rng = new scala.util.Random(808017L)
+    (0 until 3).map { i =>
+      val op = pick(rng, "INTERSECT", "EXCEPT", "UNION", "INTERSECT ALL",
+        "EXCEPT ALL", "UNION ALL")
+      (f"q_fuzzset_$i%02d", (genOver(rng, 2, genLeaf), genOver(rng, 2, genLeaf), op))
+    }
+  }
+
+  private def setSqlOf(a: P, b: P, op: String): String =
+    s"""SELECT * FROM (
+         SELECT l_returnflag, l_linestatus, l_linenumber FROM lineitem
+         WHERE ${toSql(a)}
+         $op
+         SELECT l_returnflag, l_linestatus, l_linenumber FROM lineitem
+         WHERE ${toSql(b)})
+       ORDER BY l_returnflag, l_linestatus, l_linenumber"""
+
+  private def runSet(s: SparkSession, d: String, a: P, b: P, op: String): DataFrame = {
+    val base = Tables.lineitem(s, d)
+    val pa = base.filter(toCol(a)).select("l_returnflag", "l_linestatus", "l_linenumber")
+    val pb = base.filter(toCol(b)).select("l_returnflag", "l_linestatus", "l_linenumber")
+    val combined = op match {
+      case "INTERSECT"     => pa.intersect(pb)
+      case "INTERSECT ALL" => pa.intersectAll(pb)
+      case "EXCEPT"        => pa.except(pb)
+      case "EXCEPT ALL"    => pa.exceptAll(pb)
+      case "UNION"         => pa.union(pb).distinct()
+      case "UNION ALL"     => pa.union(pb)
+    }
+    combined.orderBy("l_returnflag", "l_linestatus", "l_linenumber")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     preds.map { case (name, p) =>
       name -> ((s: SparkSession, d: String) => run(s, d, p))
@@ -305,6 +408,12 @@ object FuzzQueries {
       }.toMap ++
       winCases.map { case (name, cs) =>
         name -> ((s: SparkSession, d: String) => runWin(s, d, cs))
+      }.toMap ++
+      aggCases.map { case (name, c) =>
+        name -> ((s: SparkSession, d: String) => runAgg(s, d, c))
+      }.toMap ++
+      setCases.map { case (name, (a, b, op)) =>
+        name -> ((s: SparkSession, d: String) => runSet(s, d, a, b, op))
       }.toMap
 
   val oracles: Map[String, String] =
@@ -312,5 +421,9 @@ object FuzzQueries {
       joinPreds.map { case (name, jt, pO, pL) =>
         name -> joinSqlOf(jt, pO, pL)
       }.toMap ++
-      winCases.map { case (name, cs) => name -> winSqlOf(cs) }.toMap
+      winCases.map { case (name, cs) => name -> winSqlOf(cs) }.toMap ++
+      aggCases.map { case (name, c) => name -> aggSqlOf(c) }.toMap ++
+      setCases.map { case (name, (a, b, op)) =>
+        name -> setSqlOf(a, b, op)
+      }.toMap
 }
