@@ -399,6 +399,99 @@ object FuzzQueries {
     combined.orderBy("l_returnflag", "l_linestatus", "l_linenumber")
   }
 
+  // ---------------------------------------------------------------------
+  // Scalar fuzz: random nested string/numeric expression trees over
+  // documents — substr bounds, case folds, concat, length arithmetic,
+  // modulo. The grammar deliberately EXCLUDES the known cross-engine
+  // divergences (substr position 0 — DuckDB counts it before the
+  // string, Spark clamps to 1; negative modulo sign conventions) and
+  // pins everything else: 1-based positions, non-negative operands.
+  // ---------------------------------------------------------------------
+
+  private sealed trait SE { def col: Column; def sql: String }
+  private case class SCol(name: String) extends SE {
+    def col: Column = org.apache.spark.sql.functions.col(name)
+    def sql: String = name
+  }
+  private case class SUpper(e: SE) extends SE {
+    def col: Column = upper(e.col); def sql = s"upper(${e.sql})"
+  }
+  private case class SLower(e: SE) extends SE {
+    def col: Column = lower(e.col); def sql = s"lower(${e.sql})"
+  }
+  private case class SSub(e: SE, p: Int, l: Int) extends SE {
+    def col: Column = substring(e.col, p, l)
+    def sql = s"substr(${e.sql}, $p, $l)"
+  }
+  private case class SCat(a: SE, b: SE) extends SE {
+    def col: Column = concat(a.col, lit("_"), b.col)
+    def sql = s"${a.sql} || '_' || ${b.sql}"
+  }
+  private sealed trait NE { def col: Column; def sql: String }
+  private case class NCol(name: String) extends NE {
+    def col: Column = org.apache.spark.sql.functions.col(name)
+    def sql: String = name
+  }
+  private case class NLen(e: SE) extends NE {
+    def col: Column = length(e.col); def sql = s"length(${e.sql})"
+  }
+  private case class NAdd(e: NE, k: Int) extends NE {
+    def col: Column = e.col + k; def sql = s"(${e.sql} + $k)"
+  }
+  private case class NMul(e: NE, k: Int) extends NE {
+    def col: Column = e.col * k; def sql = s"(${e.sql} * $k)"
+  }
+  private case class NMod(e: NE, k: Int) extends NE {
+    // operands here are always non-negative, where % agrees everywhere
+    def col: Column = e.col % k; def sql = s"(${e.sql} % $k)"
+  }
+
+  private def genStr(rng: scala.util.Random, depth: Int): SE = {
+    val leaf = () => SCol(pick(rng, "text", "lang", "source"))
+    if (depth <= 0 || rng.nextInt(3) == 0) leaf()
+    else rng.nextInt(4) match {
+      case 0 => SUpper(genStr(rng, depth - 1))
+      case 1 => SLower(genStr(rng, depth - 1))
+      case 2 => SSub(genStr(rng, depth - 1), 1 + rng.nextInt(5), 1 + rng.nextInt(10))
+      case 3 => SCat(genStr(rng, depth - 1), SCol(pick(rng, "lang", "source")))
+    }
+  }
+
+  private def genNum(rng: scala.util.Random, depth: Int): NE = {
+    val leaf = () =>
+      if (rng.nextBoolean()) NCol(pick(rng, "n_chars", "doc_id"))
+      else NLen(genStr(rng, 1))
+    if (depth <= 0 || rng.nextInt(3) == 0) leaf()
+    else rng.nextInt(3) match {
+      case 0 => NAdd(genNum(rng, depth - 1), rng.nextInt(100))
+      case 1 => NMul(genNum(rng, depth - 1), 1 + rng.nextInt(9))
+      case 2 => NMod(genNum(rng, depth - 1), 2 + rng.nextInt(97))
+    }
+  }
+
+  private val scalarCases: Seq[(String, Seq[(String, Either[SE, NE])])] = {
+    val rng = new scala.util.Random(314159L)
+    (0 until 5).map { i =>
+      val cols = (0 until 3).map { j =>
+        (s"c$j", if (rng.nextBoolean()) Left(genStr(rng, 3)) else Right(genNum(rng, 3)))
+      }
+      (f"q_fuzzscalar_$i%02d", cols)
+    }
+  }
+
+  private def runScalar(s: SparkSession, d: String,
+                        cols: Seq[(String, Either[SE, NE])]): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id") +: cols.map { case (a, e) =>
+        e.fold(_.col, _.col).as(a)
+      }: _*)
+      .orderBy("doc_id")
+
+  private def scalarSqlOf(cols: Seq[(String, Either[SE, NE])]): String =
+    s"""SELECT doc_id, ${cols.map { case (a, e) =>
+           s"${e.fold(_.sql, _.sql)} AS $a" }.mkString(", ")}
+       FROM documents ORDER BY doc_id"""
+
   val defs: Map[String, (SparkSession, String) => DataFrame] =
     preds.map { case (name, p) =>
       name -> ((s: SparkSession, d: String) => run(s, d, p))
@@ -414,6 +507,9 @@ object FuzzQueries {
       }.toMap ++
       setCases.map { case (name, (a, b, op)) =>
         name -> ((s: SparkSession, d: String) => runSet(s, d, a, b, op))
+      }.toMap ++
+      scalarCases.map { case (name, cols) =>
+        name -> ((s: SparkSession, d: String) => runScalar(s, d, cols))
       }.toMap
 
   val oracles: Map[String, String] =
@@ -425,5 +521,6 @@ object FuzzQueries {
       aggCases.map { case (name, c) => name -> aggSqlOf(c) }.toMap ++
       setCases.map { case (name, (a, b, op)) =>
         name -> setSqlOf(a, b, op)
-      }.toMap
+      }.toMap ++
+      scalarCases.map { case (name, cols) => name -> scalarSqlOf(cols) }.toMap
 }
