@@ -709,25 +709,51 @@ object Similarity {
         (acc, c)
       }.toArray
     val bcCentroids = spark.sparkContext.broadcast(centroids)
-    val cellOf = udf { (arr: Seq[Double]) =>
+    val bcModel = spark.sparkContext.broadcast(model)
+    // Index side: (id, cell, code) in ONE pass over the raw vectors —
+    // cell assignment and PQ encoding share a single normalization
+    // inside one UDF, so the table is scanned once and there is no
+    // id-keyed join of two derived scans (at corpus scale that join is
+    // a full extra shuffle of every row). The in-UDF normalization
+    // (sum-of-squares left-to-right, sqrt, divide) is the same IEEE
+    // sequence as the expression form used everywhere else and as
+    // pqEncode's own — cells and codes are bit-identical to the
+    // two-scan formulation.
+    val cellCode = udf { (arr: Seq[Double]) =>
+      val raw = arr.toArray
+      var ss = 0.0
+      var i = 0
+      while (i < raw.length) { ss += raw(i) * raw(i); i += 1 }
+      val nrm = math.sqrt(ss)
+      val u = if (nrm == 0) raw else raw.map(_ / nrm)
       val cs = bcCentroids.value
-      val a = arr.toArray
       var best = 0; var bestD = Double.MaxValue
       var c = 0
       while (c < cs.length) {
-        var acc = 0.0; var i = 0
-        val n = math.min(a.length, cs(c).length)
-        while (i < n) { val d = a(i) - cs(c)(i); acc += d * d; i += 1 }
+        var acc = 0.0; var j = 0
+        val n = math.min(u.length, cs(c).length)
+        while (j < n) { val d = u(j) - cs(c)(j); acc += d * d; j += 1 }
         if (acc < bestD) { bestD = acc; best = c }
         c += 1
       }
-      best
+      val mdl = bcModel.value
+      val code = Array.tabulate(mdl.m) { mi =>
+        val book = mdl.codebooks(mi)
+        var bc2 = 0; var bd = Double.MaxValue
+        var cc = 0
+        while (cc < book.length) {
+          val d = sqDistSub(u, mi * mdl.subDim, book(cc))
+          if (d < bd) { bd = d; bc2 = cc }
+          cc += 1
+        }
+        bc2
+      }
+      (best, code)
     }
-    // index side: (id, cell, code) — cell assignment and PQ encoding are
-    // both single compiled passes; pqEncode re-normalizes internally so
-    // the codes match the query-side normalization
-    val encoded = pqEncode(df, idCol, vecCol, model)
-      .join(v.select(col("id"), cellOf(col("v")).as("cell")), "id")
+    val encoded = df
+      .select(col(idCol).as("id").cast("long"),
+        cellCode(asDouble(col(vecCol))).as("cc"))
+      .select(col("id"), col("cc._1").as("cell"), col("cc._2").as("code"))
     // query side (driver): probe list + ADC table per query, inverted to
     // cell -> [(qid, table)] so the scan-side UDF is one map lookup
     val byCell: Map[Int, Array[(Long, Array[Array[Double]])]] = queryVecs
