@@ -701,13 +701,16 @@ object Similarity {
     val centroids = KMeans.lloyd(train.select("id", "v"), "v", seedVecs,
       KMeans.EuclideanSq, maxIter = trainIters).centers
     val model = pqTrain(df, idCol, vecCol, m, codes, sampleMod, trainIters)
-    def cellDists(u: Array[Double]): Array[(Double, Int)] =
+    val dim = m * model.subDim
+    def cellDists(u: Array[Double]): Array[(Double, Int)] = {
+      require(u.length == dim,
+        s"query vector has ${u.length} dims, index expects $dim")
       centroids.indices.map { c =>
         var acc = 0.0; var i = 0
-        val n = math.min(u.length, centroids(c).length)
-        while (i < n) { val d = u(i) - centroids(c)(i); acc += d * d; i += 1 }
+        while (i < dim) { val d = u(i) - centroids(c)(i); acc += d * d; i += 1 }
         (acc, c)
       }.toArray
+    }
     val bcCentroids = spark.sparkContext.broadcast(centroids)
     val bcModel = spark.sparkContext.broadcast(model)
     // Index side: (id, cell, code) in ONE pass over the raw vectors —
@@ -721,6 +724,8 @@ object Similarity {
     // two-scan formulation.
     val cellCode = udf { (arr: Seq[Double]) =>
       val raw = arr.toArray
+      require(raw.length == dim,
+        s"indexed vector has ${raw.length} dims, index expects $dim")
       var ss = 0.0
       var i = 0
       while (i < raw.length) { ss += raw(i) * raw(i); i += 1 }
@@ -731,8 +736,7 @@ object Similarity {
       var c = 0
       while (c < cs.length) {
         var acc = 0.0; var j = 0
-        val n = math.min(u.length, cs(c).length)
-        while (j < n) { val d = u(j) - cs(c)(j); acc += d * d; j += 1 }
+        while (j < dim) { val d = u(j) - cs(c)(j); acc += d * d; j += 1 }
         if (acc < bestD) { bestD = acc; best = c }
         c += 1
       }

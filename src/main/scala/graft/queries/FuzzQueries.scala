@@ -300,14 +300,23 @@ object FuzzQueries {
   // Aggregate fuzz: random grouping structure (plain / ROLLUP / CUBE /
   // GROUPING SETS) × random aggregate list × optional HAVING — the
   // grouping-null and duplicate-grouping-set semantics that differ
-  // subtly across engines. Rendered via spark.sql so the SQL path's
-  // grouping-set resolution is what's exercised; the oracle is the
-  // same text modulo nothing (both engines parse ANSI GROUP BY
-  // extensions identically) — the HASH check is still cross-engine
-  // because evaluation is independent.
+  // subtly across engines. Like every other fuzz family, ONE structure
+  // is rendered to TWO surfaces: the Spark side goes through the
+  // DataFrame API (groupBy / rollup / cube / groupingSets + agg +
+  // filter), the oracle through ANSI SQL text — so a framework-side
+  // Column/grouping-set rendering bug is catchable, not just an
+  // evaluation bug (round-5 ADVICE: the earlier same-text-to-both
+  // rendering verified independent evaluation only).
   // ---------------------------------------------------------------------
 
-  private case class AggCase(grouping: String, having: Option[String])
+  /** kind: 0 plain GROUP BY, 1 ROLLUP, 2 CUBE, 3 GROUPING SETS over the
+    * lattice (ks, ks.take(2), ks.head, ()); havingMin is the optional
+    * HAVING count(*) >= threshold.
+    */
+  private case class AggCase(kind: Int, ks: Seq[String], havingMin: Option[Int]) {
+    def sets: Seq[Seq[String]] =
+      Seq(ks, ks.take(2), Seq(ks.head), Seq.empty).distinct
+  }
 
   private val aggCases: Seq[(String, AggCase)] = {
     val rng = new scala.util.Random(55511L)
@@ -315,21 +324,13 @@ object FuzzQueries {
     (0 until 5).map { i =>
       // every selected key must appear in the grouping spec (ANSI), so
       // the randomness is in the STRUCTURE over all three keys: the
-      // hierarchy order for ROLLUP, the subset lattice for SETS
+      // hierarchy order for ROLLUP, the subset lattice for SETS.
+      // Draw ORDER matters: shuffle, kind, having — the seed pins the
+      // same five cases as the original string-rendered formulation.
       val ks = rng.shuffle(keys)
-      val grouping = rng.nextInt(4) match {
-        case 0 => ks.mkString(", ")
-        case 1 => s"ROLLUP (${ks.mkString(", ")})"
-        case 2 => s"CUBE (${ks.mkString(", ")})"
-        case 3 =>
-          // distinct subsets only — duplicate grouping sets are an
-          // engine-divergent corner ANSI leaves murky
-          val sets = Seq(ks.mkString(", "), ks.take(2).mkString(", "), ks.head, "")
-          s"GROUPING SETS ((${sets.distinct.mkString("), (")}))"
-      }
-      val having = if (rng.nextBoolean())
-        Some(s"count(*) >= ${1 + rng.nextInt(20)}") else None
-      (f"q_fuzzagg_$i%02d", AggCase(grouping, having))
+      val kind = rng.nextInt(4)
+      val having = if (rng.nextBoolean()) Some(1 + rng.nextInt(20)) else None
+      (f"q_fuzzagg_$i%02d", AggCase(kind, ks, having))
     }
   }
 
@@ -340,6 +341,16 @@ object FuzzQueries {
     // set the grouped keys are unique by construction (and non-NULL —
     // lineitem's keys carry no data nulls — so the engines' different
     // default NULL sort order can never reorder rows here).
+    val grouping = c.kind match {
+      case 0 => c.ks.mkString(", ")
+      case 1 => s"ROLLUP (${c.ks.mkString(", ")})"
+      case 2 => s"CUBE (${c.ks.mkString(", ")})"
+      case 3 =>
+        // distinct subsets only — duplicate grouping sets are an
+        // engine-divergent corner ANSI leaves murky
+        s"GROUPING SETS ((${c.sets.map(_.mkString(", ")).mkString("), (")}))"
+    }
+    val having = c.havingMin.map(h => s" HAVING count(*) >= $h").getOrElse("")
     s"""SELECT l_returnflag, l_linestatus, l_linenumber,
               grouping(l_returnflag) + 2 * grouping(l_linestatus)
                 + 4 * grouping(l_linenumber) AS gid,
@@ -347,17 +358,39 @@ object FuzzQueries {
               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
               min(l_extendedprice) AS mn
        FROM lineitem
-       GROUP BY ${c.grouping}${c.having.map(h => s" HAVING $h").getOrElse("")}
+       GROUP BY $grouping$having
        ORDER BY gid, l_returnflag, l_linestatus, l_linenumber"""
   }
 
-  // Spark evaluates the same ANSI text natively — grouping columns not
-  // present in a grouping set read as NULL with grouping()=1, exactly
-  // the resolution under test; the hash check stays cross-engine
-  // because only the TEXT is shared, never evaluation.
+  // Spark side renders the SAME structure through the typed DataFrame
+  // grouping-analytics API — rollup()/cube()/groupingSets() Columns, agg
+  // Columns, HAVING as a post-agg filter on the aggregated alias. The
+  // grouping() marker arithmetic mirrors the SQL text exactly, so types
+  // and values agree while the RENDERING path is fully independent.
   private def runAgg(s: SparkSession, d: String, c: AggCase): DataFrame = {
-    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
-    s.sql(aggSqlOf(c))
+    val li = Tables.lineitem(s, d)
+    val kcols = c.ks.map(col)
+    val grouped = c.kind match {
+      case 0 => li.groupBy(kcols: _*)
+      case 1 => li.rollup(kcols: _*)
+      case 2 => li.cube(kcols: _*)
+      case 3 => li.groupingSets(c.sets.map(_.map(col)), kcols: _*)
+    }
+    val gid = (grouping(col("l_returnflag"))
+      + lit(2) * grouping(col("l_linestatus"))
+      + lit(4) * grouping(col("l_linenumber"))).as("gid")
+    val agged = grouped.agg(gid,
+      count(lit(1)).as("n"),
+      sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+      min(col("l_extendedprice")).as("mn"))
+    val havinged = c.havingMin match {
+      case Some(h) => agged.filter(col("n") >= h)
+      case None    => agged
+    }
+    havinged
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_linenumber"),
+        col("gid"), col("n"), col("qty"), col("mn"))
+      .orderBy("gid", "l_returnflag", "l_linestatus", "l_linenumber")
   }
 
   // ---------------------------------------------------------------------

@@ -140,11 +140,17 @@ object ScalarQueries {
     // a deterministic URL is synthesized from (source, doc_id, lang)
     // and parsed back; the oracle reconstructs the parts by string
     // algebra, so the check verifies parse_url's semantics rather than
-    // restating them.
+    // restating them. The host label is sanitized to [a-z0-9-] on BOTH
+    // sides (same regexp) so the synthesized URL stays java.net.URI-
+    // valid no matter what characters a regenerated `source` carries —
+    // an underscore would make parse_url return NULL host and diverge
+    // from the oracle's string algebra.
     "q_url_fns" -> ((s, d) => {
+      val hostLabel =
+        regexp_replace(lower(col("source")), "[^a-z0-9-]", "-")
       Tables.documents(s, d)
         .select(col("doc_id"),
-          concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          concat(lit("https://"), hostLabel, lit(".example.com/docs/"),
             col("doc_id").cast("string"), lit("?lang="), col("lang")).as("url"))
         .select(col("doc_id"),
           expr("parse_url(url, 'HOST')").as("host"),
@@ -255,7 +261,8 @@ object ScalarQueries {
          FROM events ORDER BY event_id""",
     "q_url_fns" ->
       """SELECT doc_id,
-                source || '.example.com' AS host,
+                regexp_replace(lower(source), '[^a-z0-9-]', '-', 'g')
+                  || '.example.com' AS host,
                 '/docs/' || doc_id AS path,
                 lang AS qlang
          FROM documents ORDER BY doc_id""",
