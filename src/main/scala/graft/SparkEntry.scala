@@ -20,6 +20,7 @@ object SparkEntry {
     RelationalQueries.defs ++
       SubqueryQueries.defs ++
       JoinQueries.defs ++
+      FlagshipQueries.defs ++
       AggQueries.defs ++
       WindowQueries.defs ++
       ScalarQueries.defs ++
@@ -39,6 +40,7 @@ object SparkEntry {
     RelationalQueries.oracles ++
       SubqueryQueries.oracles ++
       JoinQueries.oracles ++
+      FlagshipQueries.oracles ++
       AggQueries.oracles ++
       WindowQueries.oracles ++
       ScalarQueries.oracles ++

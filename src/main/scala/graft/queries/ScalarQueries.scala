@@ -159,6 +159,26 @@ object ScalarQueries {
         .orderBy("doc_id")
     }),
 
+    // Regex function family — extraction, counting, replace, match over
+    // document text, all codegen'd string expressions (map-only scan at
+    // any corpus size). Patterns stay inside the character-class +
+    // quantifier subset that Java regex (Spark) and RE2 (DuckDB) agree
+    // on — no backrefs, no lookaround, no \b — so the check exercises
+    // the functions, not the engines' dialect corners. No-match
+    // regexp_extract returns '' on BOTH engines (probed, not assumed).
+    "q_regex_fns" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("[aeiou]+")).cast("long").as("n_vruns"),
+          regexp_extract(col("text"), "([0-9]+)", 1).as("first_num"),
+          length(regexp_replace(col("text"), "[aeiou]", "")).cast("long")
+            .as("len_novowel"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+            .cast("long").as("n_runs"),
+          col("text").rlike("^[a-z]").as("lower_start"))
+        .orderBy("doc_id")
+    }),
+
     // try_* arithmetic: NULL-on-error escape hatches (divide-by-zero
     // here) — the ANSI-safe forms a migrating SQL workload reaches for.
     "q_try_arith" -> ((s, d) => {
@@ -265,6 +285,15 @@ object ScalarQueries {
                   || '.example.com' AS host,
                 '/docs/' || doc_id AS path,
                 lang AS qlang
+         FROM documents ORDER BY doc_id""",
+    "q_regex_fns" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '[aeiou]+')) AS n_vruns,
+                regexp_extract(text, '([0-9]+)', 1) AS first_num,
+                length(regexp_replace(text, '[aeiou]', '', 'g'))
+                  AS len_novowel,
+                len(regexp_extract_all(text, '[a-z]+')) AS n_runs,
+                regexp_matches(text, '^[a-z]') AS lower_start
          FROM documents ORDER BY doc_id""",
     "q_try_arith" ->
       """SELECT l_orderkey, l_linenumber,

@@ -76,6 +76,27 @@ object TextMetricsQueries {
             / (col("dfa") * col("dfb")).cast("double")), 6).as("pmi"))
         .orderBy("ta", "tb")
     }),
+    // Inverted-index build: token → capped, sorted posting list + exact
+    // document frequency for the 20 highest-df tokens. The operator
+    // shape of every search/dedup-by-lookup pipeline: one shuffle on
+    // token, postings assembled with collect_set (bounded here by the
+    // 20-doc cap and the top-20 vocabulary filter; a full-corpus
+    // inverted index would emit postings as rows — (tok, doc_id) pairs
+    // ARE the index — rather than materialize per-token arrays, which
+    // at 100 TB would put a hot token's whole posting list in one
+    // task). The cap keeps the demo honest: slice AFTER sort_array so
+    // the kept prefix is deterministic, never collection-ordered.
+    "q_invert_index" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      toks.groupBy("tok")
+        .agg(count(lit(1)).as("df"),
+          slice(sort_array(collect_set(col("doc_id"))), 1, 20).as("postings"))
+        .orderBy(col("df").desc, col("tok"))
+        .limit(20)
+    }),
+
     // Learned-quality-filter application: a logistic scorer (fixed
     // public weights standing in for a trained model's) evaluated as a
     // codegen'd column expression — the shape in which a real pipeline
@@ -133,6 +154,15 @@ object TextMetricsQueries {
          JOIN top ta_df ON pairs.ta = ta_df.tok
          JOIN top tb_df ON pairs.tb = tb_df.tok
          ORDER BY ta, tb""",
+    "q_invert_index" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, tok FROM (
+                        SELECT doc_id,
+                               unnest(string_split(lower(text), ' ')) AS tok
+                        FROM documents))
+         SELECT tok, count(*) AS df,
+                (list_sort(list(doc_id)))[1:20] AS postings
+         FROM tok GROUP BY tok
+         ORDER BY df DESC, tok LIMIT 20""",
     "q_quality_logit" ->
       """WITH f AS (
            SELECT doc_id,

@@ -27,6 +27,18 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.sparkPlan.toString
   }
 
+  /** Executed plan, FINAL AQE section only — `executedPlan.toString`
+    * prints "== Final Plan ==" AND "== Initial Plan ==", so node counts
+    * over the raw string double-count every operator. Use this (not
+    * [[planOf]]) for any `== n` count assertion. Exchanges exist only
+    * here — `sparkPlan` is pre-EnsureRequirements and has none.
+    */
+  private def finalPlanOf(name: String): String = {
+    val s = planOf(name)
+    val i = s.indexOf("== Initial Plan ==")
+    if (i >= 0) s.substring(0, i) else s
+  }
+
   test("filters are pushed down to the parquet scan") {
     val p = planOf("q_proj_filter")
     assert(p.contains("PushedFilters: ["), p.take(800))
@@ -206,6 +218,50 @@ class PlanSpec extends SparkSpec {
     val p = sourceOf("q_skew_join")
     assert(p.contains("Generate explode"), p.take(1200))
     assert(p.contains("_salt"), p.take(1200))
+  }
+
+  test("Q7 pair-of-nations: both nation aliases broadcast, no cartesian") {
+    val p = planOf("q_tpch_q7")
+    // two independent broadcast lookups against the same tiny dim —
+    // the fact side must never shuffle for either
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // nationkey < 5 reaches the nation scans
+    assert("LessThan\\(n_nationkey".r.findFirstIn(p).isDefined, p.take(2000))
+  }
+
+  test("Q10/Q18: selective predicates push down, top-k never global-sorts") {
+    val p10 = planOf("q_tpch_q10")
+    assert("EqualTo\\(l_returnflag".r.findFirstIn(p10).isDefined, p10.take(1500))
+    assert(p10.contains("TakeOrderedAndProject"), p10.take(1500))
+    val p18 = finalPlanOf("q_tpch_q18")
+    assert(p18.contains("TakeOrderedAndProject"), p18.take(1500))
+    // the big-orders aggregate is computed ONCE: the textbook
+    // IN-subquery form would plan a second lineitem scan for the
+    // HAVING subquery; this plan must have exactly one
+    val liScans = "FileScan parquet [^\n]*lineitem".r.findAllIn(p18).size
+    assert(liScans == 1, s"expected 1 lineitem scan, got $liScans:\n${p18.take(1500)}")
+  }
+
+  test("sessionize: one hash exchange serves both window passes and the aggregation") {
+    // window partitionBy(user_id) → HashPartitioning(user_id), which
+    // also satisfies the groupBy(user_id, sess_id) clustering (subset
+    // rule) — so: 1 hash exchange + the final orderBy's range exchange.
+    val p = finalPlanOf("q_sessionize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(1600))
+    assert(!p.contains("SinglePartition"), p.take(1600))
+  }
+
+  test("bloom-join probe filter runs before the join, result joins broadcast or hash") {
+    val p = planOf("q_bloom_join")
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the mightContain UDF must sit in the lineitem scan stage (below
+    // the join), not above it: the probe-side Filter appears between
+    // the join and the lineitem parquet scan in the plan tree string
+    val joinIdx = p.indexOfSlice("Join")
+    val filterIdx = p.indexOf("UDF")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom filter not below the join (join@$joinIdx, udf@$filterIdx):\n${p.take(1200)}")
   }
 
   test("exact similarity ops: blocked grid, no join, no driver-side data path") {
