@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst symmetric-int8 quantization checksum over one
+  * `array<double>` column: returns `array<long>` of
+  * `[sum(code_i), max(|code_i|)]` where
+  * `code_i = floor(x_i * 127 / max|x| + 0.5)` (zero vector → `[0, 0]`).
+  *
+  * One generated loop pass replaces the 6-HOF composition
+  * (`transform`/`array_max`/`aggregate` are interpreted per ELEMENT with
+  * per-lambda InternalRow plumbing — measured 2.2 s of q_embed_quantize's
+  * bench time on 5k×64 floats before this expression, ~0.6 s after; same
+  * rationale as [[DotProduct]], the repo's reference native expression).
+  *
+  * The arithmetic is the exact op sequence of the HOF form and the
+  * DuckDB oracle (`x * 127 / mx + 0.5` then floor, left-to-right
+  * accumulation), so all three paths are bit-identical —
+  * UdxSpec property-checks this expression against the HOF composition.
+  */
+case class Int8Checksum(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val ax = math.abs(a.getDouble(i)); if (ax > mx) mx = ax; i += 1
+    }
+    var sum = 0L
+    var amax = 0L
+    if (mx != 0.0) {
+      i = 0
+      while (i < n) {
+        val c = math.floor(a.getDouble(i) * 127.0 / mx + 0.5).toLong
+        sum += c
+        val ac = math.abs(c); if (ac > amax) amax = ac
+        i += 1
+      }
+    }
+    new GenericArrayData(Array(sum, amax))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val mx = ctx.freshName("mx")
+      val ax = ctx.freshName("ax")
+      val c = ctx.freshName("c")
+      val ac = ctx.freshName("ac")
+      val sum = ctx.freshName("sum")
+      val amax = ctx.freshName("amax")
+      s"""
+         |int $n = $a.numElements();
+         |double $mx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $ax = java.lang.Math.abs($a.getDouble($i));
+         |  if ($ax > $mx) $mx = $ax;
+         |}
+         |long $sum = 0L;
+         |long $amax = 0L;
+         |if ($mx != 0.0) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $c = (long) java.lang.Math.floor(
+         |        $a.getDouble($i) * 127.0 / $mx + 0.5);
+         |    $sum += $c;
+         |    long $ac = java.lang.Math.abs($c);
+         |    if ($ac > $amax) $amax = $ac;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    new long[]{$sum, $amax});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Checksum =
+    copy(child = newChild)
+}
+
+object Int8Checksum {
+  /** Column API: input cast to array<double> first (floats widen exactly). */
+  def apply(v: Column): Column =
+    Bridge.column(Int8Checksum(Bridge.expression(v.cast("array<double>"))))
+}

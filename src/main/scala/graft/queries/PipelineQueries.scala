@@ -362,27 +362,25 @@ object PipelineQueries {
     // Symmetric int8 quantization of the embedding column — the 4×
     // storage/bandwidth cut every billion-vector serving layer applies
     // before ANN. Per vector: scale = max|x|, code_i = round-half-up of
-    // x_i·127/scale — a map-only scan, no shuffle, codegen'd array
-    // exprs. Emitted as per-vector integer checksums (sum of codes,
-    // abs-max code — 127 for every non-zero vector by construction),
-    // which pin every code exactly without emitting 64 columns. The
-    // rounding is floor(y + 0.5) SPELLED OUT on both engines (Spark
-    // round() half-up vs DuckDB round() half-even would diverge at
-    // .5 boundaries); mult-then-div order is pinned so IEEE rounding
-    // is bit-identical cross-engine. Zero vectors short-circuit to 0
-    // (Spark's when() keeps the division unevaluated; DuckDB division
-    // by zero is NULL, overridden by the outer CASE).
+    // x_i·127/scale — a map-only scan, no shuffle, ONE generated loop
+    // (functions.Int8Checksum native expression; the built-in HOF
+    // composition is interpreted per element and measured 2.2 s of the
+    // sf0.1 bench — UdxSpec property-checks the expression against that
+    // composition). Emitted as per-vector integer checksums (sum of
+    // codes, abs-max code — 127 for every non-zero vector by
+    // construction), which pin every code exactly without emitting 64
+    // columns. The rounding is floor(y + 0.5) SPELLED OUT on both
+    // engines (Spark round() half-up vs DuckDB round() half-even would
+    // diverge at .5 boundaries); mult-then-div order is pinned so IEEE
+    // rounding is bit-identical cross-engine. Zero vectors
+    // short-circuit to [0, 0] inside the expression; DuckDB division
+    // by zero is NULL, overridden by the oracle's CASE.
     "q_embed_quantize" -> ((s, d) => {
-      val v = transform(col("embedding"), x => x.cast("double"))
-      val mx = array_max(transform(v, x => abs(x)))
-      val codes = transform(v,
-        x => floor(x * lit(127.0) / mx + lit(0.5)).cast("long"))
+      val cs = graft.functions.Int8Checksum(col("embedding"))
       Tables.embeddings(s, d)
         .select(col("vec_id"),
-          when(mx === 0d, lit(0L))
-            .otherwise(aggregate(codes, lit(0L), (a, b) => a + b)).as("q_sum"),
-          when(mx === 0d, lit(0L))
-            .otherwise(array_max(transform(codes, c => abs(c)))).as("q_absmax"))
+          cs.getItem(0).as("q_sum"),
+          cs.getItem(1).as("q_absmax"))
         .orderBy("vec_id")
     }),
 

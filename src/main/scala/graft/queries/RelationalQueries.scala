@@ -54,6 +54,19 @@ object RelationalQueries {
         .limit(50)
     }),
 
+    // LIMIT + OFFSET pagination (rows 101-150 of a total order) — the
+    // keyset-less pagination shape; Spark plans offset+limit as one
+    // CollectLimit(offset, limit) over the sorted stream, never a full
+    // materialization. (At 100 TB serve pages by keyset predicates
+    // instead — OFFSET still sorts everything before the skip.)
+    "q_limit_offset" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .offset(100)
+        .limit(50)
+    }),
+
     "q_topk_group" -> ((s, d) => {
       // top-3 orders per customer: window + filter — the scalable top-k
       // idiom (no global sort; partial top-k per shuffle partition)
@@ -220,6 +233,10 @@ object RelationalQueries {
     "q_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50""",
+    "q_limit_offset" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+         LIMIT 50 OFFSET 100""",
     "q_topk_group" -> topkOracle,
     "q_topk_native" -> topkOracle,
     "q_union_all" ->

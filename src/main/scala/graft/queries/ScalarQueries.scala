@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.VectorFunctions
+import graft.functions.{TextFunctions, VectorFunctions}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -159,6 +159,40 @@ object ScalarQueries {
         .orderBy("doc_id")
     }),
 
+    // Array set algebra (union/intersect/except) between each document's
+    // distinct token set and the engine stopword list — the set ops
+    // behind vocabulary overlap and filter-list application, all
+    // codegen'd array expressions. Both engines dedup these ops but
+    // NEITHER pins an element order, so the emitted intersect is
+    // sort_array'd and except/union collapse to sizes — order-free
+    // facts that still pin membership exactly.
+    "q_array_setops" -> ((s, d) => {
+      val toks = array_distinct(split(lower(col("text")), " "))
+      val sw = array(TextFunctions.stopwords.map(lit): _*)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          sort_array(array_intersect(toks, sw)).as("sw_hit"),
+          size(array_except(toks, sw)).cast("long").as("n_content"),
+          size(array_union(toks, sw)).cast("long").as("n_union"))
+        .orderBy("doc_id")
+    }),
+
+    // date_trunc family at coarser calendar grains (quarter/week) plus
+    // the ordinal extractors — the partitioning keys of every
+    // time-bucketed retention layout. DuckDB's date_trunc returns DATE
+    // at these grains while Spark returns TIMESTAMP; both sides emit
+    // DATE.
+    "q_date_trunc" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_trunc("quarter", col("o_orderdate")).cast("date").as("q_start"),
+          date_trunc("week", col("o_orderdate")).cast("date").as("w_start"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          weekofyear(col("o_orderdate")).cast("long").as("woy"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"))
+        .orderBy("o_orderkey")
+    }),
+
     // Regex function family — extraction, counting, replace, match over
     // document text, all codegen'd string expressions (map-only scan at
     // any corpus size). Patterns stay inside the character-class +
@@ -286,6 +320,28 @@ object ScalarQueries {
                 '/docs/' || doc_id AS path,
                 lang AS qlang
          FROM documents ORDER BY doc_id""",
+    "q_array_setops" -> {
+      val sw = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+            SELECT doc_id,
+                   list_distinct(string_split(lower(text), ' ')) AS toks
+            FROM documents)
+          SELECT doc_id,
+                 list_sort(list_intersect(toks, [$sw])) AS sw_hit,
+                 CAST(len(list_filter(toks,
+                   x -> NOT list_contains([$sw], x))) AS BIGINT) AS n_content,
+                 CAST(len(list_distinct(list_concat(toks, [$sw])))
+                   AS BIGINT) AS n_union
+          FROM t ORDER BY doc_id"""
+    },
+    "q_date_trunc" ->
+      """SELECT o_orderkey,
+                date_trunc('quarter', o_orderdate) AS q_start,
+                date_trunc('week', o_orderdate) AS w_start,
+                CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+                CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+                CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+         FROM orders ORDER BY o_orderkey""",
     "q_regex_fns" ->
       """SELECT doc_id,
                 len(regexp_extract_all(text, '[aeiou]+')) AS n_vruns,

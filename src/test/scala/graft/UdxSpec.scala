@@ -63,4 +63,35 @@ class UdxSpec extends SparkSpec {
       "SELECT simhash64(split('a b c', ' ')) AS fp").head.getLong(0)
     assert(viaSql === graft.operators.Dedup.simhash64Value(Seq("a", "b", "c")))
   }
+
+  test("Int8Checksum native expression equals the interpreted HOF composition") {
+    // same arithmetic, two execution paths: the generated loop must be
+    // bit-identical to transform/array_max/aggregate over every real
+    // embedding (incl. negative components) and the zero vector
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val mx = array_max(transform(v, x => abs(x)))
+    val codes = transform(v,
+      x => floor(x * lit(127.0) / mx + lit(0.5)).cast("long"))
+    val cs = graft.functions.Int8Checksum(col("embedding"))
+    val zero = Tables.embeddings(spark, sf).limit(1)
+      .select(lit(0L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(0.0 AS FLOAT))").as("embedding"))
+    val rows = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .unionByName(zero)
+      .select(col("vec_id"),
+        cs.getItem(0).as("n_sum"), cs.getItem(1).as("n_max"),
+        when(mx === 0d, lit(0L))
+          .otherwise(aggregate(codes, lit(0L), (a, b) => a + b)).as("h_sum"),
+        when(mx === 0d, lit(0L))
+          .otherwise(array_max(transform(codes, c => abs(c)))).as("h_max"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(3), s"sum mismatch vec ${r.getLong(0)}")
+      assert(r.getLong(2) === r.getLong(4), s"absmax mismatch vec ${r.getLong(0)}")
+    }
+    // non-zero vectors must pin the top code at exactly 127
+    assert(rows.filter(_.getLong(0) > 0).forall(_.getLong(2) == 127L))
+  }
 }
