@@ -44,7 +44,26 @@ object AsOfJoin {
     *                  precedes the left row)
     */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-           seqCol: String, valueCols: Seq[String]): DataFrame = {
+           seqCol: String, valueCols: Seq[String]): DataFrame =
+    impl(left, right, keyCol, tsCol, seqCol, valueCols, forward = false)
+
+  /** Forward (look-ahead) as-of: each left row gets the EARLIEST right
+    * row at-or-after its timestamp — the label-attachment direction
+    * ("next conversion after this impression"). Same union + one-shuffle
+    * + ordered-window plan as [[asOf]], mirrored: left rows sort BEFORE
+    * right rows at equal ts (inclusive match), `first(_, ignoreNulls)`
+    * over `[currentRow, +inf)` carries the nearest following payload
+    * back; among right rows with identical (key, ts) the SMALLEST
+    * `seqCol` wins (the mirror of backward's greatest-wins).
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, keyCol: String,
+                  tsCol: String, seqCol: String,
+                  valueCols: Seq[String]): DataFrame =
+    impl(left, right, keyCol, tsCol, seqCol, valueCols, forward = true)
+
+  private def impl(left: DataFrame, right: DataFrame, keyCol: String,
+                   tsCol: String, seqCol: String, valueCols: Seq[String],
+                   forward: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val leftCols = left.columns.toSeq
     // The payload travels as ONE struct per right row (non-null on every
@@ -56,25 +75,32 @@ object AsOfJoin {
     // from true as-of semantics on data with null payloads.
     val payloadType = StructType(StructField("_m", IntegerType) +:
       valueCols.map(c => StructField(c, right.schema(c).dataType)))
+    // side ordering encodes tie inclusivity: backward puts right(0)
+    // before left(1) at equal ts; forward mirrors it
+    val (lSide, rSide) = if (forward) (0, 1) else (1, 0)
     val l = left
-      .withColumn("_side", lit(1))
-      .withColumn("_seq", lit(Long.MaxValue))
+      .withColumn("_side", lit(lSide))
+      .withColumn("_seq", lit(if (forward) Long.MinValue else Long.MaxValue))
       .select(Seq(col(keyCol), col(tsCol), col("_side"), col("_seq")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol).map(col) :+
         lit(null).cast(payloadType).as("_p"): _*)
     val r = right
-      .withColumn("_side", lit(0))
+      .withColumn("_side", lit(rSide))
       .withColumn("_seq", col(seqCol).cast("long"))
       .select(Seq(col(keyCol), col(tsCol), col("_side"), col("_seq")) ++
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(lit(1).as("_m") +: valueCols.map(c => col(c).as(c)): _*).as("_p"): _*)
-    val w = Window.partitionBy(keyCol)
+    val wBase = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("_side"), col("_seq"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = r.unionByName(l)
-      .withColumn("_pc", last(col("_p"), ignoreNulls = true).over(w))
-    carried.filter(col("_side") === 1)
+    val carried = r.unionByName(l).withColumn("_pc",
+      if (forward)
+        first(col("_p"), ignoreNulls = true).over(
+          wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("_p"), ignoreNulls = true).over(
+          wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    carried.filter(col("_side") === lSide)
       .select(leftCols.map(col) ++
         valueCols.map(c => col("_pc").getField(c).as(s"asof_$c")): _*)
   }

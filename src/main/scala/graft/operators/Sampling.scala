@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -62,6 +63,26 @@ object Sampling {
                      seed: Long = 0L): DataFrame = {
     val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
     df.filter(bucketOf(col(keyCol), seed) < (w * lit(M.toDouble)))
+  }
+
+  /** Deterministic fixed-k sample PER GROUP (reservoir-sampling's job,
+    * done scalably): within each group, keep the k rows whose keyed
+    * Knuth-hash buckets sort lowest (ties by key). Because the hash is
+    * uniform over keys, the kept set is an unbiased k-subset of each
+    * group — unlike a "k lowest ids" cap, which biases toward early
+    * rows — yet fully replayable across runs, retries, and engines
+    * (same bucket arithmetic as [[hashSample]]). ONE shuffle on the
+    * group column; the per-group window never sorts globally.
+    */
+  def samplePerKey(df: DataFrame, groupCol: String, keyCol: String, k: Int,
+                   seed: Long = 0L): DataFrame = {
+    require(!df.columns.contains("_spk_rn"),
+      "samplePerKey: input already has a _spk_rn column")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(bucketOf(col(keyCol), seed), col(keyCol))
+    df.withColumn("_spk_rn", row_number().over(w))
+      .filter(col("_spk_rn") <= k)
+      .drop("_spk_rn")
   }
 
   /** Train/validation/test split label from cumulative fractions, e.g.

@@ -107,6 +107,42 @@ object CurationQueries {
             "[ENTITY]").as("redacted"))
         .orderBy("doc_id")),
 
+    // URL canonicalization dedup — crawl curation's first collapse: the
+    // same resource arrives as scheme/host-case variants, default-port
+    // spellings, trailing slashes, and utm_* tracking junk. Each doc
+    // synthesizes TWO deterministic variants (messy + clean), both
+    // canonicalize via parse_url decomposition (lowercase host, port
+    // dropped, trailing slash stripped, only the lang param kept), and
+    // the groupBy(canonical) must collapse every doc back to exactly
+    // n_variants = 2 — the oracle states the expected canonical by
+    // string algebra, so every canonicalization step is load-bearing.
+    // Map-only until the dedup's one hash shuffle; the host label is
+    // sanitized to [a-z0-9-] like q_url_fns so java.net.URI always
+    // parses.
+    "q_url_canon" -> ((s, d) => {
+      val label = regexp_replace(lower(col("source")), "[^a-z0-9-]", "-")
+      val id = col("doc_id").cast("string")
+      val messy = concat(lit("https://"),
+        when(col("doc_id") % 2 === 0, upper(label)).otherwise(label),
+        lit(".Example.COM:443/docs/"), id,
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=x&lang="), col("lang"),
+        when(col("doc_id") % 5 === 0, lit("&utm_campaign=y")).otherwise(lit("")))
+      val clean = concat(lit("https://"), label, lit(".example.com/docs/"),
+        id, lit("?lang="), col("lang"))
+      val canon = concat(lit("https://"),
+        lower(expr("parse_url(url, 'HOST')")),
+        regexp_replace(expr("parse_url(url, 'PATH')"), "/$", ""),
+        lit("?lang="), expr("parse_url(url, 'QUERY', 'lang')"))
+      docs(s, d)
+        .select(col("doc_id"), explode(array(messy, clean)).as("url"))
+        .select(col("doc_id"), canon.as("canon"))
+        .groupBy("canon")
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_variants"))
+        .select(col("doc_id"), col("canon"), col("n_variants"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark decontamination: flag corpus documents sharing any word
     // 4-gram with a held-out benchmark set (stand-in: doc_id % 10 == 0 —
     // the synthetic corpus has no real benchmark, but the operator shape
@@ -222,6 +258,14 @@ object CurationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the canonical each doc's two variants must collapse to, stated by
+    // string algebra — any missed canonicalization step diverges
+    "q_url_canon" ->
+      """SELECT doc_id,
+                'https://' || regexp_replace(lower(source), '[^a-z0-9-]', '-', 'g')
+                  || '.example.com/docs/' || doc_id || '?lang=' || lang AS canon,
+                CAST(2 AS BIGINT) AS n_variants
+         FROM documents ORDER BY doc_id""",
     "q_domain_cap" ->
       """SELECT doc_id, source FROM (
            SELECT doc_id, source,

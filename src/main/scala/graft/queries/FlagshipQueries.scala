@@ -92,6 +92,51 @@ object FlagshipQueries {
         .limit(100)
     }),
 
+    // TPC-H Q14 shape (promotion effect): revenue share of PROMO-type
+    // parts by ship year. The part dim broadcasts (2000 rows at sf0.01);
+    // both the promo and total revenue ride ONE aggregation pass as
+    // conditional decimal sums, and the only double ops are the two
+    // final casts and one division — same determinism discipline as
+    // every money aggregate in the corpus.
+    "q_tpch_q14" -> ((s, d) => {
+      val term = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+      val zero = lit(0).cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - lit(0).cast("decimal(18,2)"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", term).otherwise(zero)).as("p_dec"),
+          sum(term).as("t_dec"))
+        .select(col("l_year"),
+          round(lit(100.0) * col("p_dec").cast("double") /
+            col("t_dec").cast("double"), 6).as("promo_pct"))
+        .orderBy("l_year")
+    }),
+
+    // TPC-H Q19 shape (disjunctive predicate pushdown): an OR of
+    // brand/size/quantity conjunctions across the join. The part-only
+    // half of each disjunct (brand + size) pushes to the part scan as
+    // one Or filter — PlanSpec asserts it — so at 100 TB the scan
+    // discards everything outside the three brand/size windows before
+    // the join; the quantity conjuncts evaluate post-join.
+    "q_tpch_q19" -> ((s, d) => {
+      val disj =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(11, 25) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(26, 50) &&
+          col("l_quantity").between(25, 50))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(disj)
+        .agg(count(lit(1)).as("n_lines"),
+          Num.sumDiscPrice(col("l_extendedprice"), col("l_discount"))
+            .as("revenue"))
+    }),
+
     // Batch sessionization — the canonical event-stream feature: split
     // each user's clickstream into sessions at >4h inactivity gaps
     // (lag + conditional flag + running sum = session id), then
@@ -223,6 +268,34 @@ object FlagshipQueries {
          GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
          ORDER BY o_totalprice DESC, o_orderkey
          LIMIT 100""",
+    "q_tpch_q14" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2))
+                                 - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2))
+                                 - CAST(0 AS DECIMAL(18,2))) END) AS DOUBLE)
+                      / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                      6) AS promo_pct
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY l_year""",
+    "q_tpch_q19" ->
+      """SELECT count(*) AS n_lines,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (CAST(1 AS DECIMAL(18,2))
+                            - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                  AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 1 AND 15)
+            OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+                AND l_quantity BETWEEN 10 AND 30)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50
+                AND l_quantity BETWEEN 25 AND 50)""",
     "q_sessionize" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,

@@ -163,6 +163,23 @@ object JoinQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // Forward as-of: each click gets the NEXT purchase at-or-after it —
+    // the label-attachment direction (conversion after impression).
+    // Same one-shuffle union+window plan as q_asof_join, mirrored;
+    // DuckDB's ASOF JOIN flips to l.ts <= r.ts.
+    "q_asof_fwd" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("seq"), max_by(col("value"), col("event_id")).as("v"))
+        .withColumn("rts", col("ts"))
+      graft.operators.AsOfJoin.asOfForward(clicks, purchases,
+          "user_id", "ts", "seq", Seq("v", "rts"))
+        .orderBy("event_id")
+    }),
+
     "q_asof_join" -> ((s, d) => {
       // point-in-time enrichment: each click gets the most recent purchase
       // (value + its ts) by the same user at or before the click. The
@@ -269,6 +286,18 @@ object JoinQueries {
                 r.v AS asof_v, r.ts AS asof_rts
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+    "q_asof_fwd" ->
+      """WITH r AS (SELECT user_id, ts, max(event_id) AS seq,
+                           arg_max(value, event_id) AS v
+                    FROM events WHERE event_type = 'purchase'
+                    GROUP BY user_id, ts),
+              l AS (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'click')
+         SELECT l.event_id, l.user_id, l.ts,
+                r.v AS asof_v, r.ts AS asof_rts
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts <= r.ts
          ORDER BY l.event_id""",
   )
 }

@@ -473,6 +473,14 @@ object PipelineQueries {
             Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125)).as("split"))
         .orderBy("doc_id")),
 
+    // Deterministic k-per-group sample (the reservoir-sampling job at
+    // scale): 5 hash-lowest docs per source — unbiased within each
+    // group, replayable on any engine, one shuffle on the group key.
+    "q_sample_per_key" -> ((s, d) =>
+      Sampling.samplePerKey(Tables.documents(s, d), "source", "doc_id", 5)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")),
+
     // Quality-weighted deterministic sampling: longer documents stand in
     // for higher-quality ones (weight = n_chars/500, clamped) — the
     // quality-proportional corpus selection step, keyed so every run /
@@ -881,6 +889,15 @@ object PipelineQueries {
                   ORDER BY ((CAST(doc_id AS HUGEINT) + 2) * 2654435761) % 4294967296,
                            doc_id) AS pos
          FROM documents ORDER BY pos""",
+    "q_sample_per_key" ->
+      """SELECT source, doc_id FROM (
+           SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761)
+                               % 4294967296,
+                             doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 5 ORDER BY source, doc_id""",
     "q_text_normalize" ->
       """SELECT doc_id,
                 regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),

@@ -159,6 +159,38 @@ object ScalarQueries {
         .orderBy("doc_id")
     }),
 
+    // String shaping family — pad/translate/repeat/reverse/left/right,
+    // the fixed-width formatting and key-normalization helpers; all
+    // codegen'd built-ins, map-only at any scale.
+    "q_string_pad" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          lpad(col("c_name"), 25, "*").as("lp"),
+          rpad(col("c_mktsegment"), 12, ".").as("rp"),
+          translate(col("c_name"), "#", "-").as("tr"),
+          repeat(col("c_mktsegment"), 2).as("rep"),
+          reverse(col("c_name")).as("rev"),
+          expr("left(c_name, 8)").as("l8"),
+          expr("right(c_name, 4)").as("r4"))
+        .orderBy("c_custkey")
+    }),
+
+    // NULL-handling scalar family — nullif/coalesce/nvl2/ifnull, the
+    // sentinel-to-NULL and NULL-to-default conversions every ingestion
+    // layer applies. NULLs are MANUFACTURED deterministically with
+    // nullif (the corpus itself carries none in these columns), so
+    // every branch of every function is exercised.
+    "q_null_fns" -> ((s, d) => {
+      val rfNull = nullif(col("l_returnflag"), lit("N"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          rfNull.as("rf_null"),
+          coalesce(rfNull, lit("X")).as("rf_coal"),
+          nvl2(rfNull, lit("has"), lit("none")).as("rf_nvl2"),
+          ifnull(nullif(col("l_quantity"), lit(25.0)), lit(-1.0)).as("qty_if"))
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    }),
+
     // Array set algebra (union/intersect/except) between each document's
     // distinct token set and the engine stopword list — the set ops
     // behind vocabulary overlap and filter-list application, all
@@ -320,6 +352,25 @@ object ScalarQueries {
                 '/docs/' || doc_id AS path,
                 lang AS qlang
          FROM documents ORDER BY doc_id""",
+    "q_string_pad" ->
+      """SELECT c_custkey,
+                lpad(c_name, 25, '*') AS lp,
+                rpad(c_mktsegment, 12, '.') AS rp,
+                translate(c_name, '#', '-') AS tr,
+                repeat(c_mktsegment, 2) AS rep,
+                reverse(c_name) AS rev,
+                left(c_name, 8) AS l8,
+                right(c_name, 4) AS r4
+         FROM customer ORDER BY c_custkey""",
+    "q_null_fns" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+                nullif(l_returnflag, 'N') AS rf_null,
+                coalesce(nullif(l_returnflag, 'N'), 'X') AS rf_coal,
+                CASE WHEN nullif(l_returnflag, 'N') IS NOT NULL
+                     THEN 'has' ELSE 'none' END AS rf_nvl2,
+                ifnull(nullif(l_quantity, 25.0), -1.0) AS qty_if
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
     "q_array_setops" -> {
       val sw = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (

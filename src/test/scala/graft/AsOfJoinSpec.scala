@@ -52,4 +52,33 @@ class AsOfJoinSpec extends SparkSpec {
     val out = AsOfJoin.asOf(left, right, "k", "ts", "seq", Seq("v")).collect()
     assert(out(0) === Row(1L, 10L, "second"))
   }
+
+  test("forward as-of: earliest right row at-or-after; equal-ts ties go to min seq") {
+    val left = Seq((1L, 10L, "L1"), (1L, 31L, "L2"), (2L, 5L, "L3"))
+      .toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 10L, 2L, Option("at-b")),   // AT L1's ts — inclusive match
+      (1L, 10L, 1L, Option("at-a")),   // same ts, smaller seq → wins
+      (1L, 30L, 3L, Option("mid")),
+      (2L, 1L, 4L, Option("before")))  // strictly before L3 → no match
+      .toDF("k", "ts", "seq", "v")
+    val out = AsOfJoin.asOfForward(left, right, "k", "ts", "seq", Seq("v"))
+      .orderBy("tag").collect()
+    assert(out(0) === Row(1L, 10L, "L1", "at-a"))
+    // L2 (ts=31): no right row at or after → null
+    assert(out(1) === Row(1L, 31L, "L2", null))
+    assert(out(2) === Row(2L, 5L, "L3", null))
+  }
+
+  test("forward as-of carries whole payload rows, like backward") {
+    val left = Seq((1L, 0L)).toDF("k", "ts")
+    val right = Seq(
+      (1L, 1L, 1L, Option.empty[String], Option(1)),
+      (1L, 2L, 2L, Option("b"), Option(2)))
+      .toDF("k", "ts", "seq", "v1", "v2")
+    val out = AsOfJoin.asOfForward(left, right, "k", "ts", "seq", Seq("v1", "v2"))
+      .collect()
+    // nearest following right row is ts=1: (null, 1) — never (b, 1)
+    assert(out(0) === Row(1L, 0L, null, 1))
+  }
 }

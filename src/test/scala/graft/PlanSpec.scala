@@ -264,6 +264,28 @@ class PlanSpec extends SparkSpec {
       s"bloom filter not below the join (join@$joinIdx, udf@$filterIdx):\n${p.take(1200)}")
   }
 
+  test("Q19 disjunction: the part-only half of each OR arm pushes to the part scan") {
+    val p = planOf("q_tpch_q19")
+    // brand/size disjunction reaches parquet as one Or filter
+    assert("PushedFilters: \\[[^\\]]*Or\\(".r.findFirstIn(p).isDefined, p.take(2000))
+    assert(p.contains("p_brand"), p.take(2000))
+  }
+
+  test("pagination and inverted-index plan shapes") {
+    // LIMIT 50 OFFSET 100 must be ONE TakeOrderedAndProject (per-
+    // partition top-150 heaps merged on the driver, offset applied at
+    // merge) — no shuffle, no global sort
+    val p = finalPlanOf("q_limit_offset")
+    assert(p.contains("TakeOrderedAndProject(limit=150, offset=100"), p.take(600))
+    assert(!p.contains("Exchange"), p.take(600))
+    // inverted index: explode → map-side partial collect_set → ONE hash
+    // exchange → final agg → TakeOrdered for the top-20-by-df
+    val p2 = finalPlanOf("q_invert_index")
+    assert("Exchange hashpartitioning".r.findAllIn(p2).size == 1, p2.take(1200))
+    assert(p2.contains("partial_collect_set"), p2.take(1200))
+    assert(p2.contains("TakeOrderedAndProject"), p2.take(1200))
+  }
+
   test("exact similarity ops: blocked grid, no join, no driver-side data path") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val sc = spark.sparkContext
