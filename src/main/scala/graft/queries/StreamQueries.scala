@@ -39,6 +39,15 @@ object StreamQueries {
     "q_stream_enrich" -> ((s, d) =>
       Streams.enrichWithUserDim(Tables.events(s, d), Tables.customer(s, d))
         .orderBy("event_id")),
+
+    // LEFT OUTER interval join, batch projection — in batch the
+    // time-gated outer verdict is just a left join; the streaming run's
+    // watermark-cutoff semantics are parity-tested in StreamingSpec.
+    // NULLS FIRST pinned explicitly: the engines' default null sort
+    // order differs and outer rows carry a null p_id.
+    "q_stream_join_left" -> ((s, d) =>
+      Streams.clickPurchaseJoinOuter(Tables.events(s, d), "24 hours")
+        .orderBy(col("click_id"), col("p_id").asc_nulls_first)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -85,5 +94,14 @@ object StreamQueries {
                 c.c_mktsegment AS segment, c.c_nationkey AS nationkey
          FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
          ORDER BY e.event_id""",
+    "q_stream_join_left" ->
+      """SELECT c.event_id AS click_id, c.ts AS c_ts, p.event_id AS p_id,
+                c.user_id, round(p.value, 6) AS value
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts - INTERVAL 24 HOUR
+          AND p.ts <= c.ts
+         ORDER BY click_id, p_id NULLS FIRST""",
   )
 }

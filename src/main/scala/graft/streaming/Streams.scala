@@ -86,6 +86,38 @@ object Streams {
         round(col("value"), 6).as("value"))
   }
 
+  /** LEFT OUTER stream-stream interval join: same click→purchase window
+    * as [[clickPurchaseJoin]], but clicks with NO purchase in the
+    * horizon are emitted once with null purchase columns. On a stream
+    * the null verdict is TIME-GATED, not a different algorithm: a
+    * click's outer row can only be emitted after the purchase-side
+    * watermark passes its click time (no matching purchase can arrive
+    * anymore) — which is why Spark requires watermarks on both sides
+    * plus a time-bound condition for outer stream joins, and why the
+    * last `delay` of clicks in a drained finite stream never get their
+    * outer verdict (StreamingSpec's parity test accounts for exactly
+    * that cutoff). Keeps c_ts in the output so the decidability cutoff
+    * is checkable downstream.
+    */
+  def clickPurchaseJoinOuter(events: DataFrame, horizon: String = "24 hours",
+                             delay: String = "10 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", delay)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", delay)
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") - expr(s"INTERVAL $horizon") &&
+          col("p_ts") <= col("c_ts"),
+        "leftOuter")
+      .select(col("click_id"), col("c_ts"), col("p_id"), col("user_id"),
+        round(col("value"), 6).as("value"))
+  }
+
   /** Stream–static broadcast join: enrich each event with its user's
     * dimension attributes. STATELESS — unlike a stream-stream join there
     * is no join state at all: every micro-batch joins against the

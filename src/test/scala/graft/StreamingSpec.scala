@@ -172,6 +172,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got === want)
   }
 
+  test("left-outer interval join: inner rows parity, outer rows gated by watermark") {
+    runToCompletion("t_ssjoin_left", OutputMode.Append()) {
+      Streams.clickPurchaseJoinOuter(
+        Streams.parquetStream(spark, eventsDir, batchEvents.schema), "24 hours")
+    }
+    val got = spark.table("t_ssjoin_left").collect()
+    val want = Streams.clickPurchaseJoinOuter(batchEvents, "24 hours").collect()
+    // inner (matched) rows are emitted as they join — exact parity
+    val gotInner = got.filter(!_.isNullAt(2)).map(_.toString).sorted.toSeq
+    val wantInner = want.filter(!_.isNullAt(2)).map(_.toString).sorted.toSeq
+    assert(gotInner.nonEmpty && gotInner === wantInner)
+    // outer (null) rows need the purchase watermark PAST the click time:
+    // a drained finite stream ends with watermark = max(ts) - delay, so
+    // exactly the clicks before that cutoff get their outer verdict
+    val cutoff = new Timestamp(
+      batchEvents.agg(max("ts")).head.getTimestamp(0).getTime - 10 * 60 * 1000)
+    val gotOuter = got.filter(_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getTimestamp(1))).sorted.toSeq
+    val wantOuter = want.filter(_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+      .filter(_._2.before(cutoff)).sorted.toSeq
+    assert(gotOuter.nonEmpty, "no outer rows emitted at all")
+    assert(gotOuter === wantOuter,
+      s"outer rows diverge: got ${gotOuter.size}, want ${wantOuter.size}")
+  }
+
   test("stream-static broadcast enrich parity: stream == batch, stateless") {
     val dim = Tables.customer(spark, sf)
     val q = Streams.toMemorySink(
