@@ -21,6 +21,7 @@ object SparkEntry {
       SubqueryQueries.defs ++
       JoinQueries.defs ++
       FlagshipQueries.defs ++
+      TpchQueries.defs ++
       AggQueries.defs ++
       WindowQueries.defs ++
       ScalarQueries.defs ++
@@ -41,6 +42,7 @@ object SparkEntry {
       SubqueryQueries.oracles ++
       JoinQueries.oracles ++
       FlagshipQueries.oracles ++
+      TpchQueries.oracles ++
       AggQueries.oracles ++
       WindowQueries.oracles ++
       ScalarQueries.oracles ++
