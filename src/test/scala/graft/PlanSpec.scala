@@ -286,6 +286,41 @@ class PlanSpec extends SparkSpec {
     assert(p2.contains("TakeOrderedAndProject"), p2.take(1200))
   }
 
+  test("TPC-H completion wave: pushdown, partial aggs, broadcasts, semi/anti") {
+    // Q6: the canonical pushdown query — all three predicates reach the
+    // lineitem scan; the only exchange is the single-row final agg
+    val q6 = finalPlanOf("q_tpch_q6")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(q6).isDefined ||
+      q6.contains("l_quantity"), q6.take(1200))
+    assert("Exchange".r.findAllIn(q6).size == 1, q6.take(1200))
+    // Q1: partial+final aggregation, and the scan reads only the 7
+    // referenced columns (no keys)
+    val q1 = planOf("q_tpch_q1")
+    assert("HashAggregate".r.findAllIn(q1).size >= 2, q1.take(1200))
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(q1).getOrElse("")
+    assert(read.contains("l_tax") && !read.contains("l_orderkey"), read)
+    // Q2/Q16: every dim (filtered part, suppliers, per-part mins)
+    // broadcasts; the only fact-sized shuffle is the supply-pair
+    // distinct; nothing degrades to a cartesian
+    Seq("q_tpch_q2", "q_tpch_q16").foreach { n =>
+      val p = planOf(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n: ${p.take(900)}")
+      assert(!p.contains("CartesianProduct"), s"$n: ${p.take(900)}")
+    }
+    // Q21: EXISTS/NOT-EXISTS render as semi + anti joins on the order
+    // key (with the supplier/shipdate inequalities as join conditions),
+    // never a per-row rescan or cartesian
+    val q21 = planOf("q_tpch_q21")
+    assert(q21.contains("LeftSemi"), q21.take(1500))
+    assert(q21.contains("LeftAnti"), q21.take(1500))
+    assert(!q21.contains("CartesianProduct"), q21.take(1500))
+    // Q4: the quarter predicate reaches the orders scan under the semi
+    val q4 = planOf("q_tpch_q4")
+    assert(q4.contains("LeftSemi"), q4.take(1200))
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r.findFirstIn(q4).isDefined,
+      q4.take(1200))
+  }
+
   test("exact similarity ops: blocked grid, no join, no driver-side data path") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val sc = spark.sparkContext
