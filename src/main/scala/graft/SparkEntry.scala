@@ -30,6 +30,7 @@ object SparkEntry {
       FuzzQueries.defs ++
       KMeansQueries.defs ++
       PipelineQueries.defs ++
+      DocStructQueries.defs ++
       CurationQueries.defs ++
       StreamQueries.defs
 
@@ -51,6 +52,7 @@ object SparkEntry {
       FuzzQueries.oracles ++
       KMeansQueries.oracles ++
       PipelineQueries.oracles ++
+      DocStructQueries.oracles ++
       CurationQueries.oracles ++
       StreamQueries.oracles
 }
