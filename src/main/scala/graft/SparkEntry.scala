@@ -32,6 +32,7 @@ object SparkEntry {
       PipelineQueries.defs ++
       DocStructQueries.defs ++
       CurationQueries.defs ++
+      GraphQueries.defs ++
       StreamQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -54,5 +55,6 @@ object SparkEntry {
       PipelineQueries.oracles ++
       DocStructQueries.oracles ++
       CurationQueries.oracles ++
+      GraphQueries.oracles ++
       StreamQueries.oracles
 }

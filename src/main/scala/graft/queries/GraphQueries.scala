@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Graph
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over the documents corpus — see
+  * [[graft.operators.Graph]] for the algorithms and scale rationale.
+  * The link graph is derived deterministically from doc_id arithmetic
+  * (3 out-links per doc, mod |V|), identically in both engines, so
+  * every row below is exact-integer comparable: PageRank is scaled
+  * BIGINT fixed-point, triangles/wedges/BFS depths are counts.
+  */
+object GraphQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // 5-iteration integer-scaled PageRank; top-20 pages by rank.
+    // The crawl-quality-weighting signal: rank feeds corpus sampling
+    // weights the way Common Crawl's harmonic-centrality host ranks do.
+    "q_pagerank" -> ((s, d) => {
+      val dd = docs(s, d)
+      Graph.pageRank(dd, dd.count(), iterations = 5)
+    }),
+
+    // Global triangle census (nodes/edges/wedges/triangles) via the
+    // degree-ordered compact-forward closure — never a high-degree
+    // wedge explosion, so the same plan survives power-law graphs.
+    "q_triangle_count" -> ((s, d) => {
+      val dd = docs(s, d)
+      Graph.triangleStats(dd, dd.count())
+    }),
+
+    // Bounded-depth BFS from doc 0: shortest hop distance for every
+    // page reachable in ≤4 supersteps (the crawl-frontier shape).
+    "q_bfs_reach" -> ((s, d) => {
+      val dd = docs(s, d)
+      Graph.bfsDepths(dd, dd.count(), source = 0L, maxDepth = 4)
+        .orderBy("doc_id")
+    })
+  )
+
+  /** Shared edge-derivation CTEs (DuckDB). `nn` carries |V|; `e` is the
+    * directed link set; reused verbatim across the three oracles so the
+    * graph under test is provably the same one.
+    */
+  private val edgeCte =
+    """WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+       e AS (SELECT DISTINCT doc_id AS src,
+                    (doc_id * 131 + j * 17) % nn.n AS dst
+             FROM documents, nn, UNNEST([1, 2, 3]) AS t(j)
+             WHERE j <= 1 + doc_id % 3
+               AND (doc_id * 131 + j * 17) % nn.n <> doc_id)"""
+
+  /** Unrolled 5-iteration PageRank in plain SQL: r0..r5 CTE chain, all
+    * BIGINT floor division — bit-identical to the Spark loop.
+    */
+  private val pagerankSql: String = {
+    val iters = (1 to 5).map { i =>
+      s"""c$i AS (SELECT adj.dst AS id, sum(r${i - 1}.pr // adj.outdeg) AS c
+                  FROM adj JOIN r${i - 1} ON r${i - 1}.id = adj.src
+                  GROUP BY adj.dst),
+          r$i AS (SELECT d.doc_id AS id,
+                         (SELECT (15 * 1000000000000) // (100 * n) FROM nn)
+                         + (85 * coalesce(c.c, 0)) // 100 AS pr
+                  FROM documents d LEFT JOIN c$i c ON c.id = d.doc_id)"""
+    }.mkString(",\n")
+    s"""$edgeCte,
+        dg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        adj AS (SELECT e.src, e.dst, dg.outdeg FROM e JOIN dg USING (src)),
+        r0 AS (SELECT doc_id AS id,
+                      (SELECT 1000000000000 // n FROM nn) AS pr
+               FROM documents),
+        $iters
+        SELECT id AS doc_id, CAST(pr AS BIGINT) AS rank
+        FROM r5 ORDER BY pr DESC, id LIMIT 20"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" -> pagerankSql,
+
+    // naive id-ordered 3-join closure: the oracle states triangle
+    // semantics the simple way; the Spark side reaches the same count
+    // via the degree-ordered orientation
+    "q_triangle_count" ->
+      s"""$edgeCte,
+         und AS (SELECT DISTINCT least(src, dst) AS u,
+                        greatest(src, dst) AS v FROM e),
+         dg AS (SELECT node, count(*) AS deg FROM (
+                  SELECT u AS node FROM und
+                  UNION ALL SELECT v FROM und) z GROUP BY node),
+         tri AS (SELECT count(*) AS t
+                 FROM und e1
+                 JOIN und e2 ON e2.u = e1.v
+                 JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v)
+         SELECT (SELECT count(*) FROM dg) AS n_nodes,
+                (SELECT count(*) FROM und) AS n_edges,
+                (SELECT CAST(sum(deg * (deg - 1)) // 2 AS BIGINT) FROM dg)
+                  AS n_wedges,
+                (SELECT t FROM tri) AS n_triangles""",
+
+    "q_bfs_reach" ->
+      s"""$edgeCte,
+         walk(id, dist) AS (
+           SELECT CAST(0 AS BIGINT) AS id, 0 AS dist
+           UNION
+           SELECT e.dst, w.dist + 1
+           FROM walk w JOIN e ON e.src = w.id
+           WHERE w.dist < 4)
+         SELECT id AS doc_id, CAST(min(dist) AS BIGINT) AS dist
+         FROM walk GROUP BY id ORDER BY doc_id"""
+  )
+}
