@@ -33,6 +33,7 @@ object SparkEntry {
       DocStructQueries.defs ++
       CurationQueries.defs ++
       GraphQueries.defs ++
+      FunnelQueries.defs ++
       StreamQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,5 +57,6 @@ object SparkEntry {
       DocStructQueries.oracles ++
       CurationQueries.oracles ++
       GraphQueries.oracles ++
+      FunnelQueries.oracles ++
       StreamQueries.oracles
 }
