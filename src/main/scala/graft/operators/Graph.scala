@@ -164,6 +164,68 @@ object Graph {
         col("n_triangles"))
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999), integer-exact.
+    *
+    * Same superstep shape as [[pageRank]] — the score exchange is a
+    * join on the edge key — but mutually recursive: authority mass
+    * flows along in-links from hub scores, hub mass along out-links
+    * from authority scores. Normalization is L1 (divide by the global
+    * sum) rather than the textbook L2 — a square root has no exact
+    * integer form; L1 is an equally valid scaling choice (any norm
+    * only fixes the scale factor) and keeps every value a BIGINT so
+    * the result is shuffle-order independent. The global sum is a
+    * 1-row aggregate broadcast back over the scores (scalar subquery
+    * in the oracle) — never a driver round-trip.
+    *
+    * Fixed-point layout: scores carry factor 10^12; the normalize
+    * step computes (x · 10^6) div (Σx div 10^6), keeping every
+    * intermediate under 2^63 for graphs up to ~10^6 vertices at
+    * in/out-degree ≤ 3 (beyond that, swap to the documented double
+    * path — exactness is a test-oracle property, not a production
+    * requirement).
+    */
+  def hits(docs: DataFrame, n: Long, iterations: Int = 2): DataFrame = {
+    val vertices = docs.select(col("doc_id").cast("long").as("id"))
+    val edges = linkEdges(docs, n).persist()
+    def l1normalize(scores: DataFrame, c: String): DataFrame = {
+      val tot = scores.agg(sum(col(c)).as("_tot"))
+      scores.crossJoin(broadcast(tot))
+        .select(col("id"),
+          expr(s"($c * 1000000L) div (_tot div 1000000L)").as(c))
+    }
+    var hub = vertices.select(col("id"), lit(Scale).as("hub"))
+    var auth = vertices.select(col("id"), lit(0L).as("auth"))
+    for (_ <- 1 to iterations) {
+      val a = edges.join(hub, edges("src") === hub("id"))
+        .groupBy(col("dst").as("aid")).agg(sum("hub").as("auth"))
+      auth = l1normalize(
+        vertices.join(a, vertices("id") === col("aid"), "left")
+          .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth")),
+        "auth")
+      val h = edges.join(auth, edges("dst") === auth("id"))
+        .groupBy(col("src").as("hid")).agg(sum("auth").as("hub"))
+      hub = l1normalize(
+        vertices.join(h, vertices("id") === col("hid"), "left")
+          .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub")),
+        "hub")
+    }
+    val joined = auth.join(hub, "id")
+      .select(col("id").as("doc_id"), col("auth"), col("hub"))
+      .orderBy(col("auth").desc, col("doc_id")).limit(20)
+      .collect()
+    edges.unpersist(blocking = false)
+    val spark = docs.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("auth",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("hub",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    spark.createDataFrame(java.util.Arrays.asList(joined: _*), schema)
+      .orderBy(col("auth").desc, col("doc_id"))
+  }
+
   /** Shortest hop distance from `source` over directed link edges,
     * bounded at `maxDepth` supersteps. Frontier-expansion BFS: each
     * round joins the previous frontier against the adjacency list and

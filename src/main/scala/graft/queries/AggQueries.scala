@@ -310,6 +310,34 @@ object AggQueries {
           round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))
         .orderBy("l_returnflag")),
+
+    // Winsorization: clamp each group's values into [p05, p95] — the
+    // standard outlier treatment before feature aggregation. Two-pass
+    // shape: one exact-percentile aggregation (3 rows), broadcast back
+    // over the fact scan, clamp, re-aggregate. The percentile bounds
+    // are exact cross-engine (integer data, quarter-step interpolation
+    // — the q_percentile precedent), so the clamp COMPARISONS agree;
+    // the winsorized sum goes through DECIMAL(18,6) (bounds have at
+    // most 2 fractional digits) so shuffle order cannot move a bit.
+    "q_winsorize" -> ((s, d) => {
+      val p = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.05)").as("p05"),
+          expr("percentile(l_quantity, 0.95)").as("p95"))
+      Tables.lineitem(s, d)
+        .join(broadcast(p), "l_returnflag")
+        .select(col("l_returnflag"),
+          col("l_quantity").as("q"), col("p05"), col("p95"),
+          least(greatest(col("l_quantity"), col("p05")), col("p95")).as("w"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("q") < col("p05"), 1).otherwise(0)).cast("long").as("n_low"),
+          sum(when(col("q") > col("p95"), 1).otherwise(0)).cast("long").as("n_high"),
+          count(lit(1)).as("n_rows"),
+          round(expr("CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE)") /
+            count(lit(1)), 6).as("win_mean"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -430,6 +458,22 @@ object AggQueries {
                 round(quantile_cont(l_quantity, 0.5), 6) AS p50,
                 round(quantile_cont(l_quantity, 0.9), 6) AS p90
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_winsorize" ->
+      """WITH p AS (SELECT l_returnflag,
+                           quantile_cont(l_quantity, 0.05) AS p05,
+                           quantile_cont(l_quantity, 0.95) AS p95
+                    FROM lineitem GROUP BY l_returnflag)
+         SELECT l.l_returnflag,
+                CAST(sum(CASE WHEN l.l_quantity < p.p05 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_low,
+                CAST(sum(CASE WHEN l.l_quantity > p.p95 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_high,
+                count(*) AS n_rows,
+                round(CAST(sum(CAST(least(greatest(l.l_quantity, p.p05), p.p95)
+                                    AS DECIMAL(18,6))) AS DOUBLE)
+                      / count(*), 6) AS win_mean
+         FROM lineitem l JOIN p USING (l_returnflag)
+         GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, metric, value FROM (
            SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,

@@ -41,6 +41,13 @@ object GraphQueries {
       val dd = docs(s, d)
       Graph.bfsDepths(dd, dd.count(), source = 0L, maxDepth = 4)
         .orderBy("doc_id")
+    }),
+
+    // HITS hubs-and-authorities, 2 iterations, L1-normalized integer
+    // fixed-point (see Graph.hits) — top-20 authorities.
+    "q_hits" -> ((s, d) => {
+      val dd = docs(s, d)
+      Graph.hits(dd, dd.count(), iterations = 2)
     })
   )
 
@@ -80,8 +87,44 @@ object GraphQueries {
         FROM r5 ORDER BY pr DESC, id LIMIT 20"""
   }
 
+  /** Unrolled 2-iteration HITS: per iteration, raw authority = hub
+    * mass over in-links, L1-normalize; raw hub = authority mass over
+    * out-links, L1-normalize. The normalize step is the same
+    * (x·10^6) // (Σx // 10^6) integer form the Spark operator uses.
+    */
+  private val hitsSql: String = {
+    def norm(inp: String, out: String, c: String) =
+      s"""$out AS (SELECT id, ($c * 1000000)
+                          // ((SELECT sum($c) FROM $inp) // 1000000) AS $c
+                   FROM $inp)"""
+    val iters = (1 to 2).flatMap { i =>
+      val prevHub = if (i == 1) "h0" else s"h${i - 1}"
+      Seq(
+        s"""a${i}r AS (SELECT d.doc_id AS id, coalesce(s.a, 0) AS auth
+                FROM documents d LEFT JOIN (
+                  SELECT e.dst AS id, sum(h.hub) AS a
+                  FROM e JOIN $prevHub h ON h.id = e.src
+                  GROUP BY e.dst) s ON s.id = d.doc_id)""",
+        norm(s"a${i}r", s"a$i", "auth"),
+        s"""h${i}r AS (SELECT d.doc_id AS id, coalesce(s.h, 0) AS hub
+                FROM documents d LEFT JOIN (
+                  SELECT e.src AS id, sum(a.auth) AS h
+                  FROM e JOIN a$i a ON a.id = e.dst
+                  GROUP BY e.src) s ON s.id = d.doc_id)""",
+        norm(s"h${i}r", s"h$i", "hub"))
+    }.mkString(",\n")
+    s"""$edgeCte,
+        h0 AS (SELECT doc_id AS id, 1000000000000 AS hub FROM documents),
+        $iters
+        SELECT a2.id AS doc_id, CAST(a2.auth AS BIGINT) AS auth,
+               CAST(h2.hub AS BIGINT) AS hub
+        FROM a2 JOIN h2 USING (id)
+        ORDER BY a2.auth DESC, a2.id LIMIT 20"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    "q_hits" -> hitsSql,
 
     // naive id-ordered 3-join closure: the oracle states triangle
     // semantics the simple way; the Spark side reaches the same count

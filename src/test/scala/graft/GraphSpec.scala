@@ -74,6 +74,23 @@ class GraphSpec extends SparkSpec {
     assert(pr.forall(_.getAs[Long]("rank") > teleport))
   }
 
+  test("hits: top-20 authorities, positive scores, auth-descending order") {
+    val rows = Graph.hits(docsDf, n, iterations = 2).collect()
+    assert(rows.length === 20)
+    // every vertex has out-links (fan-out >= 1 by construction), so the
+    // top authorities must carry strictly positive auth mass; hub can be
+    // 0 only for a vertex none of whose targets hold authority — not in
+    // the top-20 on this graph
+    assert(rows.forall(_.getAs[Long]("auth") > 0L))
+    assert(rows.forall(_.getAs[Long]("hub") >= 0L))
+    val pairs = rows.map(r => (r.getAs[Long]("auth"), r.getAs[Long]("doc_id")))
+    assert(pairs.sliding(2).forall { case Array((a1, d1), (a2, d2)) =>
+      a1 > a2 || (a1 == a2 && d1 < d2)
+    })
+    // L1 normalization: no single score can exceed the total scale
+    assert(rows.forall(_.getAs[Long]("auth") <= Graph.Scale))
+  }
+
   test("bfs: source at 0, neighbors at 1, dist obeys edge relaxation") {
     val d = Graph.bfsDepths(docsDf, n, source = 0L, maxDepth = 4)
     val dist = d.collect().map(r =>
