@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-sequence event analytics over the events table — the two
@@ -67,6 +68,49 @@ object FunnelQueries {
           expr("datediff(w, cw) div 7").as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // First-order Markov transition matrix over per-user event
+    // sequences: lag the type within (user_id ORDER BY ts, event_id)
+    // — the sessionize ordering convention — count (prev → curr)
+    // pairs, and derive row-stochastic probabilities with a window
+    // sum (no second aggregation pass). The state space is the
+    // event-type vocabulary, so the result is |S|² rows regardless of
+    // corpus size; the single shuffle is the user_id window.
+    "q_markov_trans" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wp = Window.partitionBy("prev")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("curr"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy("prev", "curr").agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          round(col("n") / sum(col("n")).over(wp), 6))
+        .orderBy("prev", "curr")
+    }),
+
+    // Top user journeys: each user's first three events (same total
+    // ordering) joined into a path string, ranked by user count. The
+    // per-user state is a bounded 3-struct array — order-pinned via
+    // array_sort on (ts, event_id, type), the q_para_dedup reassembly
+    // idiom.
+    "q_user_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(
+                struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type")), ">").as("path"),
+          count(lit(1)).as("len"))
+        .filter(col("len") === 3)
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path")).limit(10)
     })
   )
 
@@ -99,6 +143,35 @@ object FunnelQueries {
                 count(*) AS n_users
          FROM first f JOIN act a USING (user_id)
          WHERE a.w >= f.cw
-         GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
+
+    "q_markov_trans" ->
+      """WITH seq AS (
+           SELECT user_id, event_type AS curr,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+         pairs AS (
+           SELECT prev, curr, count(*) AS n FROM seq
+           WHERE prev IS NOT NULL GROUP BY 1, 2)
+         SELECT prev, curr, n,
+                round(n * 1.0 / sum(n) OVER (PARTITION BY prev), 6) AS p
+         FROM pairs ORDER BY prev, curr""",
+
+    "q_user_paths" ->
+      """WITH ranked AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn,
+                  ts, event_id
+           FROM events),
+         paths AS (
+           SELECT user_id,
+                  string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                  count(*) AS len
+           FROM ranked WHERE rn <= 3 GROUP BY user_id)
+         SELECT path, count(*) AS n_users
+         FROM paths WHERE len = 3
+         GROUP BY path ORDER BY n_users DESC, path LIMIT 10"""
   )
 }

@@ -14,6 +14,24 @@ class FunnelSpec extends SparkSpec {
     assert(v > 0L)
   }
 
+  test("markov: transition rows are row-stochastic within rounding") {
+    val m = FunnelQueries.defs("q_markov_trans")(spark, sf).collect()
+    assert(m.nonEmpty)
+    m.groupBy(_.getAs[String]("prev")).foreach { case (prev, rows) =>
+      val total = rows.map(_.getAs[Double]("p")).sum
+      // 5 states rounded to 1e-6 each: drift bounded by 2.5e-6
+      assert(math.abs(total - 1.0) < 1e-5, s"row $prev sums to $total")
+    }
+  }
+
+  test("user paths: ten 3-step paths covering a plurality of users") {
+    val p = FunnelQueries.defs("q_user_paths")(spark, sf).collect()
+    assert(p.length === 10)
+    assert(p.forall(_.getAs[String]("path").split(">").length == 3))
+    val counts = p.map(_.getAs[Long]("n_users"))
+    assert(counts.sameElements(counts.sortBy(-_)))
+  }
+
   test("cohort: every cohorted user is active at offset 0, totals agree") {
     val m = FunnelQueries.defs("q_cohort_retention")(spark, sf).collect()
     // a user's first high-value purchase week is itself a purchase week,
