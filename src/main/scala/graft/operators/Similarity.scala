@@ -160,6 +160,48 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** Hard-negative mining for contrastive-embedding training: for every
+    * anchor vector, the k most-similar vectors carrying a DIFFERENT
+    * label, mined against a deterministic Knuth-hash candidate pool
+    * (`Sampling.bucketOf < poolBound`, the engine's oracle-replicable
+    * sampling primitive). This is the data-prep step that turns a
+    * labeled corpus into contrastive triplets — the negatives that
+    * matter are the ones the current embedding already confuses.
+    *
+    * Scale shape: in production the pool is a bounded sample (here 25%
+    * — at 100 TB you'd cap it in absolute rows), so the expensive side
+    * is a stream of anchors map-joined against per-label candidate
+    * groups: anchors expand by the tiny distinct-label dim (broadcast
+    * nested-loop against a |S|-row side, S = label vocabulary), then
+    * one equi-join ON THE LABEL KEY delivers candidate batches; no
+    * cross join of data-sized inputs ever appears. Exactness: the
+    * similarity is the canonical [[dotFast]] loop, so the result is
+    * bit-comparable to the oracle's fold.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int = 3,
+                    poolBound: Long = 1073741824L): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"), col(labelCol).as("label"))
+      .withColumn("nrm", l2Norm(col("v")))
+    val cands = v.filter(Sampling.bucketOf(col("id")) < lit(poolBound))
+      .select(col("id").as("nid"), col("v").as("nv"),
+        col("nrm").as("nnrm"), col("label").as("nlabel"))
+    val labels = cands.select(col("nlabel")).distinct()
+    val anchors = v.select(col("id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("label").as("qlabel"))
+      .join(broadcast(labels), col("nlabel") =!= col("qlabel"))
+    val scored = anchors.join(cands, Seq("nlabel"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("nlabel"),
+        (dotFast(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
+          .as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("nlabel"), col("sim"))
+  }
+
   /** Exact cosine top-k of every QUERY row against every CANDIDATE row —
     * the asymmetric sibling of [[bruteForceTopK]] for recall audits: at
     * scale you can't brute-force every query, but you can brute-force a

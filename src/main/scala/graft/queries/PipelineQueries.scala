@@ -214,6 +214,16 @@ object PipelineQueries {
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rank")),
 
+    // Hard-negative mining: per anchor, the 3 most-similar vectors with
+    // a DIFFERENT label, from a deterministic 25% Knuth-hash candidate
+    // pool (Similarity.hardNegatives — anchors expand by the broadcast
+    // label dim, then ONE equi-join on the label key; no cross join).
+    "q_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(Tables.embeddings(s, d), "vec_id",
+          "embedding", "label", k = 3)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rank")),
+
     // LSH-bucketed approximate top-k (the 100 TB path).
     //
     // Oracle shape: ANN output is approximate by construction, so the
@@ -743,6 +753,34 @@ object PipelineQueries {
            FROM pairs)
          SELECT qid, rank, nid, round(sim, 6) AS sim
          FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "q_hard_negatives" ->
+      """WITH v AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, label, v,
+                  sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm
+           FROM v),
+         c AS (
+           SELECT * FROM n
+           WHERE (CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296
+                 < 1073741824),
+         pairs AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid, c.label AS nlabel,
+                  list_reduce(list_prepend(0.0,
+                    list_transform(generate_series(1, len(q.v)),
+                      i -> q.v[i] * c.v[i])), (a,b) -> a+b)
+                  / (q.nrm * c.nrm) AS sim
+           FROM n q JOIN c ON q.label <> c.label AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT qid, nid, nlabel, sim,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, nid) AS rank
+           FROM pairs)
+         SELECT qid, rank, nid, nlabel, round(sim, 6) AS sim
+         FROM ranked WHERE rank <= 3 ORDER BY qid, rank""",
     "q_embed_neardup" ->
       """WITH v AS (
            SELECT vec_id,

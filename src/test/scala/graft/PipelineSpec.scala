@@ -101,6 +101,23 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.30, f"recall $recall%.3f below floor")
   }
 
+  test("hard negatives: every mined negative crosses the label boundary") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val neg = graft.operators.Similarity.hardNegatives(
+      emb, "vec_id", "embedding", "label", k = 3)
+    val anchorLabels = emb.select(col("vec_id").as("qid"),
+      col("label").as("qlabel"))
+    // zero rows may share a label across the anchor/negative divide
+    assert(neg.join(anchorLabels, "qid")
+      .filter(col("nlabel") === col("qlabel")).count() === 0L)
+    // k-bounded per anchor, ranks dense from 1
+    val byAnchor = neg.groupBy("qid")
+      .agg(count(lit(1)).as("c"), max("rank").as("mx"), min("rank").as("mn"))
+    assert(byAnchor.filter(col("c") > 3 || col("mx") =!= col("c") ||
+      col("mn") =!= 1).count() === 0L)
+  }
+
   test("ivf results are a subset of valid neighbors with exact sims") {
     val ivf = Similarity.ivfTopK(embeddings, "vec_id", "embedding",
       k = 3, nlist = 8, nprobe = 2)
