@@ -244,6 +244,41 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Bigram LM scoring — the next rung of the perplexity-proxy ladder
+    // above q_unigram_lm: avg ln p(tok|prev) with add-0.5 smoothing
+    // over a unigram history count (the Lidstone shortcut; production
+    // scoring swaps in a pre-trained KenLM, same dataflow). Bigrams are
+    // built MAP-SIDE with zip_with over adjacent array slices — never a
+    // per-token window shuffle; the only exchanges are the two count
+    // aggregations and the count-joins back (vocab-sized — AQE
+    // broadcasts them on natural text), then one groupBy(doc_id).
+    // Smoothed ratios are exact doubles (int counts + exact halves), ln
+    // goes through the same DECIMAL(28,10) quantization as q_unigram_lm
+    // so partial-agg order cannot move a bit.
+    "q_bigram_lm" -> ((s, d) => {
+      val w = split(lower(col("text")), " ")
+      val bgs = docs(s, d).select(col("doc_id"),
+          explode(zip_with(
+            slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+            (a, b) => struct(a.as("prev"),
+              concat_ws(" ", a, b).as("bg")))).as("p"))
+        .select(col("doc_id"), col("p.prev").as("prev"), col("p.bg").as("bg"))
+      val tf = docs(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("tf"))
+      val vocab = tf.agg(count(lit(1)).as("v"))
+      val cbg = bgs.groupBy("bg").agg(count(lit(1)).as("cbg"))
+      bgs.join(cbg, "bg")
+        .join(tf.withColumnRenamed("tok", "prev"), "prev")
+        .crossJoin(broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(expr(
+            "CAST(ln((cbg + 0.5) / (tf + 0.5 * v)) AS DECIMAL(28,10))"))
+            .cast("double") / count(lit(1)), 6).as("lm2_score"))
+        .orderBy("doc_id")
+    }),
+
     // Character-class masking (Spark's mask(): upper→X, lower→x,
     // digit→n, punctuation kept) — the shape-preserving PII transform
     // used when downstream needs format validity (card/phone/ID fields)
@@ -347,5 +382,22 @@ object CurationQueries {
                   '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
                   AS masked
          FROM documents ORDER BY doc_id""",
+    "q_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                      FROM documents),
+            toks AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+                     FROM documents),
+            tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+            vv AS (SELECT count(*) AS v FROM tf),
+            bg AS (SELECT doc_id, w[i] AS prev, w[i] || ' ' || w[i+1] AS bg
+                   FROM tok, UNNEST(range(1, len(w))) AS t(i)),
+            cbg AS (SELECT bg, count(*) AS cbg FROM bg GROUP BY bg)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(CAST(sum(CAST(ln((cbg.cbg + 0.5)
+                                       / (tf.tf + 0.5 * (SELECT v FROM vv)))
+                                    AS DECIMAL(28,10))) AS DOUBLE)
+                      / count(*), 6) AS lm2_score
+         FROM bg JOIN cbg USING (bg) JOIN tf ON tf.tok = bg.prev
+         GROUP BY doc_id ORDER BY doc_id""",
   )
 }
