@@ -87,12 +87,19 @@ object Graph {
     * in-links keep the teleport term via the left join on the full
     * vertex set. Returns (doc_id, rank) for ALL vertices.
     */
-  def pageRank(docs: DataFrame, n: Long, iterations: Int = 5): DataFrame = {
+  /** Full rank vector as a lazy DataFrame (doc_id, rank) — the form
+    * downstream operators compose with (e.g. centrality-weighted
+    * sampling). The adjacency subplan recurs once per iteration inside
+    * ONE plan; Spark's ReuseExchange collapses the identical shuffle,
+    * so no explicit persist (and therefore no cache lifetime to manage
+    * on a DataFrame we hand to the caller).
+    */
+  def pageRankScores(docs: DataFrame, n: Long,
+                     iterations: Int = 5): DataFrame = {
     val vertices = docs.select(col("doc_id").cast("long").as("id"))
     val edges = linkEdges(docs, n)
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // (src, dst, outdeg) is iteration-invariant: compute once, reuse 5×.
-    val adj = edges.join(outdeg, "src").persist()
+    val adj = edges.join(outdeg, "src")
     val teleport = lit(15L * Scale / (100L * n))
     var ranks = vertices.select(col("id"), lit(Scale / n).as("rank"))
     for (_ <- 1 to iterations) {
@@ -105,15 +112,17 @@ object Graph {
         .select(col("id"),
           (teleport + expr("85 * coalesce(c, 0L) div 100")).as("rank"))
     }
+    ranks.select(col("id").as("doc_id"), col("rank"))
+  }
+
+  def pageRank(docs: DataFrame, n: Long, iterations: Int = 5): DataFrame = {
     // The deliverable is the bounded top-20 (TakeOrderedAndProject —
     // never a global sort of |V| rows). Collecting 20 rows to the
     // driver is the same justified-bounded pattern as k-means
-    // centroids; re-parallelizing them releases the adjacency cache
-    // with no persisted state left behind.
-    val top = ranks.select(col("id").as("doc_id"), col("rank"))
+    // centroids.
+    val top = pageRankScores(docs, n, iterations)
       .orderBy(col("rank").desc, col("doc_id")).limit(20)
       .collect()
-    adj.unpersist(blocking = false)
     val spark = docs.sparkSession
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",

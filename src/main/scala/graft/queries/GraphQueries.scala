@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Graph
+import graft.operators.{Graph, Sampling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -48,6 +48,25 @@ object GraphQueries {
     "q_hits" -> ((s, d) => {
       val dd = docs(s, d)
       Graph.hits(dd, dd.count(), iterations = 2)
+    }),
+
+    // Centrality-weighted corpus sampling — the graph signal composed
+    // into a curation decision (crawl pipelines keep pages with
+    // probability proportional to host rank). Keep doc iff its Knuth
+    // bucket falls under rank/(2·max_rank) of the hash space: the
+    // decision is a pure integer function of (doc_id, rank), so the
+    // sample is retry-safe and oracle-replicable — the same discipline
+    // as every Sampling operator. One broadcast 1-row max joins the
+    // lazy full-rank vector; no collect anywhere.
+    "q_rank_sample" -> ((s, d) => {
+      val dd = docs(s, d)
+      val scores = Graph.pageRankScores(dd, dd.count(), iterations = 5)
+      val maxr = scores.agg(max("rank").as("maxr"))
+      scores.crossJoin(broadcast(maxr))
+        .filter(Sampling.bucketOf(col("doc_id")) <
+          expr("(rank div 1000) * 4294967296 div ((maxr div 1000) * 2)"))
+        .select(col("doc_id"), col("rank"))
+        .orderBy("doc_id")
     })
   )
 
@@ -63,10 +82,11 @@ object GraphQueries {
              WHERE j <= 1 + doc_id % 3
                AND (doc_id * 131 + j * 17) % nn.n <> doc_id)"""
 
-  /** Unrolled 5-iteration PageRank in plain SQL: r0..r5 CTE chain, all
-    * BIGINT floor division — bit-identical to the Spark loop.
+  /** Unrolled 5-iteration PageRank CTE chain (r0..r5), all BIGINT floor
+    * division — bit-identical to the Spark loop. Shared by the top-20
+    * projection and the rank-weighted sampling oracle.
     */
-  private val pagerankSql: String = {
+  private val pagerankChain: String = {
     val iters = (1 to 5).map { i =>
       s"""c$i AS (SELECT adj.dst AS id, sum(r${i - 1}.pr // adj.outdeg) AS c
                   FROM adj JOIN r${i - 1} ON r${i - 1}.id = adj.src
@@ -82,10 +102,22 @@ object GraphQueries {
         r0 AS (SELECT doc_id AS id,
                       (SELECT 1000000000000 // n FROM nn) AS pr
                FROM documents),
-        $iters
+        $iters"""
+  }
+
+  private val pagerankSql: String =
+    s"""$pagerankChain
         SELECT id AS doc_id, CAST(pr AS BIGINT) AS rank
         FROM r5 ORDER BY pr DESC, id LIMIT 20"""
-  }
+
+  private val rankSampleSql: String =
+    s"""$pagerankChain,
+        m AS (SELECT max(pr) AS maxr FROM r5)
+        SELECT id AS doc_id, CAST(pr AS BIGINT) AS rank
+        FROM r5, m
+        WHERE (CAST(id AS HUGEINT) * 2654435761) % 4294967296
+              < (pr // 1000) * 4294967296 // ((maxr // 1000) * 2)
+        ORDER BY doc_id"""
 
   /** Unrolled 2-iteration HITS: per iteration, raw authority = hub
     * mass over in-links, L1-normalize; raw hub = authority mass over
@@ -124,6 +156,7 @@ object GraphQueries {
 
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pagerankSql,
+    "q_rank_sample" -> rankSampleSql,
     "q_hits" -> hitsSql,
 
     // naive id-ordered 3-join closure: the oracle states triangle
