@@ -27,6 +27,28 @@ object TextMetricsQueries {
     // (lang, tok); the per-lang totals are a handful of rows and
     // broadcast back. -p·ln(p) terms are quantized to DECIMAL before
     // the final sum so reducer order is irrelevant.
+    // Per-DOCUMENT character entropy — the encoding-junk gate (mojibake,
+    // base64 blobs, and binary spills all push character entropy far
+    // from prose's band; C4-style pipelines drop those docs before
+    // tokenization). Distinct from q_entropy's per-LANGUAGE token
+    // entropy: this is a map-heavy per-doc metric whose only exchange
+    // is the (doc_id, ch) count — the denominator rides along as
+    // length(text), computed before the explode, so no second pass.
+    "q_char_entropy" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), length(col("text")).as("n"),
+          explode(split(col("text"), "")).as("ch"))
+        .groupBy("doc_id", "n", "ch").agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), col("n"),
+          expr("""CAST(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+                  AS DECIMAL(28,12))""").as("term"))
+        .groupBy("doc_id")
+        .agg(max(col("n")).cast("long").as("n_chars"),
+          count(lit(1)).as("n_distinct"),
+          round(sum("term").cast("double"), 6).as("char_entropy"))
+        .orderBy("doc_id")
+    }),
+
     "q_entropy" -> ((s, d) => {
       val toks = docs(s, d)
         .select(col("lang"),
@@ -120,6 +142,19 @@ object TextMetricsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, length(text) AS n,
+                            unnest(string_split(text, '')) AS ch
+                     FROM documents),
+            c AS (SELECT doc_id, n, ch, count(*) AS c
+                  FROM ch GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+                count(*) AS n_distinct,
+                round(CAST(sum(CAST(-(CAST(c AS DOUBLE) / n)
+                                    * ln(CAST(c AS DOUBLE) / n)
+                                    AS DECIMAL(28,12))) AS DOUBLE), 6)
+                  AS char_entropy
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
     "q_entropy" ->
       """WITH tok AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS tok
                       FROM documents),
