@@ -50,6 +50,30 @@ object GraphQueries {
       Graph.hits(dd, dd.count(), iterations = 2)
     }),
 
+    // Degree-distribution census: the (direction, degree, n_nodes)
+    // histogram both link-analysis papers and crawl-health dashboards
+    // start from (power-law detection, dangling-node counts). Two
+    // count-aggregations over the edge list, unioned; output is
+    // O(max_degree) rows at any corpus size. Nodes with zero
+    // in-links appear via the vertex left join (deg 0) — dropping
+    // them silently is the classic histogram bug.
+    "q_degree_dist" -> ((s, d) => {
+      val dd = docs(s, d)
+      val n = dd.count()
+      val edges = Graph.linkEdges(dd, n)
+      val vertices = dd.select(col("doc_id").cast("long").as("id"))
+      def dist(keyCol: String, dir: String) = {
+        val degs = edges.groupBy(col(keyCol).as("id"))
+          .agg(count(lit(1)).as("deg"))
+        vertices.join(degs, Seq("id"), "left")
+          .select(coalesce(col("deg"), lit(0L)).as("deg"))
+          .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+          .select(lit(dir).as("direction"), col("deg"), col("n_nodes"))
+      }
+      dist("src", "out").unionAll(dist("dst", "in"))
+        .orderBy("direction", "deg")
+    }),
+
     // Centrality-weighted corpus sampling — the graph signal composed
     // into a curation decision (crawl pipelines keep pages with
     // probability proportional to host rank). Keep doc iff its Knuth
@@ -158,6 +182,20 @@ object GraphQueries {
     "q_pagerank" -> pagerankSql,
     "q_rank_sample" -> rankSampleSql,
     "q_hits" -> hitsSql,
+    "q_degree_dist" ->
+      s"""$edgeCte,
+         outd AS (SELECT d.doc_id AS id, count(e.src) AS deg
+                  FROM documents d LEFT JOIN e ON e.src = d.doc_id
+                  GROUP BY d.doc_id),
+         ind AS (SELECT d.doc_id AS id, count(e.dst) AS deg
+                 FROM documents d LEFT JOIN e ON e.dst = d.doc_id
+                 GROUP BY d.doc_id)
+         SELECT 'out' AS direction, deg, count(*) AS n_nodes
+         FROM outd GROUP BY deg
+         UNION ALL
+         SELECT 'in' AS direction, deg, count(*) AS n_nodes
+         FROM ind GROUP BY deg
+         ORDER BY direction, deg""",
 
     // naive id-ordered 3-join closure: the oracle states triangle
     // semantics the simple way; the Spark side reaches the same count
