@@ -112,6 +112,30 @@ class GraphSpec extends SparkSpec {
     assert(dist.values.forall(x => x >= 0L && x <= 4L))
   }
 
+  test("degree distribution: each direction's histogram sums to |V|") {
+    val rows = graft.queries.GraphQueries.defs("q_degree_dist")(spark, sf)
+      .collect()
+    Seq("in", "out").foreach { dir =>
+      val tot = rows.filter(_.getAs[String]("direction") == dir)
+        .map(_.getAs[Long]("n_nodes")).sum
+      assert(tot === n, s"$dir histogram covers $tot of $n vertices")
+    }
+  }
+
+  test("rank sample: kept docs are a subset with the exact integer keep rule") {
+    val kept = graft.queries.GraphQueries.defs("q_rank_sample")(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank"))
+    assert(kept.nonEmpty && kept.length < n)
+    val all = Graph.pageRankScores(docsDf, n, 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    val maxr = all.values.max
+    kept.foreach { case (id, rank) =>
+      assert(all(id) == rank)
+      val bucket = java.lang.Math.floorMod(id * 2654435761L, 4294967296L)
+      assert(bucket < (rank / 1000) * 4294967296L / ((maxr / 1000) * 2))
+    }
+  }
+
   test("plans: the wedge join is keyed — no cartesian product anywhere") {
     // the only crossJoins in triangleStats combine three 1-row
     // aggregates (planned as broadcast nested-loop, never
