@@ -27,6 +27,29 @@ object TextMetricsQueries {
     // (lang, tok); the per-lang totals are a handful of rows and
     // broadcast back. -p·ln(p) terms are quantized to DECIMAL before
     // the final sum so reducer order is irrelevant.
+    // Source-concentration index per language — the data-mixture
+    // diversity metric (Herfindahl–Hirschman index over source shares,
+    // plus its reciprocal "effective source count"): a language whose
+    // corpus comes from two domains is a contamination/bias risk even
+    // when its row count looks healthy. Two nested count-aggregations;
+    // the HHI itself is a ratio of exact integers (Σ n_src² / n_lang²),
+    // so cross-engine equality needs no quantization — the only float
+    // is the final rounded division.
+    "q_mixture_index" -> ((s, d) => {
+      docs(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sources"),
+          sum("n").cast("long").as("n_docs"),
+          sum(col("n") * col("n")).cast("long").as("sum_sq"))
+        .select(col("lang"), col("n_sources"), col("n_docs"),
+          round(col("sum_sq") / (col("n_docs") * col("n_docs")), 6)
+            .as("hhi"),
+          round((col("n_docs") * col("n_docs")) / col("sum_sq"), 6)
+            .as("eff_sources"))
+        .orderBy("lang")
+    }),
+
     // Per-DOCUMENT character entropy — the encoding-junk gate (mojibake,
     // base64 blobs, and binary spills all push character entropy far
     // from prose's band; C4-style pipelines drop those docs before
@@ -142,6 +165,17 @@ object TextMetricsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mixture_index" ->
+      """WITH c AS (SELECT lang, source, count(*) AS n
+                    FROM documents GROUP BY 1, 2),
+            l AS (SELECT lang, count(*) AS n_sources,
+                         CAST(sum(n) AS BIGINT) AS n_docs,
+                         CAST(sum(n * n) AS BIGINT) AS sum_sq
+                  FROM c GROUP BY lang)
+         SELECT lang, n_sources, n_docs,
+                round(sum_sq * 1.0 / (n_docs * n_docs), 6) AS hhi,
+                round((n_docs * n_docs) * 1.0 / sum_sq, 6) AS eff_sources
+         FROM l ORDER BY lang""",
     "q_char_entropy" ->
       """WITH ch AS (SELECT doc_id, length(text) AS n,
                             unnest(string_split(text, '')) AS ch
