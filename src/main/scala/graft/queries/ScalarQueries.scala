@@ -196,14 +196,16 @@ object ScalarQueries {
     // behind vocabulary overlap and filter-list application, all
     // codegen'd array expressions. Both engines dedup these ops but
     // NEITHER pins an element order, so the emitted intersect is
-    // sort_array'd and except/union collapse to sizes — order-free
+    // sort_array'd — then array_join'd to one string, because the
+    // verify harness canonicalizes via pandas, which cannot sort/hash
+    // array cells — and except/union collapse to sizes. Order-free
     // facts that still pin membership exactly.
     "q_array_setops" -> ((s, d) => {
       val toks = array_distinct(split(lower(col("text")), " "))
       val sw = array(TextFunctions.stopwords.map(lit): _*)
       Tables.documents(s, d)
         .select(col("doc_id"),
-          sort_array(array_intersect(toks, sw)).as("sw_hit"),
+          array_join(sort_array(array_intersect(toks, sw)), " ").as("sw_hit"),
           size(array_except(toks, sw)).cast("long").as("n_content"),
           size(array_union(toks, sw)).cast("long").as("n_union"))
         .orderBy("doc_id")
@@ -378,7 +380,9 @@ object ScalarQueries {
                    list_distinct(string_split(lower(text), ' ')) AS toks
             FROM documents)
           SELECT doc_id,
-                 list_sort(list_intersect(toks, [$sw])) AS sw_hit,
+                 coalesce(
+                   array_to_string(list_sort(list_intersect(toks, [$sw])), ' '),
+                   '') AS sw_hit,
                  CAST(len(list_filter(toks,
                    x -> NOT list_contains([$sw], x))) AS BIGINT) AS n_content,
                  CAST(len(list_distinct(list_concat(toks, [$sw])))

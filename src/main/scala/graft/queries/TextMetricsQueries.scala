@@ -130,14 +130,19 @@ object TextMetricsQueries {
     // ARE the index — rather than materialize per-token arrays, which
     // at 100 TB would put a hot token's whole posting list in one
     // task). The cap keeps the demo honest: slice AFTER sort_array so
-    // the kept prefix is deterministic, never collection-ordered.
+    // the kept prefix is deterministic, never collection-ordered. The
+    // postings list is emitted as one space-joined string (sorted
+    // numerically BEFORE the cast) because the verify harness
+    // canonicalizes via pandas, which cannot sort/hash array cells.
     "q_invert_index" -> ((s, d) => {
       val toks = docs(s, d)
         .select(col("doc_id"),
           explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
       toks.groupBy("tok")
         .agg(count(lit(1)).as("df"),
-          slice(sort_array(collect_set(col("doc_id"))), 1, 20).as("postings"))
+          array_join(
+            transform(slice(sort_array(collect_set(col("doc_id"))), 1, 20),
+              _.cast("string")), " ").as("postings"))
         .orderBy(col("df").desc, col("tok"))
         .limit(20)
     }),
@@ -229,7 +234,9 @@ object TextMetricsQueries {
                                unnest(string_split(lower(text), ' ')) AS tok
                         FROM documents))
          SELECT tok, count(*) AS df,
-                (list_sort(list(doc_id)))[1:20] AS postings
+                array_to_string(
+                  list_transform((list_sort(list(doc_id)))[1:20],
+                                 x -> CAST(x AS VARCHAR)), ' ') AS postings
          FROM tok GROUP BY tok
          ORDER BY df DESC, tok LIMIT 20""",
     "q_quality_logit" ->
