@@ -25,10 +25,6 @@ object RecallGrid {
     for (d <- sfDirs) {
       val emb = Tables.embeddings(spark, d)
       val sampleQ = Sampling.hashSample(emb, "vec_id", 0.1)
-      val queries = sampleQ
-        .select(col("vec_id").cast("long"), col("embedding"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       val bf = Similarity
         .bruteForceTopKFor(sampleQ, emb, "vec_id", "embedding", k = 5)
         .cache()
@@ -36,7 +32,8 @@ object RecallGrid {
       val v = emb.select(col("vec_id").cast("long").as("vid"), col("embedding"))
       for (nprobe <- Seq(10, 12); candK <- Seq(50, 64, 80)) {
         val cand = Similarity
-          .ivfPqSearch(emb, "vec_id", "embedding", queries, k = candK,
+          .ivfPqSearch(emb, "vec_id", "embedding",
+            sampleQ, "vec_id", "embedding", k = candK,
             nlist = 16, nprobe = nprobe, m = 8, codes = 64)
           .filter(col("qid") =!= col("id"))
         val scored = cand

@@ -411,10 +411,13 @@ object Similarity {
     val centroids = KMeans.lloyd(train.select("id", "v"), "v", seedVecs,
       KMeans.EuclideanSq, maxIter = trainIters).centers
     def sqDist(a: Array[Double], c: Array[Double]): Double = {
+      // exact-dim contract, same as pqTrain: a ragged vector must fail
+      // loudly, not silently score on a truncated prefix
+      require(a.length == c.length,
+        s"ragged vector: ${a.length} dims vs centroid ${c.length}")
       var acc = 0.0
       var i = 0
-      val n = math.min(a.length, c.length)
-      while (i < n) { val d = a(i) - c(i); acc += d * d; i += 1 }
+      while (i < a.length) { val d = a(i) - c(i); acc += d * d; i += 1 }
       acc
     }
     // one compiled pass per row for both cell assignment and probe list
@@ -517,10 +520,13 @@ object Similarity {
     val centroids = KMeans.lloyd(v.select("id", "v"), "v", seedVecs,
       KMeans.EuclideanSq, maxIter = trainIters).centers
     def sqDist(a: Array[Double], c: Array[Double]): Double = {
+      // exact-dim contract, same as pqTrain: a ragged vector must fail
+      // loudly, not silently score on a truncated prefix
+      require(a.length == c.length,
+        s"ragged vector: ${a.length} dims vs centroid ${c.length}")
       var acc = 0.0
       var i = 0
-      val n = math.min(a.length, c.length)
-      while (i < n) { val d = a(i) - c(i); acc += d * d; i += 1 }
+      while (i < a.length) { val d = a(i) - c(i); acc += d * d; i += 1 }
       acc
     }
     val cellOf = udf { (arr: Array[Double]) =>
@@ -667,38 +673,71 @@ object Similarity {
     normed(df, idCol, vecCol).select(col("id"), enc(col("v")).as("code"))
   }
 
-  /** Asymmetric-distance (ADC) batch search: `queryVecs` is a BOUNDED
-    * driver-side query batch (the serving shape — queries arrive in
-    * small batches, the index is the distributed side). Per query one
-    * m×codes lookup table is built once and broadcast; scoring each
-    * indexed vector is m array lookups over its code — one map pass, the
-    * only shuffle is the per-query top-k aggregation. Returns
-    * (qid, rank, id, adist) with rank 1..k by ascending approximate
-    * squared L2 (≡ descending cosine on normalized inputs).
+  /** Flattened m×codes ADC lookup table for one query vector, built on
+    * the QUERY SIDE of the plan (a compiled pass over the queries
+    * DataFrame — never a driver collect): out(mi·codes + c) =
+    * ‖u[sub mi] − codebook(mi)(c)‖² over the L2-normalized query. The
+    * same IEEE op sequence the former driver-batch form used, so scores
+    * are bit-identical. Rejects ragged query dims loudly.
+    */
+  private def adcTableUdf(model: PQModel) = {
+    val dim = model.m * model.subDim
+    val nCodes = model.codebooks(0).length
+    udf { (q: Seq[Double]) =>
+      require(q.length == dim,
+        s"query vector has ${q.length} dims, index expects $dim")
+      val arr = q.toArray
+      var ss = 0.0
+      var i = 0
+      while (i < arr.length) { ss += arr(i) * arr(i); i += 1 }
+      val nrm = math.sqrt(ss)
+      val u = if (nrm == 0) arr else arr.map(_ / nrm)
+      val out = new Array[Double](model.m * nCodes)
+      var mi = 0
+      while (mi < model.m) {
+        val book = model.codebooks(mi)
+        var c = 0
+        while (c < book.length) {
+          out(mi * nCodes + c) = sqDistSub(u, mi * model.subDim, book(c))
+          c += 1
+        }
+        mi += 1
+      }
+      out
+    }
+  }
+
+  /** ADC score of one code against one flattened query table: m array
+    * lookups, the PQ payoff. */
+  private def adcScoreUdf(nCodes: Int) = udf { (code: Seq[Int], tab: Seq[Double]) =>
+    var d = 0.0
+    var mi = 0
+    while (mi < code.length) { d += tab(mi * nCodes + code(mi)); mi += 1 }
+    d
+  }
+
+  /** Asymmetric-distance (ADC) batch search. `queries` is a DataFrame —
+    * the per-query lookup table is computed IN the plan on the query
+    * side, so no query vector ever rides through the driver. Flat ADC
+    * scores every indexed code against every query by construction
+    * (that is what "flat" means), so the query side is broadcast —
+    * callers owe a bounded query batch (the serving shape; for
+    * corpus-scale query sets use [[ivfPqSearch]], whose cell key turns
+    * the cross product into an equi-join). Scoring each indexed vector
+    * is m array lookups over its code — one map pass; the only shuffle
+    * is the per-query top-k. Returns (qid, rank, id, adist) with rank
+    * 1..k by ascending approximate squared L2 (≡ descending cosine on
+    * normalized inputs).
     */
   def pqSearch(encoded: DataFrame, model: PQModel,
-               queryVecs: Array[(Long, Array[Double])], k: Int): DataFrame = {
-    val spark = encoded.sparkSession
-    // qid -> distance table (m × codes)
-    val tables: Array[(Long, Array[Array[Double]])] = queryVecs.map { case (qid, q) =>
-      val nrm = math.sqrt(q.map(x => x * x).sum)
-      val u = if (nrm == 0) q else q.map(_ / nrm)
-      qid -> Array.tabulate(model.m)(mi =>
-        model.codebooks(mi).map(c => sqDistSub(u, mi * model.subDim, c)))
-    }
-    val bc = spark.sparkContext.broadcast(tables)
-    val score = udf { (code: Seq[Int]) =>
-      bc.value.map { case (qid, tab) =>
-        var d = 0.0
-        var mi = 0
-        while (mi < code.length) { d += tab(mi)(code(mi)); mi += 1 }
-        (qid, d)
-      }
-    }
+               queries: DataFrame, qidCol: String, qvecCol: String,
+               k: Int): DataFrame = {
+    val q = queries.select(col(qidCol).cast("long").as("qid"),
+      adcTableUdf(model)(asDouble(col(qvecCol))).as("tab"))
     val w = Window.partitionBy("qid").orderBy(col("adist"), col("id"))
-    encoded
-      .select(col("id"), explode(score(col("code"))).as("s"))
-      .select(col("s._1").as("qid"), col("id"), col("s._2").as("adist"))
+    encoded.crossJoin(broadcast(q))
+      .select(col("qid"), col("id"),
+        adcScoreUdf(model.codebooks(0).length)(col("code"), col("tab")).as("adist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("adist"))
@@ -718,15 +757,19 @@ object Similarity {
     * recall contract measured and pinned by the caller's oracle (the
     * planted-dup property test covers the structured regime).
     *
-    * Same serving shape as [[pqSearch]]: `queryVecs` is a bounded
-    * driver-side batch; the broadcast is the cell→(qid, ADC table)
-    * inverted index — nprobe×|queries| entries sharing |queries| tables,
-    * never data-sized. Returns (qid, rank, id, adist), rank 1..k by
-    * ascending approximate squared L2 within the probed cells.
+    * `queries` is a DataFrame: each query row computes its nprobe probe
+    * cells and its flattened ADC table IN the plan (the same centroid
+    * and codebook arithmetic as the index side), then meets the encoded
+    * corpus through ONE equi-join on the cell id — the [[ivfTopK]]
+    * shape. Nothing corpus-proportional ever passes through the driver,
+    * so the query set may itself be a large DataFrame; Spark picks
+    * broadcast vs shuffle for the cell join from its size. Returns
+    * (qid, rank, id, adist), rank 1..k by ascending approximate squared
+    * L2 within the probed cells.
     */
   def ivfPqSearch(df: DataFrame, idCol: String, vecCol: String,
-                  queryVecs: Array[(Long, Array[Double])], k: Int,
-                  nlist: Int = 16, nprobe: Int = 8,
+                  queries: DataFrame, qidCol: String, qvecCol: String,
+                  k: Int, nlist: Int = 16, nprobe: Int = 8,
                   m: Int = 8, codes: Int = 64,
                   sampleMod: Int = 4, trainIters: Int = 3): DataFrame = {
     val spark = df.sparkSession
@@ -744,15 +787,6 @@ object Similarity {
       KMeans.EuclideanSq, maxIter = trainIters).centers
     val model = pqTrain(df, idCol, vecCol, m, codes, sampleMod, trainIters)
     val dim = m * model.subDim
-    def cellDists(u: Array[Double]): Array[(Double, Int)] = {
-      require(u.length == dim,
-        s"query vector has ${u.length} dims, index expects $dim")
-      centroids.indices.map { c =>
-        var acc = 0.0; var i = 0
-        while (i < dim) { val d = u(i) - centroids(c)(i); acc += d * d; i += 1 }
-        (acc, c)
-      }.toArray
-    }
     val bcCentroids = spark.sparkContext.broadcast(centroids)
     val bcModel = spark.sparkContext.broadcast(model)
     // Index side: (id, cell, code) in ONE pass over the raw vectors —
@@ -800,32 +834,36 @@ object Similarity {
       .select(col(idCol).as("id").cast("long"),
         cellCode(asDouble(col(vecCol))).as("cc"))
       .select(col("id"), col("cc._1").as("cell"), col("cc._2").as("code"))
-    // query side (driver): probe list + ADC table per query, inverted to
-    // cell -> [(qid, table)] so the scan-side UDF is one map lookup
-    val byCell: Map[Int, Array[(Long, Array[Array[Double]])]] = queryVecs
-      .flatMap { case (qid, q) =>
-        val nrm = math.sqrt(q.map(x => x * x).sum)
-        val u = if (nrm == 0) q else q.map(_ / nrm)
-        val tab = Array.tabulate(model.m)(mi =>
-          model.codebooks(mi).map(c => sqDistSub(u, mi * model.subDim, c)))
-        cellDists(u).sortBy(t => (t._1, t._2)).take(nprobe)
-          .map { case (_, cell) => (cell, (qid, tab)) }
-      }
-      .groupBy(_._1).map { case (cell, xs) => cell -> xs.map(_._2) }
-    val bc = spark.sparkContext.broadcast(byCell)
-    val score = udf { (cell: Int, code: Seq[Int]) =>
-      bc.value.getOrElse(cell, Array.empty[(Long, Array[Array[Double]])])
-        .map { case (qid, tab) =>
-          var d = 0.0
-          var mi = 0
-          while (mi < code.length) { d += tab(mi)(code(mi)); mi += 1 }
-          (qid, d)
-        }
+    // Query side, fully IN the plan: per query row, the nprobe nearest
+    // coarse cells (same centroid arithmetic as cellDists) and the
+    // flattened ADC table. One row per (query, probe); the table column
+    // rides the cell join and is dropped by the projection immediately
+    // after scoring, so the top-k shuffle carries only (qid, id, adist).
+    val probesOf = udf { (q: Seq[Double]) =>
+      require(q.length == dim,
+        s"query vector has ${q.length} dims, index expects $dim")
+      val arr = q.toArray
+      var ss = 0.0
+      var i = 0
+      while (i < arr.length) { ss += arr(i) * arr(i); i += 1 }
+      val nrm = math.sqrt(ss)
+      val u = if (nrm == 0) arr else arr.map(_ / nrm)
+      val cs = bcCentroids.value
+      cs.indices.map { c =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { val d2 = u(j) - cs(c)(j); acc += d2 * d2; j += 1 }
+        (acc, c)
+      }.sortBy(t => (t._1, t._2)).take(nprobe).map(_._2).toArray
     }
+    val qside = queries
+      .select(col(qidCol).cast("long").as("qid"), asDouble(col(qvecCol)).as("qv"))
+      .select(col("qid"), adcTableUdf(model)(col("qv")).as("tab"),
+        explode(probesOf(col("qv"))).as("cell"))
     val w = Window.partitionBy("qid").orderBy(col("adist"), col("id"))
-    encoded
-      .select(col("id"), explode(score(col("cell"), col("code"))).as("s"))
-      .select(col("s._1").as("qid"), col("id"), col("s._2").as("adist"))
+    encoded.join(qside, Seq("cell"))
+      .select(col("qid"), col("id"),
+        adcScoreUdf(codes)(col("code"), col("tab")).as("adist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("adist"))

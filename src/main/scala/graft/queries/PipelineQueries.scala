@@ -276,10 +276,10 @@ object PipelineQueries {
     // PQ-ANN (the memory-scale third architecture: 8-byte product-
     // quantization codes + ADC scoring + EXACT re-rank of the 50-deep
     // candidate list — Similarity.pqTrain/pqEncode/pqSearch). The query
-    // batch is the same deterministic 10% hash-sample, collected to the
-    // driver (the serving shape: bounded query batches against a
-    // distributed code index; 50 queries × 64 dims here, never
-    // data-sized). Same recall-contract oracle as LSH/IVF; the exact
+    // batch is the same deterministic 10% hash-sample, passed as a
+    // DataFrame — per-query ADC tables are computed in the plan on the
+    // query side and broadcast into the flat scan; no query vector ever
+    // rides through the driver. Same recall-contract oracle as LSH/IVF; the exact
     // re-rank means the band measures CANDIDATE recall@50, which is what
     // PQ owes the pipeline. codes=64 (6-bit subquantizers): the original
     // 4-bit codebooks' candidate recall fell to 0.448 at sf0.1 — BELOW
@@ -298,10 +298,8 @@ object PipelineQueries {
       val model = Similarity.pqTrain(emb, "vec_id", "embedding",
         m = 8, codes = 64)
       val encoded = Similarity.pqEncode(emb, "vec_id", "embedding", model)
-      val queries = sampleQ.select(col("vec_id").cast("long"), col("embedding"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-      val cand = Similarity.pqSearch(encoded, model, queries, k = 50)
+      val cand = Similarity
+        .pqSearch(encoded, model, sampleQ, "vec_id", "embedding", k = 50)
         .filter(col("qid") =!= col("id"))
       val v = emb.select(col("vec_id").cast("long").as("vid"), col("embedding"))
       val scored = cand
@@ -337,11 +335,13 @@ object PipelineQueries {
     "q_ann_ivfpq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val sampleQ = Sampling.hashSample(emb, "vec_id", 0.1)
-      val queries = sampleQ.select(col("vec_id").cast("long"), col("embedding"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      // queries stay a DataFrame: probe cells + ADC tables are computed
+      // in the plan and meet the codes through one cell equi-join — the
+      // 10% sample never passes through the driver, so the same path
+      // serves a corpus-sized query set at 100 TB.
       val cand = Similarity.ivfPqSearch(emb, "vec_id", "embedding",
-          queries, k = 80, nlist = 16, nprobe = 10, m = 8, codes = 64)
+          sampleQ, "vec_id", "embedding",
+          k = 80, nlist = 16, nprobe = 10, m = 8, codes = 64)
         .filter(col("qid") =!= col("id"))
       val v = emb.select(col("vec_id").cast("long").as("vid"), col("embedding"))
       val scored = cand

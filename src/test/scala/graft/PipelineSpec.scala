@@ -331,13 +331,14 @@ class PipelineSpec extends SparkSpec {
     val encoded = Similarity.pqEncode(withPlanted, "vec_id", "embedding", model)
       .cache()
     assert(encoded.count() === withPlanted.count())
-    // query batch = the 10 planted near-copies
-    val queries = planted.collect().map(r => (r.getLong(0),
-      r.getSeq[Float](1).map(_.toDouble).toArray))
-    val got = Similarity.pqSearch(encoded, model, queries, k = 10)
+    // query batch = the 10 planted near-copies, passed as a DataFrame
+    // (the search runs with zero driver-side query state)
+    val got = Similarity
+      .pqSearch(encoded, model, planted, "vec_id", "embedding", k = 10)
       .collect().groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
-    queries.foreach { case (qid, _) =>
+    val qids = planted.select("vec_id").collect().map(_.getLong(0))
+    qids.foreach { qid =>
       // self-retrieval: own code distance = quantization error → top-10
       assert(got(qid).contains(qid), s"query $qid lost itself: ${got(qid)}")
       // planted recovery: the original (cos ≈ 0.999) must be in the
@@ -345,6 +346,18 @@ class PipelineSpec extends SparkSpec {
       assert(got(qid).contains(qid - 1000000L),
         s"query $qid missed its planted original: ${got(qid)}")
     }
+    // ragged query dims fail loudly (no silent clamping): a 32-dim
+    // query against the 64-dim index must throw, not return garbage
+    import spark.implicits._
+    val ragged = Seq((999L, Seq.fill(32)(0.5))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.pqSearch(encoded, model, ragged, "vec_id", "embedding", k = 5)
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("dims")),
+      s"expected a dims-mismatch failure, got: ${chain(ex).mkString(" | ")}")
     encoded.unpersist(blocking = false)
     withPlanted.unpersist(blocking = false)
   }
@@ -361,13 +374,13 @@ class PipelineSpec extends SparkSpec {
       transform(col("embedding"), x => x + lit(0.01f)).as("embedding"))
     val withPlanted = embeddings.select("vec_id", "embedding").unionAll(planted)
       .cache()
-    val queries = planted.collect().map(r => (r.getLong(0),
-      r.getSeq[Float](1).map(_.toDouble).toArray))
     val got = Similarity.ivfPqSearch(withPlanted, "vec_id", "embedding",
-        queries, k = 10, nlist = 8, nprobe = 8, m = 8, codes = 16)
+        planted, "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 8, m = 8, codes = 16)
       .collect().groupBy(_.getLong(0))
       .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
-    queries.foreach { case (qid, _) =>
+    val qids = planted.select("vec_id").collect().map(_.getLong(0))
+    qids.foreach { qid =>
       assert(got(qid).contains(qid), s"query $qid lost itself: ${got(qid)}")
       assert(got(qid).contains(qid - 1000000L),
         s"query $qid missed its planted original: ${got(qid)}")
