@@ -18,10 +18,10 @@ import org.apache.spark.sql.functions._
   * DataFrame self-joins per superstep instead of MR rounds.
   *
   * The edge set is derived deterministically from `documents` keys
-  * (each doc "links to" 3 pseudo-random others via fixed multiplier
+  * (each doc "links to" 1–3 pseudo-random others via fixed multiplier
   * arithmetic mod |V|) because the synthetic corpus carries no real
   * hyperlinks; the derivation is identical SQL in the DuckDB oracle.
-  * Out-degree is a constant 3, so the graph stays sparse at every
+  * Out-degree is bounded by 3, so the graph stays sparse at every
   * scale — the operators below never materialize anything denser than
   * O(|E|) rows.
   *
@@ -163,9 +163,11 @@ object Graph {
     val closed = wedgePairs.join(
       oriented.select(col("src").as("b"), col("dst").as("c")),
       Seq("b", "c"))
+    // `div`, not `/`: Spark `/` on BIGINT is DOUBLE division, which
+    // loses exactness once the wedge sum passes 2^53.
     val nodes = deg.agg(
       count(lit(1)).as("n_nodes"),
-      (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))
+      expr("sum(deg * (deg - 1)) div 2").as("n_wedges"))
     val edgesN = und.agg(count(lit(1)).as("n_edges"))
     val triN = closed.agg(count(lit(1)).as("n_triangles"))
     nodes.crossJoin(edgesN).crossJoin(triN)
@@ -210,9 +212,12 @@ object Graph {
       cached += p
       val tot = p.agg(sum(col(c))).collect()(0).getLong(0)
       // Scala's / on Long IS floor-toward-zero integer division over
-      // positives — identical to the previous in-plan `_tot div 1000000L`
+      // positives — identical to the previous in-plan `_tot div 1000000L`.
+      // max(1L, ·) guards the tiny-graph case where the global sum is
+      // under 10^6 and the scaled divisor would be 0 (the oracle
+      // mirrors the same greatest(1, ·) guard).
       p.select(col("id"),
-        expr(s"($c * 1000000L) div ${tot / 1000000L}L").as(c))
+        expr(s"($c * 1000000L) div ${math.max(1L, tot / 1000000L)}L").as(c))
     }
     var hub = vertices.select(col("id"), lit(Scale).as("hub"))
     var auth = vertices.select(col("id"), lit(0L).as("auth"))

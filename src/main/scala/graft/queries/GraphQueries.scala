@@ -149,9 +149,12 @@ object GraphQueries {
     * (x·10^6) // (Σx // 10^6) integer form the Spark operator uses.
     */
   private val hitsSql: String = {
+    // greatest(1, ·) mirrors the Spark side's max(1L, ·) divisor guard
+    // for tiny graphs whose global score sum is under 10^6.
     def norm(inp: String, out: String, c: String) =
       s"""$out AS (SELECT id, ($c * 1000000)
-                          // ((SELECT sum($c) FROM $inp) // 1000000) AS $c
+                          // greatest(1, (SELECT sum($c) FROM $inp) // 1000000)
+                            AS $c
                    FROM $inp)"""
     val iters = (1 to 2).flatMap { i =>
       val prevHub = if (i == 1) "h0" else s"h${i - 1}"
