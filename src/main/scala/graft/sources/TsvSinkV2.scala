@@ -32,9 +32,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    publish point. Losing/aborted attempts are deleted in `abort()`
   *    (task- and job-level), so a retried job leaves no orphans.
   *
+  * The file layer is `java.io.File`, so the protocol holds in local
+  * mode or on a shared POSIX filesystem (NFS); an object-store/HDFS
+  * deployment would swap in the Hadoop `FileSystem` API with the same
+  * temp-name + driver-rename shape.
+  *
   * Usage: `df.write.format(classOf[TsvSinkV2].getName).mode("append")
   * .save(dir)`. Atomic column types only (int/long/double/string/bool);
-  * NULL serializes as the empty string.
+  * NULL serializes as the empty string. Output is UTF-8; string cells
+  * containing `\t`, `\n`, `\r`, or `\\` are backslash-escaped
+  * (`\\t`/`\\n`/`\\r`/`\\\\`) so a cell can never forge a column or row
+  * boundary — readers that must recover such cells byte-exactly unescape
+  * in reverse (all other cells are written verbatim).
   */
 class TsvSinkV2 extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -102,8 +111,30 @@ private[sources] class TsvDataWriter(dir: String, schema: StructType,
     extends DataWriter[InternalRow] {
   // unique per ATTEMPT: a speculative/retried task gets a new taskId
   private val temp = new java.io.File(dir, f".part-$partitionId%05d-$taskId.tmp")
-  private val out = new java.io.PrintWriter(
-    new java.io.BufferedWriter(new java.io.FileWriter(temp)))
+  // BufferedWriter over an explicit-UTF-8 OutputStreamWriter, NOT
+  // PrintWriter: PrintWriter swallows IOExceptions (disk-full during
+  // write/close would still "succeed" and commit a truncated file);
+  // this stack lets every write/flush/close error propagate and fail
+  // the task attempt, which is the whole point of the commit protocol.
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    new java.io.FileOutputStream(temp), java.nio.charset.StandardCharsets.UTF_8))
+
+  // A string cell must never forge a column/row boundary: escape the
+  // separator chars (and backslash, so the escaping is reversible).
+  private def esc(s: String): String =
+    if (s.indexOf('\t') < 0 && s.indexOf('\n') < 0 &&
+        s.indexOf('\r') < 0 && s.indexOf('\\') < 0) s
+    else {
+      val sb = new java.lang.StringBuilder(s.length + 8)
+      s.foreach {
+        case '\t' => sb.append("\\t")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\\' => sb.append("\\\\")
+        case c    => sb.append(c)
+      }
+      sb.toString
+    }
 
   private def fmt(row: InternalRow, i: Int, dt: DataType): String =
     if (row.isNullAt(i)) ""
@@ -112,19 +143,24 @@ private[sources] class TsvDataWriter(dir: String, schema: StructType,
       case LongType    => row.getLong(i).toString
       case DoubleType  => row.getDouble(i).toString
       case BooleanType => row.getBoolean(i).toString
-      case StringType  => row.getUTF8String(i).toString
+      case StringType  => esc(row.getUTF8String(i).toString)
       case other => throw new UnsupportedOperationException(
         s"TsvSinkV2 supports atomic columns only, got $other")
     }
 
-  override def write(row: InternalRow): Unit =
-    out.println(schema.fields.indices
+  override def write(row: InternalRow): Unit = {
+    out.write(schema.fields.indices
       .map(i => fmt(row, i, schema.fields(i).dataType)).mkString("\t"))
+    out.write('\n')
+  }
 
   override def commit(): WriterCommitMessage = {
-    out.close()
+    out.close() // flush + close; an IOException here fails the attempt
     TsvCommit(temp.getPath, partitionId)
   }
-  override def abort(): Unit = { out.close(); temp.delete() }
+  override def abort(): Unit = {
+    try out.close() catch { case _: java.io.IOException => () }
+    temp.delete()
+  }
   override def close(): Unit = out.close()
 }

@@ -44,6 +44,42 @@ class TsvSinkV2Spec extends SparkSpec {
     assert(src.exceptAll(back).count() === 0L)
   }
 
+  test("separator chars in string cells are escaped, one line per row") {
+    val dir = tmpDir()
+    import spark.implicits._
+    val src = Seq((1L, "plain"), (2L, "tab\there"), (3L, "nl\nhere"),
+        (4L, "cr\rhere"), (5L, "bs\\here"), (6L, "ünïcödé"))
+      .toDF("id", "s")
+    src.coalesce(1).write.format(classOf[TsvSinkV2].getName)
+      .mode("append").save(dir)
+    val part = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val lines = scala.io.Source.fromFile(part, "UTF-8").getLines().toSeq
+    assert(lines.length === 6, "a cell newline must not forge a row")
+    val cells = lines.map(_.split("\t", -1)).map { a =>
+      assert(a.length === 2, "a cell tab must not forge a column"); a(1)
+    }
+    assert(cells === Seq("plain", "tab\\there", "nl\\nhere",
+      "cr\\rhere", "bs\\\\here", "ünïcödé"))
+    // the escaping is reversible: unescape recovers the originals
+    def unesc(s: String): String = {
+      val sb = new StringBuilder; var i = 0
+      while (i < s.length) {
+        if (s(i) == '\\' && i + 1 < s.length) {
+          s(i + 1) match {
+            case 't' => sb += '\t'; case 'n' => sb += '\n'
+            case 'r' => sb += '\r'; case '\\' => sb += '\\'
+            case c => sb += '\\'; sb += c
+          }
+          i += 2
+        } else { sb += s(i); i += 1 }
+      }
+      sb.toString
+    }
+    assert(cells.map(unesc) === Seq("plain", "tab\there", "nl\nhere",
+      "cr\rhere", "bs\\here", "ünïcödé"))
+  }
+
   test("nulls serialize as empty and read back as null") {
     val dir = tmpDir()
     import spark.implicits._
