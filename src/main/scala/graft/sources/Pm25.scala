@@ -44,9 +44,16 @@ object Pm25 {
       .withColumn("vec", transform(split(col("raw"), ","), t => t.cast(DoubleType)))
   }
 
-  /** Centers file -> driver array (k = line count, src/Kmeans.java:45). */
+  /** Centers file -> driver array (k = line count, src/Kmeans.java:45).
+    * `recursiveFileLookup` mirrors the reference's recursive directory
+    * walk (src/Kmeans.java:196-202: a directory's entries are re-read
+    * with the same routine, descending into subdirectories), so a
+    * centers "path" may be a file, a flat directory, or a nested tree
+    * — e.g. an MR job's output dir containing per-reducer part files.
+    * Bounded driver state: k center lines, never data.
+    */
   def centersFrom(spark: SparkSession, path: String, skipCols: Int): Array[Array[Double]] =
-    spark.read.text(path).collect()
+    spark.read.option("recursiveFileLookup", "true").text(path).collect()
       .map(_.getString(0))
       .filter(_.trim.nonEmpty)
       .map(_.split(",").drop(skipCols).map(_.trim.toDouble))

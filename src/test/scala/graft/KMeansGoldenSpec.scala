@@ -51,6 +51,23 @@ class KMeansGoldenSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_SUCCESS")))
   }
 
+  test("centersFrom reads a nested directory tree (reference's recursive walk)") {
+    // Kmeans.java:196-202 re-reads each directory entry with the same
+    // routine, descending into subdirectories (an MR output dir of part
+    // files, possibly nested). Split the golden centers file across a
+    // two-level tree and require the SAME parsed set as the flat read.
+    val root = Files.createTempDirectory("centers-tree")
+    val sub = Files.createDirectory(root.resolve("attempt-0"))
+    val all = lines(s"$base/pm25.cluster.center.conf.txt")
+    Files.write(root.resolve("part-r-00000"),
+      all.take(1).asJava, StandardCharsets.UTF_8)
+    Files.write(sub.resolve("part-r-00001"),
+      all.drop(1).asJava, StandardCharsets.UTF_8)
+    val nested = Pm25.centersFrom(spark, root.toString, skipCols = 3)
+    assert(nested.length === seeds.length)
+    assert(nested.map(_.toSeq).toSet === seeds.map(_.toSeq).toSet)
+  }
+
   test("v1 golden centroids: means after 5 iterations render byte-exact") {
     // golden line i = cluster i+1 (single reducer, keys sorted); the date
     // prefix is the order-dependent rep-row bug (KMeans.repRows doc) — the
