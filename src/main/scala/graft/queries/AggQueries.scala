@@ -124,9 +124,10 @@ object AggQueries {
 
     // GROUP BY ALL / ORDER BY ALL (SQL shorthand resolution: every
     // non-aggregate select item becomes a grouping key) — pure analyzer
-    // sugar, so the plan is byte-identical to the explicit form; the row
-    // proves the resolution agrees with DuckDB's, which pioneered the
-    // syntax.
+    // sugar, so the plan is byte-identical to the explicit form. The
+    // oracle deliberately uses the EXPLICIT grouping/ordering lists, so
+    // the row checks Spark's shorthand RESOLUTION against an
+    // independent rendering — not the same text evaluated twice.
     "q_group_by_all" -> ((s, d) => {
       Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
       s.sql(
@@ -381,10 +382,12 @@ object AggQueries {
                 sum(l_quantity) AS sum_qty
          FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          ORDER BY flag, status""",
+    // explicit form on purpose — see the query-side comment
     "q_group_by_all" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
-         FROM lineitem GROUP BY ALL ORDER BY ALL""",
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus, n, qty""",
     "q_having" ->
       """SELECT l_partkey, sum(l_quantity) AS qty FROM lineitem
          GROUP BY l_partkey HAVING sum(l_quantity) > 100 ORDER BY l_partkey""",
