@@ -126,9 +126,14 @@ object Bench {
     // Final fallback for a corpus too large for ANY full per-query map
     // (at 120 queries even centiseconds overflow the tail): keep the
     // slowest queries individually — they are what perf judgment reads —
-    // and fold the rest into an explicit "other_cs" remainder plus an
-    // "omitted" count, so nothing is silently dropped and the total
-    // still reconciles. Greedy by descending time until the line fits.
+    // and roll the remainder up PER FAMILY (the stripped name's first
+    // '_' token: "tpch", "fuzzagg", "window", …) as a "rest" cs map, so
+    // every centisecond in the line stays round-over-round comparable
+    // at family granularity or better — an opaque scalar remainder
+    // (rounds ≤6 emitted "other_cs") hid ~27% of the total from
+    // regression triage. "omitted" counts the individually-folded
+    // queries; the total still reconciles: value ≈ Σqueries + Σrest.
+    // Greedy by descending time until the line fits.
     def topTier(budget: Int): String = {
       val sorted = results.sortBy(-_._2)
       def render(keep: Int): String = {
@@ -136,8 +141,13 @@ object Bench {
         val qs3 = top.map { case (k, v, _) =>
           "\"" + k.stripPrefix("q_") + "\":" + math.round(v * 100)
         }.mkString("{", ",", "}")
-        val otherCs = math.round(rest.map(_._2).sum * 100)
-        s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"qunit":"cs","note":"q_ stripped; slowest ${top.size} of ${results.size} shown","other_cs":$otherCs,"omitted":${rest.size},"queries":$qs3$errPart,"sf":"$sfShort"}"""
+        val fams = rest
+          .groupBy { case (k, _, _) => k.stripPrefix("q_").takeWhile(_ != '_') }
+          .map { case (f, xs) => (f, math.round(xs.map(_._2).sum * 100)) }
+          .toSeq.sortBy(t => (-t._2, t._1))
+        val famJson = fams.map { case (f, cs) => "\"" + f + "\":" + cs }
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"qunit":"cs","note":"q_ stripped;top ${top.size}/${results.size};rest=family cs","omitted":${rest.size},"queries":$qs3,"rest":$famJson$errPart,"sf":"$sfShort"}"""
       }
       var keep = sorted.length
       var out = render(keep)
