@@ -94,4 +94,28 @@ class UdxSpec extends SparkSpec {
     // non-zero vectors must pin the top code at exactly 127
     assert(rows.filter(_.getLong(0) > 0).forall(_.getLong(2) == 127L))
   }
+
+  test("AdcScore native expression equals the boxed reference computation") {
+    // the PQ hot path: Σ tab[mi*nCodes + code[mi]], generated loop vs a
+    // driver-side fold over the same rows — must be bit-identical
+    // (same left-to-right double accumulation)
+    import spark.implicits._
+    val nCodes = 4
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(50) { i =>
+      (i.toLong,
+        Seq.fill(8)(rnd.nextInt(nCodes)),
+        Seq.fill(8 * nCodes)(rnd.nextDouble() * 2 - 1))
+    }
+    val got = rows.toDF("id", "code", "tab")
+      .select(col("id"),
+        graft.functions.AdcScore(col("code"), col("tab"), nCodes).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, code, tab) =>
+      var d = 0.0
+      var mi = 0
+      while (mi < code.length) { d += tab(mi * nCodes + code(mi)); mi += 1 }
+      assert(got(id) === d, s"ADC mismatch id $id")
+    }
+  }
 }
