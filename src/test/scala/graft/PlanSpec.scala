@@ -352,4 +352,28 @@ class PlanSpec extends SparkSpec {
       }
     } finally sc.removeSparkListener(listener)
   }
+
+  test("ivf-pq: query side meets the codes through a cell equi-join") {
+    // the 100 TB contract of the de-drivered query path: probe cells and
+    // ADC tables are computed in the plan and the corpus is met through
+    // ONE equi-join on the cell id — never a cartesian or nested loop
+    // (training jobs run at build time; only the SHAPE is asserted here,
+    // recall is PipelineSpec's planted-dup property)
+    val emb = Tables.embeddings(spark, sf)
+    val queries = graft.operators.Sampling.hashSample(emb, "vec_id", 0.1)
+    val out = graft.operators.Similarity.ivfPqSearch(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+      k = 5, nlist = 4, nprobe = 2, m = 8, codes = 16)
+    val p = out.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    // the join condition carries the cell key (hash or sort-merge — AQE
+    // picks at runtime; both are fine, both shuffle only on cell)
+    assert("Join [a-zA-Z]+, \\[cell".r.findFirstIn(p).isDefined ||
+      p.contains("Join [cell") || "(?s)Join.{0,40}cell#".r.findFirstIn(p).isDefined,
+      p.take(1500))
+    // the query side explodes its probe list in-plan (Generate), the
+    // signature of per-row probe assignment instead of a driver loop
+    assert(p.contains("Generate explode"), p.take(1500))
+  }
 }
