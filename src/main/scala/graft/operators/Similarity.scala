@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.AdcScore
+import graft.plans.TopKPerKeyNode
 
 /** Similarity search over an embedding column (ArrayType(FloatType)).
   *
@@ -33,6 +34,19 @@ object Similarity {
     * oracle evaluate the identical IEEE op sequence (left-to-right sum).
     */
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Per-query top-k via the native [[graft.plans.TopKPerKeyNode]]
+    * operator: map-side bounded heaps mean the shuffle carries at most
+    * |queries|·k rows instead of every scored candidate pair — the
+    * row_number window idiom this replaces shuffles AND sorts the full
+    * candidate set per qid (the dominant exchange of every search path
+    * here at 100 TB). Rows and ranks are identical to the window form:
+    * same order spec, unique tie-break column (q_topk_native pins the
+    * operator↔window hash equality).
+    */
+  private def topK(scored: DataFrame, order: Seq[(String, Boolean)],
+                   k: Int): DataFrame =
+    TopKPerKeyNode.topKPerKey(scored, Seq("qid"), order, k)
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -156,9 +170,7 @@ object Similarity {
       }.toDF("qid", "nid", "sim")
     // Global merge: every (q,c) pair was scored in exactly one group, so
     // the true top-k per query is within the union of local top-k lists.
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    local.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topK(local, Seq(("sim", true), ("nid", false)), k)
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
@@ -198,9 +210,7 @@ object Similarity {
       .select(col("qid"), col("nid"), col("nlabel"),
         (dotFast(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
           .as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topK(scored, Seq(("sim", true), ("nid", false)), k)
       .select(col("qid"), col("rank"), col("nid"), col("nlabel"), col("sim"))
   }
 
@@ -262,9 +272,7 @@ object Similarity {
           (0 until filled).iterator.map(r => (qid, topNid(r), topSim(r)))
         }
       }.toDF("qid", "nid", "sim")
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    local.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topK(local, Seq(("sim", true), ("nid", false)), k)
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
@@ -332,9 +340,7 @@ object Similarity {
       .join(slim.as("c"), col("nid") === col("c.id")).drop("id")
       .select(col("qid"), col("nid"),
         (dotFast(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topK(scored, Seq(("sim", true), ("nid", false)), k)
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
@@ -447,9 +453,7 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (dotFast(col("qv"), col("nv")) / (col("qnrm") * col("nnrm"))).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topK(scored, Seq(("sim", true), ("nid", false)), k)
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
@@ -732,12 +736,10 @@ object Similarity {
                k: Int): DataFrame = {
     val q = queries.select(col(qidCol).cast("long").as("qid"),
       adcTableUdf(model)(asDouble(col(qvecCol))).as("tab"))
-    val w = Window.partitionBy("qid").orderBy(col("adist"), col("id"))
-    encoded.crossJoin(broadcast(q))
+    val scored = encoded.crossJoin(broadcast(q))
       .select(col("qid"), col("id"),
         AdcScore(col("code"), col("tab"), model.codebooks(0).length).as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topK(scored, Seq(("adist", false), ("id", false)), k)
       .select(col("qid"), col("rank"), col("id"), col("adist"))
   }
 
@@ -858,12 +860,10 @@ object Similarity {
       .select(col(qidCol).cast("long").as("qid"), asDouble(col(qvecCol)).as("qv"))
       .select(col("qid"), adcTableUdf(model)(col("qv")).as("tab"),
         explode(probesOf(col("qv"))).as("cell"))
-    val w = Window.partitionBy("qid").orderBy(col("adist"), col("id"))
-    encoded.join(qside, Seq("cell"))
+    val scored = encoded.join(qside, Seq("cell"))
       .select(col("qid"), col("id"),
         AdcScore(col("code"), col("tab"), codes).as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topK(scored, Seq(("adist", false), ("id", false)), k)
       .select(col("qid"), col("rank"), col("id"), col("adist"))
   }
 }
