@@ -35,13 +35,15 @@ object CurationQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Per-source document cap (crawl curation: no domain may dominate the
-    // corpus). Deterministic keep-set: the k lowest doc_ids per source.
-    // One shuffle on `source`; per-group top-k never sorts globally.
+    // corpus). Deterministic keep-set: the k lowest doc_ids per source,
+    // via the native TopKPerKey operator — map-side k-heaps mean the
+    // `source` shuffle carries ≤ 10 rows per source, not the corpus
+    // (the row_number window form ships and sorts every row). Projected
+    // to two columns first: a custom node blocks column pruning.
     "q_domain_cap" -> ((s, d) => {
-      val w = Window.partitionBy("source").orderBy("doc_id")
-      docs(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
+      graft.plans.TopKPerKeyNode.topKPerKey(
+          docs(s, d).select(col("doc_id"), col("source")),
+          keyCols = Seq("source"), orderSpec = Seq(("doc_id", false)), k = 10)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     }),
@@ -209,12 +211,14 @@ object CurationQueries {
         .filter(size(col("w")) >= 3)
         .withColumn("rep", repExpr(col("w")))
         .filter(col("rep") <= 0.05)
-      val capW = Window.partitionBy("source").orderBy("doc_id")
-      scored
-        .withColumn("rn", row_number().over(capW))
-        .filter(col("rn") <= 15)
-        .select(col("doc_id"), col("lang"), col("source"),
-          size(col("w")).as("toks"))
+      // Cap via native TopKPerKey (≤ 15 rows per source cross the
+      // shuffle); toks is computed BEFORE it so the token array never
+      // ships — the exchange carries 4 scalar columns per row.
+      graft.plans.TopKPerKeyNode.topKPerKey(
+          scored.select(col("doc_id"), col("lang"), col("source"),
+            size(col("w")).as("toks")),
+          keyCols = Seq("source"), orderSpec = Seq(("doc_id", false)), k = 15)
+        .select(col("doc_id"), col("lang"), col("source"), col("toks"))
         .orderBy("doc_id")
     }),
 

@@ -95,13 +95,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // Keyed dedup: first event per (user, type) via row_number=1 — the
-    // "keep one representative per key" pattern over a big fact table.
+    // Keyed dedup: first event per (user, type) — the "keep one
+    // representative per key" pattern over a big fact table, via the
+    // native TopKPerKey operator with k=1: the shuffle carries one row
+    // per (user, type) instead of every event, and no partition ever
+    // sorts a full group (the row_number window form does both).
+    // Explicit projection first — a custom node blocks Catalyst's
+    // column pruning, so the scan must be slimmed before it.
     "q_dedup_keyed" -> ((s, d) => {
-      val w = Window.partitionBy("user_id", "event_type").orderBy("event_id")
-      Tables.events(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      graft.plans.TopKPerKeyNode.topKPerKey(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_type"), col("event_id")),
+          keyCols = Seq("user_id", "event_type"),
+          orderSpec = Seq(("event_id", false)),
+          k = 1)
         .select(col("user_id"), col("event_type"), col("event_id"))
         .orderBy("user_id", "event_type")
     }),
