@@ -19,16 +19,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), read as raw nanos via
-    * `spark.sql.legacy.parquet.nanosAsLong` (declared in
-    * [[GraftSession.builder]], not mutated here); `ts` is exposed as a
-    * proper µs TimestampType column (integer `div` — a double division
-    * would lose precision on 2^60-scale nanos).
+  /** events.parquet has stored `ts` two ways across testdata generations:
+    * TIMESTAMP(NANOS) (read as raw nanos via
+    * `spark.sql.legacy.parquet.nanosAsLong`, declared in
+    * [[GraftSession.builder]]) and plain µs timestamp (surfaced as
+    * TIMESTAMP_NTZ by Spark's NTZ inference). Both are normalized to one
+    * engine-facing type — session-TZ TimestampType — so every consumer
+    * (windows, watermarks, as-of joins) sees a single `ts` contract.
+    * The nanos path uses integer `div` (double division would lose
+    * precision on 2^60-scale nanos); the NTZ path is a wall-clock-
+    * preserving cast (session TZ is pinned UTC).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw  // already TimestampType
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
