@@ -27,9 +27,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-      // parquet reader otherwise rejects; declared once here rather than
-      // as a loader side effect (Tables.events re-derives a µs column).
+      // Early testdata generations stored events.ts as TIMESTAMP(NANOS),
+      // which Spark's parquet reader otherwise rejects; harmless no-op on
+      // µs-typed files. Declared once here rather than as a loader side
+      // effect (Tables.events normalizes whichever form it finds).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // bucketed-table home (co-located joins); keep out of the repo tree
       .config("spark.sql.warehouse.dir",
