@@ -112,6 +112,41 @@ class TablesSpec extends SparkSpec {
       ("label", integral, "integral")))
   }
 
+  test("events normalization: both storage generations yield identical rows") {
+    // The nanos-long branch of Tables.events no longer fires on current
+    // testdata (µs NTZ since the round-7 regeneration) — keep it honest
+    // by synthesizing BOTH generations of the same logical events and
+    // asserting the normalized outputs are row-identical. The long
+    // column stands in for TIMESTAMP(NANOS) read under nanosAsLong
+    // (which surfaces exactly as int64 nanos).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Seq(
+      (1L, 1704067200123456L, 10L, "view", 1.0, "{}"),   // 2024-01-01 00:00:00.123456
+      (2L, 1704070800000001L, 11L, "click", 2.0, "{}"),
+      (3L, 1706741832194062L, 12L, "purchase", 3.0, "{}"))
+    val dirNanos = java.nio.file.Files.createTempDirectory("gen-nanos").toString
+    val dirNtz = java.nio.file.Files.createTempDirectory("gen-ntz").toString
+    base.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), (col("us") * 1000L).as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dirNanos/events.parquet")
+    base.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        to_timestamp_ntz(timestamp_micros(col("us"))).as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dirNtz/events.parquet")
+    val a = Tables.events(spark, dirNanos)
+    val b = Tables.events(spark, dirNtz)
+    assert(a.schema === b.schema, "generations must normalize to one schema")
+    assert(a.schema("ts").dataType === TimestampType)
+    val ra = a.orderBy("event_id").collect().map(_.toString).toSeq
+    val rb = b.orderBy("event_id").collect().map(_.toString).toSeq
+    assert(ra === rb && ra.size === 3)
+    // µs precision survives both paths (nanos div is truncating, not lossy at µs)
+    assert(ra.head.contains("2024-01-01 00:00:00.123456"))
+  }
+
   test("events ts values survive normalization (no wall-clock shift)") {
     // The NTZ→LTZ cast must be wall-clock-preserving: session TZ is
     // pinned UTC in GraftSession, so the rendered instant equals the
