@@ -418,37 +418,20 @@ object Similarity {
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     val centroids = KMeans.lloyd(train.select("id", "v"), "v", seedVecs,
       KMeans.EuclideanSq, maxIter = trainIters).centers
-    def sqDist(a: Array[Double], c: Array[Double]): Double = {
-      // exact-dim contract, same as pqTrain: a ragged vector must fail
-      // loudly, not silently score on a truncated prefix
-      require(a.length == c.length,
-        s"ragged vector: ${a.length} dims vs centroid ${c.length}")
-      var acc = 0.0
-      var i = 0
-      while (i < a.length) { val d = a(i) - c(i); acc += d * d; i += 1 }
-      acc
-    }
-    // one compiled pass per row for both cell assignment and probe list
-    // (an nlist-way expression tree would inline into both join sides —
-    // the round-1 plan-explosion lesson)
-    val cellOf = udf { (arr: Array[Double]) =>
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < centroids.length) {
-        val d = sqDist(arr, centroids(c))
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
-    val probesOf = udf { (arr: Array[Double]) =>
-      centroids.indices.map(c => (sqDist(arr, centroids(c)), c))
-        .sortBy(t => (t._1, t._2)).take(nprobe).map(_._2).toArray
-    }
+    // one native codegen scan per row for both cell assignment and probe
+    // list — a single expression node holding the centroid matrix, so
+    // the plan stays flat (an nlist-way expression tree would inline
+    // into both join sides — the round-1 plan-explosion lesson) and no
+    // per-row UDF boxing is paid (exact-dim ragged guard lives in the
+    // kernel, same loud-failure contract as pqTrain)
+    val cells = graft.functions.NearestCells.kernel(centroids)
     val data = v.select(col("id").as("nid"), col("v").as("nv"),
-      col("nrm").as("nnrm"), cellOf(col("v")).as("cell"))
+      col("nrm").as("nnrm"),
+      graft.functions.NearestCells.cell(col("v"), cells).as("cell"))
     val queries = v.select(col("id").as("qid"), col("v").as("qv"),
-        col("nrm").as("qnrm"), explode(probesOf(col("v"))).as("cell"))
+        col("nrm").as("qnrm"),
+        explode(graft.functions.NearestCells.probes(col("v"), cells, nprobe))
+          .as("cell"))
     val scored = queries.join(data, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -525,28 +508,11 @@ object Similarity {
       .select("v").collect().map(_.getSeq[Double](0).toArray)
     val centroids = KMeans.lloyd(v.select("id", "v"), "v", seedVecs,
       KMeans.EuclideanSq, maxIter = trainIters).centers
-    def sqDist(a: Array[Double], c: Array[Double]): Double = {
-      // exact-dim contract, same as pqTrain: a ragged vector must fail
-      // loudly, not silently score on a truncated prefix
-      require(a.length == c.length,
-        s"ragged vector: ${a.length} dims vs centroid ${c.length}")
-      var acc = 0.0
-      var i = 0
-      while (i < a.length) { val d = a(i) - c(i); acc += d * d; i += 1 }
-      acc
-    }
-    val cellOf = udf { (arr: Array[Double]) =>
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < centroids.length) {
-        val d = sqDist(arr, centroids(c))
-        if (d < bestD) { bestD = d; best = c }
-        c += 1
-      }
-      best
-    }
+    // native codegen cell assign — same kernel (and same exact-dim
+    // loud-failure contract) as ivfTopK's
+    val cellKernel = graft.functions.NearestCells.kernel(centroids)
     val cells = v.select(col("id"), col("v"), col("nrm"),
-      cellOf(col("v")).as("cell"))
+      graft.functions.NearestCells.cell(col("v"), cellKernel).as("cell"))
     cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
