@@ -1,0 +1,330 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StructField, StructType}
+
+/** Product-quantization codebook kernel shared by [[PqCode]] and
+  * [[AdcTable]] — the m×nCodes×subDim codebook matrix flattened
+  * row-major (centroid (mi, c) starts at ((mi·nCodes)+c)·subDim), plus
+  * the two scans over it. Same native tier as
+  * [[NearestCellsKernel]]/[[AdcScore]]: generated code dispatches once
+  * per row into JIT-compiled primitive loops, replacing the fused Scala
+  * UDFs whose per-row input marshalling boxed every vector into a
+  * `Seq[Double]`.
+  *
+  * Inputs are expected ALREADY L2-normalized in the plan
+  * (`Similarity.unitized`) — the FP sequence of expression
+  * normalization is identical to the in-UDF form these kernels
+  * replaced, so codes and tables are bit-identical. Ragged inputs fail
+  * loudly, same contract as every index path here.
+  */
+final class PqKernel(val flat: Array[Double], val m: Int, val subDim: Int,
+                     val nCodes: Int) extends Serializable {
+  val dim: Int = m * subDim
+  require(flat.length == m * nCodes * subDim,
+    s"codebook matrix ${flat.length} doubles != $m x $nCodes x $subDim")
+
+  private def checkDim(a: ArrayData): Unit =
+    require(a.numElements() == dim,
+      s"ragged vector: ${a.numElements()} dims, index expects $dim")
+
+  @inline private def sqDistSub(a: ArrayData, off: Int, bookOff: Int): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < subDim) {
+      val d = a.getDouble(off + i) - flat(bookOff + i); acc += d * d; i += 1
+    }
+    acc
+  }
+
+  /** Per-subspace nearest-code indices — the PQ code (array<int>, m slots). */
+  def code(a: ArrayData): ArrayData = {
+    checkDim(a)
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < nCodes) {
+        val d = sqDistSub(a, mi * subDim, ((mi * nCodes) + c) * subDim)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(mi) = best
+      mi += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Flattened m×nCodes ADC lookup table for one query:
+    * out(mi·nCodes + c) = ‖u[sub mi] − book(mi)(c)‖².
+    */
+  def table(a: ArrayData): ArrayData = {
+    checkDim(a)
+    val out = new Array[Double](m * nCodes)
+    var mi = 0
+    while (mi < m) {
+      var c = 0
+      while (c < nCodes) {
+        out(mi * nCodes + c) = sqDistSub(a, mi * subDim, ((mi * nCodes) + c) * subDim)
+        c += 1
+      }
+      mi += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Native PQ encode: unit vector (array<double>) → m-slot code (array<int>). */
+case class PqCode(child: Expression, kernel: PqKernel) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = kernel.code(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("pqKernel", kernel, classOf[PqKernel].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $k.code($a);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqCode =
+    copy(child = newChild)
+}
+
+/** Native ADC table build: unit query vector → flattened m×nCodes
+  * distance table (array<double>), consumed by [[AdcScore]].
+  */
+case class AdcTable(child: Expression, kernel: PqKernel) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = kernel.table(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("pqKernel", kernel, classOf[PqKernel].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $k.table($a);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AdcTable =
+    copy(child = newChild)
+}
+
+/** Fused IVF-PQ row kernel: normalize ONCE (primitive loops, from the
+  * raw cast-to-double vector) then run both the coarse-cell scan and
+  * the per-subspace PQ scan over the same unit vector — the native
+  * equivalent of the fused Scala UDF it replaces (which existed
+  * precisely so the corpus is scanned once with one normalization; an
+  * expression-normalized column costs interpreted HOF evaluation per
+  * row, measured +1.4 s on q_ann_ivfpq at sf0.1). FP sequence is the
+  * UDF's exactly: left-to-right Σx², sqrt, per-element divide,
+  * strict-< argmins, (distance, index) probe order.
+  */
+final class IvfPqKernel(val cells: NearestCellsKernel, val pq: PqKernel)
+    extends Serializable {
+  require(cells.dim == pq.dim,
+    s"coarse dim ${cells.dim} != codebook dim ${pq.dim}")
+  private val dim = pq.dim
+
+  private def unit(a: ArrayData): Array[Double] = {
+    val n = a.numElements()
+    require(n == dim, s"ragged vector: $n dims, index expects $dim")
+    val raw = new Array[Double](n)
+    var i = 0
+    while (i < n) { raw(i) = a.getDouble(i); i += 1 }
+    var ss = 0.0
+    i = 0
+    while (i < n) { ss += raw(i) * raw(i); i += 1 }
+    val nrm = math.sqrt(ss)
+    if (nrm != 0) { var j = 0; while (j < n) { raw(j) = raw(j) / nrm; j += 1 } }
+    raw
+  }
+
+  @inline private def cellDist(u: Array[Double], c: Int): Double = {
+    var acc = 0.0
+    val off = c * dim
+    var i = 0
+    while (i < dim) { val d = u(i) - cells.flat(off + i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** struct(cell: int, code: array<int>) for an indexed vector. */
+  def encode(a: ArrayData): InternalRow = {
+    val u = unit(a)
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cells.n) {
+      val d = cellDist(u, c)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    val code = new Array[Int](pq.m)
+    var mi = 0
+    while (mi < pq.m) {
+      var bc = 0
+      var bd = Double.MaxValue
+      var cc = 0
+      while (cc < pq.nCodes) {
+        var acc = 0.0
+        val aOff = mi * pq.subDim
+        val bOff = ((mi * pq.nCodes) + cc) * pq.subDim
+        var i = 0
+        while (i < pq.subDim) {
+          val d = u(aOff + i) - pq.flat(bOff + i); acc += d * d; i += 1
+        }
+        if (acc < bd) { bd = acc; bc = cc }
+        cc += 1
+      }
+      code(mi) = bc
+      mi += 1
+    }
+    new GenericInternalRow(Array[Any](best,
+      UnsafeArrayData.fromPrimitiveArray(code)))
+  }
+
+  /** struct(tab: array<double>, probes: array<int>) for a query vector:
+    * the flattened m×nCodes ADC table plus the nprobe nearest coarse
+    * cells ordered by (distance, index).
+    */
+  def probe(a: ArrayData, nprobe: Int): InternalRow = {
+    val u = unit(a)
+    val tab = new Array[Double](pq.m * pq.nCodes)
+    var mi = 0
+    while (mi < pq.m) {
+      var cc = 0
+      while (cc < pq.nCodes) {
+        var acc = 0.0
+        val aOff = mi * pq.subDim
+        val bOff = ((mi * pq.nCodes) + cc) * pq.subDim
+        var i = 0
+        while (i < pq.subDim) {
+          val d = u(aOff + i) - pq.flat(bOff + i); acc += d * d; i += 1
+        }
+        tab(mi * pq.nCodes + cc) = acc
+        cc += 1
+      }
+      mi += 1
+    }
+    val cap = math.min(nprobe, cells.n)
+    val dist = new Array[Double](cap)
+    val idx = new Array[Int](cap)
+    var count = 0
+    var c = 0
+    while (c < cells.n) {
+      val d = cellDist(u, c)
+      if (count < cap) {
+        var pos = count
+        while (pos > 0 && d < dist(pos - 1)) {
+          dist(pos) = dist(pos - 1); idx(pos) = idx(pos - 1); pos -= 1
+        }
+        dist(pos) = d; idx(pos) = c; count += 1
+      } else if (d < dist(cap - 1)) {
+        var pos = cap - 1
+        while (pos > 0 && d < dist(pos - 1)) {
+          dist(pos) = dist(pos - 1); idx(pos) = idx(pos - 1); pos -= 1
+        }
+        dist(pos) = d; idx(pos) = c
+      }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UnsafeArrayData.fromPrimitiveArray(tab),
+      UnsafeArrayData.fromPrimitiveArray(idx)))
+  }
+}
+
+/** Native L2-unit normalization: array<double> → array<double>, the
+  * primitive-loop form of `when(nrm = 0, v).otherwise(zip_with(v, …))`
+  * (zero-norm vectors pass through unscaled). Same IEEE sequence —
+  * left-to-right Σx², sqrt, per-element divide — as both the
+  * expression-HOF form and every in-UDF normalization this replaces,
+  * so downstream cells/codes/tables are bit-identical; it exists
+  * because Catalyst higher-order functions evaluate interpreted
+  * per element, which measurably drags every normalize-heavy scan.
+  */
+case class UnitVector(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    UnitVector.unit(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.UnitVector.unit($a);")
+  override protected def withNewChildInternal(newChild: Expression): UnitVector =
+    copy(child = newChild)
+}
+
+object UnitVector {
+  def unit(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val raw = new Array[Double](n)
+    var i = 0
+    while (i < n) { raw(i) = a.getDouble(i); i += 1 }
+    var ss = 0.0
+    i = 0
+    while (i < n) { ss += raw(i) * raw(i); i += 1 }
+    val nrm = math.sqrt(ss)
+    if (nrm != 0) { var j = 0; while (j < n) { raw(j) = raw(j) / nrm; j += 1 } }
+    UnsafeArrayData.fromPrimitiveArray(raw)
+  }
+}
+
+/** Native fused IVF-PQ index-side encode: raw vector → struct(cell, code). */
+case class IvfPqEncode(child: Expression, kernel: IvfPqKernel)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("code", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    kernel.encode(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("ivfPqKernel", kernel, classOf[IvfPqKernel].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $k.encode($a);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): IvfPqEncode =
+    copy(child = newChild)
+}
+
+/** Native fused IVF-PQ query-side probe: raw vector → struct(tab, probes). */
+case class IvfPqProbe(child: Expression, kernel: IvfPqKernel, nprobe: Int)
+    extends UnaryExpression {
+  require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+  override def dataType: DataType = StructType(Seq(
+    StructField("tab", ArrayType(DoubleType, containsNull = false),
+      nullable = false),
+    StructField("probes", ArrayType(IntegerType, containsNull = false),
+      nullable = false)))
+  override def nullSafeEval(v: Any): Any =
+    kernel.probe(v.asInstanceOf[ArrayData], nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("ivfPqKernel", kernel, classOf[IvfPqKernel].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $k.probe($a, $nprobe);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): IvfPqProbe =
+    copy(child = newChild)
+}
+
+object PqOps {
+  /** Kernel from nested codebooks (m × nCodes × subDim, rectangular). */
+  def kernel(codebooks: Array[Array[Array[Double]]]): PqKernel = {
+    val m = codebooks.length
+    val nCodes = codebooks.head.length
+    val subDim = codebooks.head.head.length
+    require(codebooks.forall(b => b.length == nCodes && b.forall(_.length == subDim)),
+      "ragged codebook matrix")
+    new PqKernel(codebooks.flatten.flatten, m, subDim, nCodes)
+  }
+
+  def code(v: Column, k: PqKernel): Column =
+    Bridge.column(PqCode(Bridge.expression(v.cast("array<double>")), k))
+
+  def table(v: Column, k: PqKernel): Column =
+    Bridge.column(AdcTable(Bridge.expression(v.cast("array<double>")), k))
+
+  def unitVec(v: Column): Column =
+    Bridge.column(UnitVector(Bridge.expression(v.cast("array<double>"))))
+
+  def ivfEncode(v: Column, k: IvfPqKernel): Column =
+    Bridge.column(IvfPqEncode(Bridge.expression(v.cast("array<double>")), k))
+
+  def ivfProbe(v: Column, k: IvfPqKernel, nprobe: Int): Column =
+    Bridge.column(IvfPqProbe(Bridge.expression(v.cast("array<double>")), k, nprobe))
+}

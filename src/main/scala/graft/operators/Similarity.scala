@@ -74,6 +74,18 @@ object Similarity {
     df.select(col(idCol).as("id").cast("long"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
 
+  /** (id, v) rows with v the L2-UNIT vector (zero-norm rows pass
+    * through unscaled — 0/0 would poison whatever consumes them), via
+    * the native [[graft.functions.UnitVector]] expression. The IEEE
+    * sequence (left-to-right Σx², sqrt, per-element divide) is
+    * identical to both the HOF-expression form and the in-UDF
+    * normalization the PQ paths used before going native, so
+    * cells/codes/tables are bit-stable across those migrations.
+    */
+  private def unitized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id").cast("long"),
+      graft.functions.PqOps.unitVec(asDouble(col(vecCol))).as("v"))
+
   /** The canonical similarity loop — the one IEEE op order every exact
     * path (and the DuckDB oracle's list_reduce fold) agrees on.
     */
@@ -552,12 +564,7 @@ object Similarity {
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int = 8,
               codes: Int = 16, sampleMod: Int = 4,
               trainIters: Int = 3): PQModel = {
-    // zero-norm guard mirrors pqEncode: 0/0 would write NaN subvectors
-    // into whichever codebook cell absorbs them, silently poisoning it
-    val v = normed(df, idCol, vecCol)
-      .select(col("id"), when(col("nrm") === 0, col("v"))
-        .otherwise(zip_with(col("v"),
-          array_repeat(col("nrm"), size(col("v"))), (x, n) => x / n)).as("v"))
+    val v = unitized(df, idCol, vecCol)
     val dim = v.select(size(col("v"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
@@ -623,60 +630,15 @@ object Similarity {
   }
 
   /** (id, code: array<int>) — one compiled pass, no shuffle; the code is
-    * the only thing the search path needs per indexed vector.
+    * the only thing the search path needs per indexed vector. Encoding
+    * is the native [[graft.functions.PqCode]] expression over the
+    * in-plan unit vector — no per-row UDF boxing.
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                model: PQModel): DataFrame = {
-    val enc = udf { (arr: Array[Double]) =>
-      val nrm = math.sqrt(arr.map(x => x * x).sum)
-      val u = if (nrm == 0) arr else arr.map(_ / nrm)
-      Array.tabulate(model.m) { mi =>
-        val book = model.codebooks(mi)
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < book.length) {
-          val d = sqDistSub(u, mi * model.subDim, book(c))
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        best
-      }
-    }
-    normed(df, idCol, vecCol).select(col("id"), enc(col("v")).as("code"))
-  }
-
-  /** Flattened m×codes ADC lookup table for one query vector, built on
-    * the QUERY SIDE of the plan (a compiled pass over the queries
-    * DataFrame — never a driver collect): out(mi·codes + c) =
-    * ‖u[sub mi] − codebook(mi)(c)‖² over the L2-normalized query. The
-    * same IEEE op sequence the former driver-batch form used, so scores
-    * are bit-identical. Rejects ragged query dims loudly.
-    */
-  private def adcTableUdf(model: PQModel) = {
-    val dim = model.m * model.subDim
-    val nCodes = model.codebooks(0).length
-    udf { (q: Seq[Double]) =>
-      require(q.length == dim,
-        s"query vector has ${q.length} dims, index expects $dim")
-      val arr = q.toArray
-      var ss = 0.0
-      var i = 0
-      while (i < arr.length) { ss += arr(i) * arr(i); i += 1 }
-      val nrm = math.sqrt(ss)
-      val u = if (nrm == 0) arr else arr.map(_ / nrm)
-      val out = new Array[Double](model.m * nCodes)
-      var mi = 0
-      while (mi < model.m) {
-        val book = model.codebooks(mi)
-        var c = 0
-        while (c < book.length) {
-          out(mi * nCodes + c) = sqDistSub(u, mi * model.subDim, book(c))
-          c += 1
-        }
-        mi += 1
-      }
-      out
-    }
+    val k = graft.functions.PqOps.kernel(model.codebooks)
+    unitized(df, idCol, vecCol)
+      .select(col("id"), graft.functions.PqOps.code(col("v"), k).as("code"))
   }
 
   // ADC scoring is graft.functions.AdcScore — a native codegen
@@ -700,8 +662,14 @@ object Similarity {
   def pqSearch(encoded: DataFrame, model: PQModel,
                queries: DataFrame, qidCol: String, qvecCol: String,
                k: Int): DataFrame = {
-    val q = queries.select(col(qidCol).cast("long").as("qid"),
-      adcTableUdf(model)(asDouble(col(qvecCol))).as("tab"))
+    // per-query flattened m×codes lookup table built on the QUERY SIDE
+    // of the plan (native AdcTable over the in-plan unit vector — never
+    // a driver collect, no per-row boxing); ragged query dims fail
+    // loudly in the kernel
+    val kq = graft.functions.PqOps.kernel(model.codebooks)
+    val q = unitized(queries, qidCol, qvecCol)
+      .select(col("id").as("qid"),
+        graft.functions.PqOps.table(col("v"), kq).as("tab"))
     val scored = encoded.crossJoin(broadcast(q))
       .select(col("qid"), col("id"),
         AdcScore(col("code"), col("tab"), model.codebooks(0).length).as("adist"))
@@ -738,11 +706,7 @@ object Similarity {
                   k: Int, nlist: Int = 16, nprobe: Int = 8,
                   m: Int = 8, codes: Int = 64,
                   sampleMod: Int = 4, trainIters: Int = 3): DataFrame = {
-    val spark = df.sparkSession
-    val v = normed(df, idCol, vecCol)
-      .select(col("id"), when(col("nrm") === 0, col("v"))
-        .otherwise(zip_with(col("v"),
-          array_repeat(col("nrm"), size(col("v"))), (x, n) => x / n)).as("v"))
+    val v = unitized(df, idCol, vecCol)
     // coarse quantizer: deterministic seeds + Lloyd, exactly as ivfTopK
     val train = v.filter(pmod(xxhash64(col("id")), lit(sampleMod)) === 0)
     val seedVecs = train.orderBy("id").limit(nlist)
@@ -752,80 +716,35 @@ object Similarity {
     val centroids = KMeans.lloyd(train.select("id", "v"), "v", seedVecs,
       KMeans.EuclideanSq, maxIter = trainIters).centers
     val model = pqTrain(df, idCol, vecCol, m, codes, sampleMod, trainIters)
-    val dim = m * model.subDim
-    val bcCentroids = spark.sparkContext.broadcast(centroids)
-    val bcModel = spark.sparkContext.broadcast(model)
+    val fused = new graft.functions.IvfPqKernel(
+      graft.functions.NearestCells.kernel(centroids),
+      graft.functions.PqOps.kernel(model.codebooks))
     // Index side: (id, cell, code) in ONE pass over the raw vectors —
-    // cell assignment and PQ encoding share a single normalization
-    // inside one UDF, so the table is scanned once and there is no
-    // id-keyed join of two derived scans (at corpus scale that join is
-    // a full extra shuffle of every row). The in-UDF normalization
-    // (sum-of-squares left-to-right, sqrt, divide) is the same IEEE
-    // sequence as the expression form used everywhere else and as
-    // pqEncode's own — cells and codes are bit-identical to the
-    // two-scan formulation.
-    val cellCode = udf { (arr: Seq[Double]) =>
-      val raw = arr.toArray
-      require(raw.length == dim,
-        s"indexed vector has ${raw.length} dims, index expects $dim")
-      var ss = 0.0
-      var i = 0
-      while (i < raw.length) { ss += raw(i) * raw(i); i += 1 }
-      val nrm = math.sqrt(ss)
-      val u = if (nrm == 0) raw else raw.map(_ / nrm)
-      val cs = bcCentroids.value
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < cs.length) {
-        var acc = 0.0; var j = 0
-        while (j < dim) { val d = u(j) - cs(c)(j); acc += d * d; j += 1 }
-        if (acc < bestD) { bestD = acc; best = c }
-        c += 1
-      }
-      val mdl = bcModel.value
-      val code = Array.tabulate(mdl.m) { mi =>
-        val book = mdl.codebooks(mi)
-        var bc2 = 0; var bd = Double.MaxValue
-        var cc = 0
-        while (cc < book.length) {
-          val d = sqDistSub(u, mi * mdl.subDim, book(cc))
-          if (d < bd) { bd = d; bc2 = cc }
-          cc += 1
-        }
-        bc2
-      }
-      (best, code)
-    }
+    // the fused native IvfPqEncode normalizes once (primitive loops)
+    // and runs both the coarse-cell scan and the PQ encode over that
+    // unit vector, so the corpus is scanned once with no id-keyed join
+    // of two derived scans (at corpus scale that join is a full extra
+    // shuffle of every row) and no per-row interpreted-HOF
+    // normalization (the expression-normalized column form measured
+    // +1.4 s here at sf0.1). FP sequence identical to the fused UDF
+    // this replaces — cells and codes are bit-identical. Ragged
+    // vectors fail loudly in the kernel.
     val encoded = df
       .select(col(idCol).as("id").cast("long"),
-        cellCode(asDouble(col(vecCol))).as("cc"))
-      .select(col("id"), col("cc._1").as("cell"), col("cc._2").as("code"))
+        graft.functions.PqOps.ivfEncode(asDouble(col(vecCol)), fused).as("cc"))
+      .select(col("id"), col("cc.cell").as("cell"), col("cc.code").as("code"))
     // Query side, fully IN the plan: per query row, the nprobe nearest
-    // coarse cells (same centroid arithmetic as cellDists) and the
-    // flattened ADC table. One row per (query, probe); the table column
-    // rides the cell join and is dropped by the projection immediately
-    // after scoring, so the top-k shuffle carries only (qid, id, adist).
-    val probesOf = udf { (q: Seq[Double]) =>
-      require(q.length == dim,
-        s"query vector has ${q.length} dims, index expects $dim")
-      val arr = q.toArray
-      var ss = 0.0
-      var i = 0
-      while (i < arr.length) { ss += arr(i) * arr(i); i += 1 }
-      val nrm = math.sqrt(ss)
-      val u = if (nrm == 0) arr else arr.map(_ / nrm)
-      val cs = bcCentroids.value
-      cs.indices.map { c =>
-        var acc = 0.0
-        var j = 0
-        while (j < dim) { val d2 = u(j) - cs(c)(j); acc += d2 * d2; j += 1 }
-        (acc, c)
-      }.sortBy(t => (t._1, t._2)).take(nprobe).map(_._2).toArray
-    }
+    // coarse cells and the flattened ADC table from the SAME fused
+    // normalization (IvfPqProbe). One row per (query, probe); the table
+    // column rides the cell join and is dropped by the projection
+    // immediately after scoring, so the top-k shuffle carries only
+    // (qid, id, adist).
     val qside = queries
-      .select(col(qidCol).cast("long").as("qid"), asDouble(col(qvecCol)).as("qv"))
-      .select(col("qid"), adcTableUdf(model)(col("qv")).as("tab"),
-        explode(probesOf(col("qv"))).as("cell"))
+      .select(col(qidCol).cast("long").as("qid"),
+        graft.functions.PqOps.ivfProbe(asDouble(col(qvecCol)), fused, nprobe)
+          .as("tp"))
+      .select(col("qid"), col("tp.tab").as("tab"),
+        explode(col("tp.probes")).as("cell"))
     val scored = encoded.join(qside, Seq("cell"))
       .select(col("qid"), col("id"),
         AdcScore(col("code"), col("tab"), codes).as("adist"))

@@ -1,0 +1,115 @@
+package graft
+
+import graft.functions.{NearestCells, PqOps}
+import org.apache.spark.sql.functions._
+
+/** Parity + contract tests for the native PQ expression family
+  * (UnitVector, PqCode, AdcTable, fused IvfPqEncode/IvfPqProbe):
+  * bit-identical to the reference Scala scans they replaced.
+  */
+class PqOpsSpec extends SparkSpec {
+
+  private val rng = new scala.util.Random(7)
+  private val m = 4
+  private val subDim = 4
+  private val dim = m * subDim
+  private val nCodes = 8
+  private val codebooks: Array[Array[Array[Double]]] =
+    Array.fill(m, nCodes)(Array.fill(subDim)(rng.nextDouble()))
+  private val centroids: Array[Array[Double]] =
+    Array.fill(6)(Array.fill(dim)(rng.nextDouble()))
+
+  /** Reference semantics: the exact loops of the replaced UDFs. */
+  private def refUnit(a: Array[Double]): Array[Double] = {
+    val nrm = math.sqrt(a.map(x => x * x).sum)
+    if (nrm == 0) a else a.map(_ / nrm)
+  }
+  private def refCode(u: Array[Double]): Seq[Int] =
+    (0 until m).map { mi =>
+      (0 until nCodes).minBy { c =>
+        (0 until subDim).map(j =>
+          (u(mi * subDim + j) - codebooks(mi)(c)(j)) match { case d => d * d })
+          .sum
+      }
+    }
+  private def refTable(u: Array[Double]): Seq[Double] =
+    for (mi <- 0 until m; c <- 0 until nCodes) yield
+      (0 until subDim).map { j =>
+        val d = u(mi * subDim + j) - codebooks(mi)(c)(j); d * d
+      }.sum
+  private def refCell(u: Array[Double]): Int =
+    centroids.indices.minBy { c =>
+      (0 until dim).map { j => val d = u(j) - centroids(c)(j); d * d }.sum
+    }
+
+  private def df(vs: Seq[(Long, Array[Double])]) = {
+    import spark.implicits._
+    vs.map { case (id, v) => (id, v.toSeq) }.toDF("id", "v")
+  }
+
+  private val vecs: Seq[(Long, Array[Double])] =
+    (0L until 100L).map(i => i -> Array.fill(dim)(rng.nextDouble() * 4 - 2)) :+
+      (100L -> Array.fill(dim)(0.0)) // zero-norm row passes through unscaled
+
+  test("UnitVector matches reference normalization incl. zero-norm rows") {
+    val got = df(vecs).select(col("id"), PqOps.unitVec(col("v")).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((id, v) <- vecs)
+      assert(got(id) === refUnit(v).toSeq, s"unit mismatch id=$id")
+  }
+
+  test("PqCode / AdcTable over unit vectors match the reference scans") {
+    val k = PqOps.kernel(codebooks)
+    val rows = df(vecs).select(col("id"),
+        PqOps.code(PqOps.unitVec(col("v")), k).as("code"),
+        PqOps.table(PqOps.unitVec(col("v")), k).as("tab"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getSeq[Double](2)))
+    for ((id, code, tab) <- rows) {
+      val u = refUnit(vecs.find(_._1 == id).get._2)
+      assert(code === refCode(u), s"code mismatch id=$id")
+      assert(tab === refTable(u), s"table mismatch id=$id")
+    }
+  }
+
+  test("fused IvfPqEncode == separate cell + code; IvfPqProbe == table + probes") {
+    val fused = new graft.functions.IvfPqKernel(
+      NearestCells.kernel(centroids), PqOps.kernel(codebooks))
+    val enc = df(vecs).select(col("id"),
+        PqOps.ivfEncode(col("v"), fused).as("cc"),
+        PqOps.ivfProbe(col("v"), fused, 3).as("tp"))
+      .select(col("id"), col("cc.cell"), col("cc.code"),
+        col("tp.tab"), col("tp.probes"))
+      .collect()
+    for (r <- enc) {
+      val u = refUnit(vecs.find(_._1 == r.getLong(0)).get._2)
+      assert(r.getInt(1) === refCell(u))
+      assert(r.getSeq[Int](2) === refCode(u))
+      assert(r.getSeq[Double](3) === refTable(u))
+      val byDist = centroids.indices.map { c =>
+        ((0 until dim).map { j => val d = u(j) - centroids(c)(j); d * d }.sum, c)
+      }.sortBy(identity).take(3).map(_._2)
+      assert(r.getSeq[Int](4) === byDist)
+    }
+  }
+
+  test("ragged inputs fail loudly through the fused kernel") {
+    val fused = new graft.functions.IvfPqKernel(
+      NearestCells.kernel(centroids), PqOps.kernel(codebooks))
+    val e = intercept[Exception] {
+      df(Seq(1L -> Array.fill(dim + 1)(0.3)))
+        .select(PqOps.ivfEncode(col("v"), fused)).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("dims"))
+  }
+
+  test("mismatched coarse/codebook dims are rejected at kernel build") {
+    val e = intercept[IllegalArgumentException] {
+      new graft.functions.IvfPqKernel(
+        NearestCells.kernel(Array.fill(4)(Array.fill(dim + subDim)(0.1))),
+        PqOps.kernel(codebooks))
+    }
+    assert(e.getMessage.contains("dim"))
+  }
+}
