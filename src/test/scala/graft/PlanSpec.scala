@@ -376,4 +376,30 @@ class PlanSpec extends SparkSpec {
     // signature of per-row probe assignment instead of a driver loop
     assert(p.contains("Generate explode"), p.take(1500))
   }
+
+  test("ANN index/search paths run native expressions, not Scala UDFs") {
+    // round-7 nativization regression net: cell assignment, probe
+    // lists, PQ encode, ADC tables, and ADC scoring are all native
+    // codegen expressions (NearestCells/UnitVector/PqCode/AdcTable/
+    // IvfPqEncode/IvfPqProbe/AdcScore). A ScalaUDF reappearing in
+    // these plans means someone reintroduced per-row boxing on the
+    // corpus-proportional side. (LSH keeps its hyperplane UDF — not
+    // asserted here; the exact blocked path is typed mapGroups by
+    // design.)
+    val emb = Tables.embeddings(spark, sf)
+    val queries = graft.operators.Sampling.hashSample(emb, "vec_id", 0.1)
+    val plans = Seq(
+      "ivfpq" -> graft.operators.Similarity.ivfPqSearch(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 5, nlist = 4, nprobe = 2, m = 8, codes = 16),
+      "ivf" -> graft.operators.Similarity.ivfTopK(
+        emb, "vec_id", "embedding", k = 5, nlist = 4, nprobe = 2),
+      "semdedup" -> graft.operators.Similarity.semDedupPairs(
+        emb, "vec_id", "embedding", 0.45, nlist = 4))
+    for ((name, df) <- plans) {
+      val p = df.queryExecution.sparkPlan.toString
+      assert(!p.contains("ScalaUDF"),
+        s"$name plan reintroduced a Scala UDF:\n${p.take(1500)}")
+    }
+  }
 }
