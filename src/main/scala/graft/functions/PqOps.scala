@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Product-quantization codebook kernel shared by [[PqCode]] and
   * [[AdcTable]] — the m×nCodes×subDim codebook matrix flattened
@@ -231,6 +231,61 @@ final class IvfPqKernel(val cells: NearestCellsKernel, val pq: PqKernel)
   }
 }
 
+/** Sign-LSH hyperplane kernel: tables×bitsPerTable planes flattened
+  * (plane (t, b) starts at (t·bitsPerTable + b)·dim), producing one
+  * packed bit-signature long per table. Loop order, sign rule
+  * (proj ≥ 0), and the historical min-length clamp are exactly the
+  * replaced UDF's, so bucket assignments are unchanged. One expression
+  * node holds all planes — the tables×bits expression-TREE form was
+  * measured to freeze the driver on plan explosion long before this
+  * kernel existed, which is why this stays a single opaque pass.
+  */
+final class HyperplaneKernel(val flat: Array[Double], val dim: Int,
+                             val tables: Int, val bitsPerTable: Int)
+    extends Serializable {
+  require(flat.length == tables * bitsPerTable * dim,
+    s"plane matrix ${flat.length} doubles != $tables x $bitsPerTable x $dim")
+
+  def buckets(a: ArrayData): ArrayData = {
+    val n0 = a.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var packed = 0L
+      var b = 0
+      while (b < bitsPerTable) {
+        val off = (t * bitsPerTable + b) * dim
+        var proj = 0.0
+        var i = 0
+        val n = math.min(n0, dim)
+        while (i < n) { proj += a.getDouble(i) * flat(off + i); i += 1 }
+        if (proj >= 0) packed |= (1L << b)
+        b += 1
+      }
+      out(t) = packed
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Native sign-LSH bucket signature: raw vector → array<long>, one
+  * packed table signature per element.
+  */
+case class HyperplaneBuckets(child: Expression, kernel: HyperplaneKernel)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    kernel.buckets(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val k = ctx.addReferenceObj("hyperplaneKernel", kernel,
+      classOf[HyperplaneKernel].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $k.buckets($a);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
 /** Native L2-unit normalization: array<double> → array<double>, the
   * primitive-loop form of `when(nrm = 0, v).otherwise(zip_with(v, …))`
   * (zero-norm vectors pass through unscaled). Same IEEE sequence —
@@ -318,6 +373,9 @@ object PqOps {
 
   def table(v: Column, k: PqKernel): Column =
     Bridge.column(AdcTable(Bridge.expression(v.cast("array<double>")), k))
+
+  def hyperplaneBuckets(v: Column, k: HyperplaneKernel): Column =
+    Bridge.column(HyperplaneBuckets(Bridge.expression(v.cast("array<double>")), k))
 
   def unitVec(v: Column): Column =
     Bridge.column(UnitVector(Bridge.expression(v.cast("array<double>"))))

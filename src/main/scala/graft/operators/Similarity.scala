@@ -293,40 +293,28 @@ object Similarity {
     * fixed LCG (uniform in [-1,1) — sign-LSH needs only symmetry, not
     * gaussianity).
     *
-    * Implemented as ONE Scala UDF doing a tables×bits hyperplane
-    * matrix-multiply per row (narrow, no shuffle). An expression-tree
-    * version (tables×bits separate `aggregate(zip_with(_, lit(plane), _))`
-    * subtrees) was measured to freeze the driver for minutes: the 64-way
-    * tree gets duplicated across both sides of the candidate self-join and
-    * Catalyst/codegen churns on a >10 MiB plan. One opaque vectorized
-    * closure is the faster plan here.
+    * Implemented as ONE native expression doing a tables×bits
+    * hyperplane matrix-multiply per row (narrow, no shuffle;
+    * [[graft.functions.HyperplaneBuckets]], same kernel tier as the PQ
+    * family — the Scala-UDF predecessor paid per-row boxed input
+    * marshalling). An expression-tree version (tables×bits separate
+    * `aggregate(zip_with(_, lit(plane), _))` subtrees) was measured to
+    * freeze the driver for minutes: the 64-way tree gets duplicated
+    * across both sides of the candidate self-join and Catalyst/codegen
+    * churns on a >10 MiB plan. One opaque single-node pass is the
+    * faster plan here; bucket assignments are bit-identical across all
+    * three implementations.
     */
   def hyperplaneBuckets(vecCol: Column, dim: Int, tables: Int, bitsPerTable: Int,
                         seed: Long = 42L): Column = {
     var x = seed
     def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
     def comp(): Double = (next() >>> 11) * (2.0 / (1L << 53)) - 1.0
-    // planes(t*bitsPerTable + b) — generation order matches the previous
-    // expression-based version, so bucket assignments are unchanged.
-    val planes: Array[Array[Double]] =
-      Array.fill(tables * bitsPerTable)(Array.fill(dim)(comp()))
-    val bucketize = udf { (arr: Array[Double]) =>
-      Array.tabulate(tables) { t =>
-        var packed = 0L
-        var b = 0
-        while (b < bitsPerTable) {
-          val plane = planes(t * bitsPerTable + b)
-          var proj = 0.0
-          var i = 0
-          val n = math.min(arr.length, plane.length)
-          while (i < n) { proj += arr(i) * plane(i); i += 1 }
-          if (proj >= 0) packed |= (1L << b)
-          b += 1
-        }
-        packed
-      }
-    }
-    bucketize(vecCol)
+    // flat(t*bitsPerTable + b) plane order — generation order matches
+    // the previous UDF/expression versions, so buckets are unchanged.
+    val flat = Array.fill(tables * bitsPerTable * dim)(comp())
+    val kernel = new graft.functions.HyperplaneKernel(flat, dim, tables, bitsPerTable)
+    graft.functions.PqOps.hyperplaneBuckets(vecCol, kernel)
   }
 
   /** Approximate top-k: candidates share an LSH bucket in ≥1 table, then
