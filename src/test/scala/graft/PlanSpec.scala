@@ -379,13 +379,12 @@ class PlanSpec extends SparkSpec {
 
   test("ANN index/search paths run native expressions, not Scala UDFs") {
     // round-7 nativization regression net: cell assignment, probe
-    // lists, PQ encode, ADC tables, and ADC scoring are all native
-    // codegen expressions (NearestCells/UnitVector/PqCode/AdcTable/
-    // IvfPqEncode/IvfPqProbe/AdcScore). A ScalaUDF reappearing in
-    // these plans means someone reintroduced per-row boxing on the
-    // corpus-proportional side. (LSH keeps its hyperplane UDF — not
-    // asserted here; the exact blocked path is typed mapGroups by
-    // design.)
+    // lists, PQ encode, ADC tables, ADC scoring, and LSH hyperplane
+    // signatures are all native codegen expressions (NearestCells/
+    // UnitVector/PqCode/AdcTable/IvfPqEncode/IvfPqProbe/AdcScore/
+    // HyperplaneBuckets). A ScalaUDF reappearing in these plans means
+    // someone reintroduced per-row boxing on the corpus-proportional
+    // side. (The exact blocked path stays typed mapGroups by design.)
     val emb = Tables.embeddings(spark, sf)
     val queries = graft.operators.Sampling.hashSample(emb, "vec_id", 0.1)
     val plans = Seq(
@@ -395,7 +394,10 @@ class PlanSpec extends SparkSpec {
       "ivf" -> graft.operators.Similarity.ivfTopK(
         emb, "vec_id", "embedding", k = 5, nlist = 4, nprobe = 2),
       "semdedup" -> graft.operators.Similarity.semDedupPairs(
-        emb, "vec_id", "embedding", 0.45, nlist = 4))
+        emb, "vec_id", "embedding", 0.45, nlist = 4),
+      "lsh" -> graft.operators.Similarity.lshTopK(
+        emb, "vec_id", "embedding", k = 5, dim = 64,
+        tables = 4, bitsPerTable = 4))
     for ((name, df) <- plans) {
       val p = df.queryExecution.sparkPlan.toString
       assert(!p.contains("ScalaUDF"),
