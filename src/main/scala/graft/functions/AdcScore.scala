@@ -37,6 +37,15 @@ case class AdcScore(left: Expression, right: Expression, nCodes: Int)
     val code = a.asInstanceOf[ArrayData]
     val tab = b.asInstanceOf[ArrayData]
     val m = code.numElements()
+    // UnsafeArrayData.getDouble is unchecked: a code/table produced by a
+    // DIFFERENT PQModel would read out-of-bounds memory and return
+    // plausible garbage instead of throwing (the boxed-UDF predecessor
+    // threw ArrayIndexOutOfBounds). One comparison per pair buys the
+    // loud failure back.
+    if (tab.numElements() != m * nCodes)
+      throw new IllegalArgumentException(
+        s"ADC table has ${tab.numElements()} slots, code expects $m x $nCodes" +
+          " — encoded data and search model disagree")
     var d = 0.0
     var mi = 0
     while (mi < m) { d += tab.getDouble(mi * nCodes + code.getInt(mi)); mi += 1 }
@@ -49,6 +58,11 @@ case class AdcScore(left: Expression, right: Expression, nCodes: Int)
       val m = ctx.freshName("m")
       s"""
          |int $m = $a.numElements();
+         |if ($b.numElements() != $m * $nCodes) {
+         |  throw new IllegalArgumentException(
+         |    "ADC table has " + $b.numElements() + " slots, code expects " +
+         |    $m + " x " + $nCodes + " — encoded data and search model disagree");
+         |}
          |double ${ev.value}Acc = 0.0;
          |for (int $mi = 0; $mi < $m; $mi++) {
          |  ${ev.value}Acc += $b.getDouble($mi * $nCodes + $a.getInt($mi));

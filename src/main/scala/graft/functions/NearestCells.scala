@@ -28,26 +28,28 @@ final class NearestCellsKernel(val flat: Array[Double], val dim: Int)
   require(dim > 0 && n * dim == flat.length,
     s"centroid matrix ${flat.length} doubles not divisible by dim $dim")
 
-  @inline private def sqDistAt(a: ArrayData, c: Int): Double = {
+  @inline private def sqDistAt(u: Array[Double], c: Int): Double = {
     var acc = 0.0
     val off = c * dim
     var i = 0
-    while (i < dim) { val d = a.getDouble(i) - flat(off + i); acc += d * d; i += 1 }
+    while (i < dim) { val d = u(i) - flat(off + i); acc += d * d; i += 1 }
     acc
   }
 
-  private def checkDim(a: ArrayData): Unit =
-    require(a.numElements() == dim,
-      s"ragged vector: ${a.numElements()} dims vs centroid $dim")
+  private def checkDim(len: Int): Unit =
+    require(len == dim, s"ragged vector: $len dims vs centroid $dim")
 
-  /** Nearest-centroid index (the IVF cell assign). */
-  def best(a: ArrayData): Int = {
-    checkDim(a)
+  /** Nearest-centroid index (the IVF cell assign) — the single primitive
+    * core; the fused IVF-PQ kernel shares it, so argmin/tie rules live
+    * in exactly one place.
+    */
+  def best(u: Array[Double]): Int = {
+    checkDim(u.length)
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
     while (c < n) {
-      val d = sqDistAt(a, c)
+      val d = sqDistAt(u, c)
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
@@ -56,16 +58,17 @@ final class NearestCellsKernel(val flat: Array[Double], val dim: Int)
 
   /** The `nprobe` nearest centroid indices, ordered by (distance, index)
     * ascending — a bounded insertion heap, no full sort of nlist.
+    * Single primitive core, shared with the fused IVF-PQ kernel.
     */
-  def top(a: ArrayData, nprobe: Int): ArrayData = {
-    checkDim(a)
+  def top(u: Array[Double], nprobe: Int): Array[Int] = {
+    checkDim(u.length)
     val cap = math.min(nprobe, n)
     val dist = new Array[Double](cap)
     val idx = new Array[Int](cap)
     var count = 0
     var c = 0
     while (c < n) {
-      val d = sqDistAt(a, c)
+      val d = sqDistAt(u, c)
       if (count < cap) {
         var pos = count
         while (pos > 0 && d < dist(pos - 1)) {
@@ -81,37 +84,48 @@ final class NearestCellsKernel(val flat: Array[Double], val dim: Int)
       }
       c += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(idx)
+    idx
   }
+
+  // ArrayData adapters for generated code: one primitive copy
+  // (toDoubleArray), then the shared loops above.
+  def best(a: ArrayData): Int = best(a.toDoubleArray())
+  def top(a: ArrayData, nprobe: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(top(a.toDoubleArray(), nprobe))
 }
 
-/** Native Catalyst nearest-centroid expression: `nprobe == 1` yields the
-  * cell id (int), `nprobe > 1` the probe list (`array<int>` ordered by
-  * distance). One expression node holds the whole centroid matrix, so —
-  * unlike an nlist-way `least(...)` expression tree — the plan stays
-  * flat no matter how many cells the index has (the round-1
-  * plan-explosion lesson that originally forced these scans into UDFs).
+/** Native Catalyst nearest-centroid expression. Two explicit modes
+  * (`asCell` — NOT inferred from nprobe, so a 1-probe LIST stays an
+  * `array<int>` that `explode` accepts): cell-assign yields the nearest
+  * cell id (int); probe-list yields the `nprobe` nearest ids
+  * (`array<int>` ordered by distance), any nprobe ≥ 1. One expression
+  * node holds the whole centroid matrix, so — unlike an nlist-way
+  * `least(...)` expression tree — the plan stays flat no matter how
+  * many cells the index has (the round-1 plan-explosion lesson that
+  * originally forced these scans into UDFs).
   *
   * Used by the IVF family ([[graft.operators.Similarity]] `ivfTopK`,
   * `semDedupPairs`) for cell assignment and query probe lists.
   */
 case class NearestCells(child: Expression, kernel: NearestCellsKernel,
-                        nprobe: Int) extends UnaryExpression {
+                        nprobe: Int, asCell: Boolean) extends UnaryExpression {
   require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+  require(!asCell || nprobe == 1,
+    s"cell-assign mode is single-result by definition, got nprobe $nprobe")
 
   override def dataType: DataType =
-    if (nprobe == 1) IntegerType else ArrayType(IntegerType, containsNull = false)
+    if (asCell) IntegerType else ArrayType(IntegerType, containsNull = false)
 
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
-    if (nprobe == 1) kernel.best(a) else kernel.top(a, nprobe)
+    if (asCell) kernel.best(a) else kernel.top(a, nprobe)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val k = ctx.addReferenceObj("nearestCellsKernel", kernel,
       classOf[NearestCellsKernel].getName)
     nullSafeCodeGen(ctx, ev, a =>
-      if (nprobe == 1) s"${ev.value} = $k.best($a);"
+      if (asCell) s"${ev.value} = $k.best($a);"
       else s"${ev.value} = $k.top($a, $nprobe);")
   }
 
@@ -129,9 +143,13 @@ object NearestCells {
 
   /** Column API: nearest-cell id of an `array<double>` vector. */
   def cell(v: Column, k: NearestCellsKernel): Column =
-    Bridge.column(NearestCells(Bridge.expression(v.cast("array<double>")), k, 1))
+    Bridge.column(NearestCells(Bridge.expression(v.cast("array<double>")), k,
+      nprobe = 1, asCell = true))
 
-  /** Column API: the `nprobe` nearest cell ids, distance-ascending. */
+  /** Column API: the `nprobe` nearest cell ids, distance-ascending —
+    * always an `array<int>`, including nprobe = 1.
+    */
   def probes(v: Column, k: NearestCellsKernel, nprobe: Int): Column =
-    Bridge.column(NearestCells(Bridge.expression(v.cast("array<double>")), k, nprobe))
+    Bridge.column(NearestCells(Bridge.expression(v.cast("array<double>")), k,
+      nprobe, asCell = false))
 }

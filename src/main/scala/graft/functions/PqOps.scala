@@ -29,22 +29,24 @@ final class PqKernel(val flat: Array[Double], val m: Int, val subDim: Int,
   require(flat.length == m * nCodes * subDim,
     s"codebook matrix ${flat.length} doubles != $m x $nCodes x $subDim")
 
-  private def checkDim(a: ArrayData): Unit =
-    require(a.numElements() == dim,
-      s"ragged vector: ${a.numElements()} dims, index expects $dim")
+  private def checkDim(len: Int): Unit =
+    require(len == dim, s"ragged vector: $len dims, index expects $dim")
 
-  @inline private def sqDistSub(a: ArrayData, off: Int, bookOff: Int): Double = {
+  @inline private def sqDistSub(u: Array[Double], off: Int, bookOff: Int): Double = {
     var acc = 0.0
     var i = 0
     while (i < subDim) {
-      val d = a.getDouble(off + i) - flat(bookOff + i); acc += d * d; i += 1
+      val d = u(off + i) - flat(bookOff + i); acc += d * d; i += 1
     }
     acc
   }
 
-  /** Per-subspace nearest-code indices — the PQ code (array<int>, m slots). */
-  def code(a: ArrayData): ArrayData = {
-    checkDim(a)
+  /** Per-subspace nearest-code indices — the PQ code (m slots). Single
+    * primitive core; the fused IVF-PQ kernel shares it, so argmin/tie
+    * rules live in exactly one place.
+    */
+  def code(u: Array[Double]): Array[Int] = {
+    checkDim(u.length)
     val out = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -52,33 +54,41 @@ final class PqKernel(val flat: Array[Double], val m: Int, val subDim: Int,
       var bestD = Double.MaxValue
       var c = 0
       while (c < nCodes) {
-        val d = sqDistSub(a, mi * subDim, ((mi * nCodes) + c) * subDim)
+        val d = sqDistSub(u, mi * subDim, ((mi * nCodes) + c) * subDim)
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
       out(mi) = best
       mi += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    out
   }
 
   /** Flattened m×nCodes ADC lookup table for one query:
-    * out(mi·nCodes + c) = ‖u[sub mi] − book(mi)(c)‖².
+    * out(mi·nCodes + c) = ‖u[sub mi] − book(mi)(c)‖². Single primitive
+    * core, shared with the fused IVF-PQ kernel.
     */
-  def table(a: ArrayData): ArrayData = {
-    checkDim(a)
+  def table(u: Array[Double]): Array[Double] = {
+    checkDim(u.length)
     val out = new Array[Double](m * nCodes)
     var mi = 0
     while (mi < m) {
       var c = 0
       while (c < nCodes) {
-        out(mi * nCodes + c) = sqDistSub(a, mi * subDim, ((mi * nCodes) + c) * subDim)
+        out(mi * nCodes + c) = sqDistSub(u, mi * subDim, ((mi * nCodes) + c) * subDim)
         c += 1
       }
       mi += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    out
   }
+
+  // ArrayData adapters for generated code: one primitive copy
+  // (toDoubleArray), then the shared loops above.
+  def code(a: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(code(a.toDoubleArray()))
+  def table(a: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(table(a.toDoubleArray()))
 }
 
 /** Native PQ encode: unit vector (array<double>) → m-slot code (array<int>). */
@@ -113,9 +123,12 @@ case class AdcTable(child: Expression, kernel: PqKernel) extends UnaryExpression
   * equivalent of the fused Scala UDF it replaces (which existed
   * precisely so the corpus is scanned once with one normalization; an
   * expression-normalized column costs interpreted HOF evaluation per
-  * row, measured +1.4 s on q_ann_ivfpq at sf0.1). FP sequence is the
-  * UDF's exactly: left-to-right Σx², sqrt, per-element divide,
-  * strict-< argmins, (distance, index) probe order.
+  * row, measured +1.4 s on q_ann_ivfpq at sf0.1). Every loop is a
+  * DELEGATION to the single primitive core it composes —
+  * [[UnitVector.unitArr]], [[NearestCellsKernel.best]]/`top`,
+  * [[PqKernel.code]]/`table` — so argmin/tie/normalization rules live
+  * in exactly one place and the fused path cannot drift from the
+  * unfused ones. FP sequence is the fused UDF's exactly.
   */
 final class IvfPqKernel(val cells: NearestCellsKernel, val pq: PqKernel)
     extends Serializable {
@@ -124,60 +137,17 @@ final class IvfPqKernel(val cells: NearestCellsKernel, val pq: PqKernel)
   private val dim = pq.dim
 
   private def unit(a: ArrayData): Array[Double] = {
-    val n = a.numElements()
-    require(n == dim, s"ragged vector: $n dims, index expects $dim")
-    val raw = new Array[Double](n)
-    var i = 0
-    while (i < n) { raw(i) = a.getDouble(i); i += 1 }
-    var ss = 0.0
-    i = 0
-    while (i < n) { ss += raw(i) * raw(i); i += 1 }
-    val nrm = math.sqrt(ss)
-    if (nrm != 0) { var j = 0; while (j < n) { raw(j) = raw(j) / nrm; j += 1 } }
-    raw
-  }
-
-  @inline private def cellDist(u: Array[Double], c: Int): Double = {
-    var acc = 0.0
-    val off = c * dim
-    var i = 0
-    while (i < dim) { val d = u(i) - cells.flat(off + i); acc += d * d; i += 1 }
-    acc
+    val raw = a.toDoubleArray()
+    require(raw.length == dim,
+      s"ragged vector: ${raw.length} dims, index expects $dim")
+    UnitVector.unitArr(raw)
   }
 
   /** struct(cell: int, code: array<int>) for an indexed vector. */
   def encode(a: ArrayData): InternalRow = {
     val u = unit(a)
-    var best = 0
-    var bestD = Double.MaxValue
-    var c = 0
-    while (c < cells.n) {
-      val d = cellDist(u, c)
-      if (d < bestD) { bestD = d; best = c }
-      c += 1
-    }
-    val code = new Array[Int](pq.m)
-    var mi = 0
-    while (mi < pq.m) {
-      var bc = 0
-      var bd = Double.MaxValue
-      var cc = 0
-      while (cc < pq.nCodes) {
-        var acc = 0.0
-        val aOff = mi * pq.subDim
-        val bOff = ((mi * pq.nCodes) + cc) * pq.subDim
-        var i = 0
-        while (i < pq.subDim) {
-          val d = u(aOff + i) - pq.flat(bOff + i); acc += d * d; i += 1
-        }
-        if (acc < bd) { bd = acc; bc = cc }
-        cc += 1
-      }
-      code(mi) = bc
-      mi += 1
-    }
-    new GenericInternalRow(Array[Any](best,
-      UnsafeArrayData.fromPrimitiveArray(code)))
+    new GenericInternalRow(Array[Any](cells.best(u),
+      UnsafeArrayData.fromPrimitiveArray(pq.code(u))))
   }
 
   /** struct(tab: array<double>, probes: array<int>) for a query vector:
@@ -186,48 +156,9 @@ final class IvfPqKernel(val cells: NearestCellsKernel, val pq: PqKernel)
     */
   def probe(a: ArrayData, nprobe: Int): InternalRow = {
     val u = unit(a)
-    val tab = new Array[Double](pq.m * pq.nCodes)
-    var mi = 0
-    while (mi < pq.m) {
-      var cc = 0
-      while (cc < pq.nCodes) {
-        var acc = 0.0
-        val aOff = mi * pq.subDim
-        val bOff = ((mi * pq.nCodes) + cc) * pq.subDim
-        var i = 0
-        while (i < pq.subDim) {
-          val d = u(aOff + i) - pq.flat(bOff + i); acc += d * d; i += 1
-        }
-        tab(mi * pq.nCodes + cc) = acc
-        cc += 1
-      }
-      mi += 1
-    }
-    val cap = math.min(nprobe, cells.n)
-    val dist = new Array[Double](cap)
-    val idx = new Array[Int](cap)
-    var count = 0
-    var c = 0
-    while (c < cells.n) {
-      val d = cellDist(u, c)
-      if (count < cap) {
-        var pos = count
-        while (pos > 0 && d < dist(pos - 1)) {
-          dist(pos) = dist(pos - 1); idx(pos) = idx(pos - 1); pos -= 1
-        }
-        dist(pos) = d; idx(pos) = c; count += 1
-      } else if (d < dist(cap - 1)) {
-        var pos = cap - 1
-        while (pos > 0 && d < dist(pos - 1)) {
-          dist(pos) = dist(pos - 1); idx(pos) = idx(pos - 1); pos -= 1
-        }
-        dist(pos) = d; idx(pos) = c
-      }
-      c += 1
-    }
     new GenericInternalRow(Array[Any](
-      UnsafeArrayData.fromPrimitiveArray(tab),
-      UnsafeArrayData.fromPrimitiveArray(idx)))
+      UnsafeArrayData.fromPrimitiveArray(pq.table(u)),
+      UnsafeArrayData.fromPrimitiveArray(cells.top(u, nprobe))))
   }
 }
 
@@ -307,18 +238,22 @@ case class UnitVector(child: Expression) extends UnaryExpression {
 }
 
 object UnitVector {
-  def unit(a: ArrayData): ArrayData = {
-    val n = a.numElements()
-    val raw = new Array[Double](n)
-    var i = 0
-    while (i < n) { raw(i) = a.getDouble(i); i += 1 }
+  /** In-place L2 normalization of a freshly-copied array — the single
+    * primitive core every normalizing path shares (zero-norm input is
+    * returned unscaled). Callers must own `raw` (it is mutated).
+    */
+  def unitArr(raw: Array[Double]): Array[Double] = {
+    val n = raw.length
     var ss = 0.0
-    i = 0
+    var i = 0
     while (i < n) { ss += raw(i) * raw(i); i += 1 }
     val nrm = math.sqrt(ss)
     if (nrm != 0) { var j = 0; while (j < n) { raw(j) = raw(j) / nrm; j += 1 } }
-    UnsafeArrayData.fromPrimitiveArray(raw)
+    raw
   }
+
+  def unit(a: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(unitArr(a.toDoubleArray()))
 }
 
 /** Native fused IVF-PQ index-side encode: raw vector → struct(cell, code). */

@@ -636,12 +636,16 @@ object Similarity {
 
   /** Asymmetric-distance (ADC) batch search. `queries` is a DataFrame —
     * the per-query lookup table is computed IN the plan on the query
-    * side, so no query vector ever rides through the driver. Flat ADC
-    * scores every indexed code against every query by construction
-    * (that is what "flat" means), so the query side is broadcast —
-    * callers owe a bounded query batch (the serving shape; for
-    * corpus-scale query sets use [[ivfPqSearch]], whose cell key turns
-    * the cross product into an equi-join). Scoring each indexed vector
+    * side (executors build the tables; the raw query vectors are never
+    * batch-collected as an API input). Flat ADC scores every indexed
+    * code against every query by construction (that is what "flat"
+    * means), so the query side is explicitly broadcast — which DOES
+    * route the computed (qid, table) rows through the driver, as any
+    * broadcast does. Callers therefore owe a BOUNDED query batch (the
+    * serving shape; the bound is the broadcast ceiling, ~8 GB ÷
+    * m·codes·8 bytes per query). For corpus-scale query sets use
+    * [[ivfPqSearch]], whose cell key turns the cross product into an
+    * equi-join with no broadcast requirement. Scoring each indexed vector
     * is m array lookups over its code — one map pass; the only shuffle
     * is the per-query top-k. Returns (qid, rank, id, adist) with rank
     * 1..k by ascending approximate squared L2 (≡ descending cosine on

@@ -285,8 +285,11 @@ object PipelineQueries {
     // candidate list — Similarity.pqTrain/pqEncode/pqSearch). The query
     // batch is the same deterministic 10% hash-sample, passed as a
     // DataFrame — per-query ADC tables are computed in the plan on the
-    // query side and broadcast into the flat scan; no query vector ever
-    // rides through the driver. Same recall-contract oracle as LSH/IVF; the exact
+    // query side, then broadcast into the flat scan (the broadcast is
+    // the deliberate bounded-batch contract of flat ADC: tables DO
+    // transit the driver, sized |queries| x m x codes doubles; the
+    // corpus-scale path is ivfPqSearch's cell equi-join).
+    // Same recall-contract oracle as LSH/IVF; the exact
     // re-rank means the band measures CANDIDATE recall@50, which is what
     // PQ owes the pipeline. codes=64 (6-bit subquantizers): the original
     // 4-bit codebooks' candidate recall fell to 0.448 at sf0.1 — BELOW

@@ -50,10 +50,23 @@ object Pm25 {
     * with the same routine, descending into subdirectories), so a
     * centers "path" may be a file, a flat directory, or a nested tree
     * — e.g. an MR job's output dir containing per-reducer part files.
-    * Bounded driver state: k center lines, never data.
+    *
+    * Order is PINNED to (file path ascending, line order within file):
+    * center index i becomes cluster id i+1 everywhere downstream, and a
+    * bare collect() would return Spark's file-PACKING order (largest
+    * first), permuting cluster ids across runs/layouts. The reference
+    * itself walks `File.listFiles` order, which Java leaves
+    * platform-unspecified — so a defined order is pinned here rather
+    * than an undefined one replicated. Bounded driver state: k center
+    * lines, never data.
     */
   def centersFrom(spark: SparkSession, path: String, skipCols: Int): Array[Array[Double]] =
-    spark.read.option("recursiveFileLookup", "true").text(path).collect()
+    spark.read.option("recursiveFileLookup", "true").text(path)
+      .select(col("value"),
+        org.apache.spark.sql.functions.input_file_name().as("f"),
+        org.apache.spark.sql.functions.monotonically_increasing_id().as("pos"))
+      .collect()
+      .sortBy(r => (r.getString(1), r.getLong(2)))
       .map(_.getString(0))
       .filter(_.trim.nonEmpty)
       .map(_.split(",").drop(skipCols).map(_.trim.toDouble))

@@ -59,13 +59,22 @@ class KMeansGoldenSpec extends SparkSpec {
     val root = Files.createTempDirectory("centers-tree")
     val sub = Files.createDirectory(root.resolve("attempt-0"))
     val all = lines(s"$base/pm25.cluster.center.conf.txt")
-    Files.write(root.resolve("part-r-00000"),
-      all.take(1).asJava, StandardCharsets.UTF_8)
+    // the SMALLER file sorts first by path but LAST by Spark's
+    // size-descending file packing — so this layout distinguishes the
+    // pinned (path asc, in-file order) contract from a bare collect()
     Files.write(sub.resolve("part-r-00001"),
-      all.drop(1).asJava, StandardCharsets.UTF_8)
+      all.takeRight(1).asJava, StandardCharsets.UTF_8)
+    Files.write(root.resolve("part-r-00000"),
+      all.dropRight(1).asJava, StandardCharsets.UTF_8)
     val nested = Pm25.centersFrom(spark, root.toString, skipCols = 3)
     assert(nested.length === seeds.length)
     assert(nested.map(_.toSeq).toSet === seeds.map(_.toSeq).toSet)
+    // center index becomes cluster id downstream: order is the pinned
+    // path-ascending walk (attempt-0/part-r-00001 precedes
+    // part-r-00000 lexicographically), lines in file order within each
+    val expected = (all.takeRight(1) ++ all.dropRight(1))
+      .map(_.split(",").drop(3).map(_.trim.toDouble).toSeq)
+    assert(nested.map(_.toSeq).toSeq === expected)
   }
 
   test("v1 golden centroids: means after 5 iterations render byte-exact") {

@@ -57,7 +57,10 @@ class NearestCellsSpec extends SparkSpec {
 
   test("probe list matches the UDF sortBy((dist, index)) order") {
     val k = NearestCells.kernel(centroids)
-    for (nprobe <- Seq(2, 4, nlist, nlist + 5)) {
+    // nprobe = 1 must still be a LIST (array<int> of one id) — cell
+    // mode is an explicit flag, not inferred — so explode() over a
+    // 1-probe search keeps working
+    for (nprobe <- Seq(1, 2, 4, nlist, nlist + 5)) {
       val vecs = (0L until 50L).map(i => i -> Array.fill(dim)(rng.nextDouble())) :+
         (50L -> centroids(3).clone()) // tie at distance 0 between cells 3 and 15
       val got = vecsDf(vecs)

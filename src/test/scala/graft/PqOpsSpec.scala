@@ -104,6 +104,32 @@ class PqOpsSpec extends SparkSpec {
     assert(msgs.contains("dims"))
   }
 
+  test("AdcScore rejects a table sized for a different model") {
+    // codes encoded with one PQModel scored against another model's
+    // table: without the slot-count check, unchecked UnsafeArrayData
+    // reads would return plausible garbage rankings instead of failing
+    import graft.functions.AdcScore
+    import spark.implicits._
+    val rows = Seq((Seq(0, 1, 2, 3), Seq.fill(m * (nCodes / 2))(0.5)))
+      .toDF("code", "tab")
+    val e = intercept[Exception] {
+      rows.select(AdcScore(col("code"), col("tab"), nCodes)).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("encoded data and search model disagree"))
+  }
+
+  test("ivfTopK accepts nprobe = 1 (single-probe search, not cell mode)") {
+    import spark.implicits._
+    val emb = (0L until 60L)
+      .map(i => (i, Seq.fill(8)(rng.nextDouble().toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.ivfTopK(
+      emb, "vec_id", "embedding", k = 3, nlist = 4, nprobe = 1)
+    assert(out.count() > 0)
+  }
+
   test("mismatched coarse/codebook dims are rejected at kernel build") {
     val e = intercept[IllegalArgumentException] {
       new graft.functions.IvfPqKernel(
