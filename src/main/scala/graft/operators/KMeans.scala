@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   * iteration = one narrow map (no shuffle) + one partial-aggregated
   * groupBy of k×dim state — the shape that scales to 100 TB inputs.
   *
-  * Assignment is pure Catalyst expressions (zip_with/aggregate/array_min/
-  * array_position) — whole-stage-codegen'd, no UDF.
+  * Assignment is in-plan and codegen'd, no UDF: the reference-quirk
+  * metrics as pure Catalyst expressions (zip_with/aggregate/array_min/
+  * array_position), EuclideanSq through the native NearestCells
+  * expression (same argmin, primitive loops, codegen cached across
+  * iterations).
   */
 object KMeans {
 
@@ -83,11 +86,28 @@ object KMeans {
     * normalized metric, NaN distances lose to any finite distance
     * (array_min treats NaN as greater than all numbers), matching the
     * reference's `NaN < min == false` skip.
+    *
+    * EuclideanSq takes the native [[graft.functions.NearestCells]] fast
+    * path: bit-identical distances (left-to-right squared-diff sum),
+    * identical first-index tie rule, but primitive loops instead of
+    * per-element interpreted HOF evaluation — and since the centers
+    * live in a kernel REFERENCE object rather than as plan literals,
+    * the generated code is identical across Lloyd iterations, so
+    * codegen compiles once per training run instead of once per
+    * iteration. (The kernel enforces exact dims, which every caller's
+    * fixed-dim corpus satisfies; the reference-quirk metrics keep the
+    * expression form — their golden semantics include NaN behavior the
+    * kernel has no business reimplementing.)
     */
-  def assignExpr(vec: Column, centers: Seq[Seq[Double]], metric: Metric): Column = {
-    val dists = array(centers.map(c => metric.dist(vec, c)): _*)
-    array_position(dists, array_min(dists)).cast("int")
-  }
+  def assignExpr(vec: Column, centers: Seq[Seq[Double]], metric: Metric): Column =
+    metric match {
+      case EuclideanSq =>
+        val k = graft.functions.NearestCells.kernel(centers.map(_.toArray).toArray)
+        (graft.functions.NearestCells.cell(vec, k) + lit(1)).cast("int")
+      case _ =>
+        val dists = array(centers.map(c => metric.dist(vec, c)): _*)
+        array_position(dists, array_min(dists)).cast("int")
+    }
 
   /** Adds a 1-based `cluster` column. Narrow map — centers ship as literals
     * in the plan (the Spark analogue of the reference's per-task centers
