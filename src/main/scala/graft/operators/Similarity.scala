@@ -61,8 +61,13 @@ object Similarity {
   private def dotFast(a: Column, b: Column): Column =
     graft.functions.DotProduct(a, b)
 
-  def l2Norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+  /** sqrt(Σx²) — spelled as the self-dot so [[graft.plans.RewriteHofDotProduct]]
+    * rewrites it to the native HofDotProduct expression (the previous
+    * `aggregate(transform(v, x*x), …)` AST evaded the rule and ran the
+    * interpreted HOF per row on every normed scan). Same IEEE sequence —
+    * x·x terms summed left-to-right — so norms are bit-identical.
+    */
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, b: Column): Column = {
     val (ad, bd) = (asDouble(a), asDouble(b))

@@ -48,6 +48,17 @@ class DotProductSpec extends SparkSpec {
     assert(viaExpr === 11.0)
   }
 
+  test("Similarity.l2Norm rewrites to the native dot expression") {
+    // l2Norm is spelled sqrt(dot(v, v)) precisely so the rule catches it
+    // — the transform-based AST it replaced evaded the matcher and ran
+    // interpreted on every normed corpus scan
+    val e = Tables.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .select(graft.operators.Similarity.l2Norm(col("v")).as("nrm"))
+    assert(e.queryExecution.optimizedPlan.toString.contains("hofdotproduct"),
+      e.queryExecution.optimizedPlan.toString.take(600))
+  }
+
   test("optimizer rule rewrites the HOF dot idiom to the native expression") {
     // both the Column-API spelling and raw SQL must land on HofDotProduct
     val e = Tables.embeddings(spark, sf)
