@@ -32,8 +32,12 @@ object Similarity {
 
   /** All arithmetic in double: cast up front so Spark and any external
     * oracle evaluate the identical IEEE op sequence (left-to-right sum).
+    * Native array Cast, not `transform(v, _.cast)` — the HOF spelling
+    * runs an interpreted lambda per element on every vector scan; the
+    * Cast node is codegen'd and float→double widening is exact, so
+    * values are bit-identical.
     */
-  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  private def asDouble(v: Column): Column = v.cast("array<double>")
 
   /** Per-query top-k via the native [[graft.plans.TopKPerKeyNode]]
     * operator: map-side bounded heaps mean the shuffle carries at most
