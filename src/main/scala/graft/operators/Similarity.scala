@@ -32,12 +32,17 @@ object Similarity {
 
   /** All arithmetic in double: cast up front so Spark and any external
     * oracle evaluate the identical IEEE op sequence (left-to-right sum).
-    * Native array Cast, not `transform(v, _.cast)` — the HOF spelling
-    * runs an interpreted lambda per element on every vector scan; the
-    * Cast node is codegen'd and float→double widening is exact, so
-    * values are bit-identical.
+    *
+    * Deliberately the `transform` spelling, NOT `v.cast("array<double>")`:
+    * the whole-array Cast was tried (round 7) and regressed q_ann_pq
+    * 2.2→3.6 s at sf0.1 in a back-to-back A/B while every other ANN
+    * query was a wash — whatever Cast's generated array-copy does to the
+    * flat-ADC broadcast stage, it loses to the per-element transform
+    * here. Values are bit-identical either way (float→double widening is
+    * exact); this is purely a plan/perf choice. Re-measure before
+    * "simplifying" this again.
     */
-  private def asDouble(v: Column): Column = v.cast("array<double>")
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
   /** Per-query top-k via the native [[graft.plans.TopKPerKeyNode]]
     * operator: map-side bounded heaps mean the shuffle carries at most
