@@ -24,8 +24,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   */
 final class NearestCellsKernel(val flat: Array[Double], val dim: Int)
     extends Serializable {
+  // dim guard BEFORE the division: a dim=0 matrix must die with the
+  // contract message, not an unexplained ArithmeticException.
+  require(dim > 0, s"centroid dim must be positive, got $dim")
   val n: Int = flat.length / dim
-  require(dim > 0 && n * dim == flat.length,
+  require(n * dim == flat.length,
     s"centroid matrix ${flat.length} doubles not divisible by dim $dim")
 
   @inline private def sqDistAt(u: Array[Double], c: Int): Double = {
@@ -87,11 +90,11 @@ final class NearestCellsKernel(val flat: Array[Double], val dim: Int)
     idx
   }
 
-  // ArrayData adapters for generated code: one primitive copy
-  // (toDoubleArray), then the shared loops above.
-  def best(a: ArrayData): Int = best(a.toDoubleArray())
+  // ArrayData adapters for generated code: one null-guarded primitive
+  // copy ([[Vec.dense]]), then the shared loops above.
+  def best(a: ArrayData): Int = best(Vec.dense(a, "nearest-cell scan"))
   def top(a: ArrayData, nprobe: Int): ArrayData =
-    UnsafeArrayData.fromPrimitiveArray(top(a.toDoubleArray(), nprobe))
+    UnsafeArrayData.fromPrimitiveArray(top(Vec.dense(a, "probe-list scan"), nprobe))
 }
 
 /** Native Catalyst nearest-centroid expression. Two explicit modes
@@ -135,6 +138,8 @@ case class NearestCells(child: Expression, kernel: NearestCellsKernel,
 
 object NearestCells {
   def kernel(centroids: Array[Array[Double]]): NearestCellsKernel = {
+    require(centroids.nonEmpty && centroids.head.nonEmpty,
+      "centroid matrix must be non-empty with non-empty rows")
     val dim = centroids.head.length
     require(centroids.forall(_.length == dim),
       s"ragged centroid matrix: dims ${centroids.map(_.length).distinct.mkString(",")}")

@@ -83,12 +83,12 @@ final class PqKernel(val flat: Array[Double], val m: Int, val subDim: Int,
     out
   }
 
-  // ArrayData adapters for generated code: one primitive copy
-  // (toDoubleArray), then the shared loops above.
+  // ArrayData adapters for generated code: one null-guarded primitive
+  // copy ([[Vec.dense]]), then the shared loops above.
   def code(a: ArrayData): ArrayData =
-    UnsafeArrayData.fromPrimitiveArray(code(a.toDoubleArray()))
+    UnsafeArrayData.fromPrimitiveArray(code(Vec.dense(a, "PQ encode")))
   def table(a: ArrayData): ArrayData =
-    UnsafeArrayData.fromPrimitiveArray(table(a.toDoubleArray()))
+    UnsafeArrayData.fromPrimitiveArray(table(Vec.dense(a, "ADC table build")))
 }
 
 /** Native PQ encode: unit vector (array<double>) → m-slot code (array<int>). */
@@ -137,7 +137,7 @@ final class IvfPqKernel(val cells: NearestCellsKernel, val pq: PqKernel)
   private val dim = pq.dim
 
   private def unit(a: ArrayData): Array[Double] = {
-    val raw = a.toDoubleArray()
+    val raw = Vec.dense(a, "IVF-PQ scan")
     require(raw.length == dim,
       s"ragged vector: ${raw.length} dims, index expects $dim")
     UnitVector.unitArr(raw)
@@ -178,7 +178,12 @@ final class HyperplaneKernel(val flat: Array[Double], val dim: Int,
     s"plane matrix ${flat.length} doubles != $tables x $bitsPerTable x $dim")
 
   def buckets(a: ArrayData): ArrayData = {
-    val n0 = a.numElements()
+    // One null-guarded primitive copy up front, then tables×bits passes
+    // over a JIT-friendly local array — the tables×bits repeated
+    // ArrayData.getDouble walk this replaces also read null elements as
+    // 0.0 silently. Same values in the same order, so signatures are
+    // bit-identical for clean vectors.
+    val u = Vec.dense(a, "LSH signature")
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -188,8 +193,8 @@ final class HyperplaneKernel(val flat: Array[Double], val dim: Int,
         val off = (t * bitsPerTable + b) * dim
         var proj = 0.0
         var i = 0
-        val n = math.min(n0, dim)
-        while (i < n) { proj += a.getDouble(i) * flat(off + i); i += 1 }
+        val n = math.min(u.length, dim)
+        while (i < n) { proj += u(i) * flat(off + i); i += 1 }
         if (proj >= 0) packed |= (1L << b)
         b += 1
       }
@@ -253,7 +258,7 @@ object UnitVector {
   }
 
   def unit(a: ArrayData): ArrayData =
-    UnsafeArrayData.fromPrimitiveArray(unitArr(a.toDoubleArray()))
+    UnsafeArrayData.fromPrimitiveArray(unitArr(Vec.dense(a, "unit normalize")))
 }
 
 /** Native fused IVF-PQ index-side encode: raw vector → struct(cell, code). */

@@ -254,7 +254,6 @@ object PipelineQueries {
     // replicable) so the oracle can state its exact size.
     "q_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val sampleQ = Sampling.hashSample(emb, "vec_id", 0.1)
       val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
           k = 5, dim = 64, tables = 16, bitsPerTable = 6)
         .filter(Sampling.bucketOf(col("qid")) < lit((0.1 * 4294967296L).toLong))
@@ -272,7 +271,6 @@ object PipelineQueries {
     // cells; the oracle CASEs the expected band on corpus cardinality.
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val sampleQ = Sampling.hashSample(emb, "vec_id", 0.1)
       val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
           k = 5, nlist = 32, nprobe = 8)
         .filter(Sampling.bucketOf(col("qid")) < lit((0.1 * 4294967296L).toLong))

@@ -57,17 +57,23 @@ object Pm25 {
     * first), permuting cluster ids across runs/layouts. The reference
     * itself walks `File.listFiles` order, which Java leaves
     * platform-unspecified — so a defined order is pinned here rather
-    * than an undefined one replicated. Bounded driver state: k center
+    * than an undefined one replicated. `wholetext` makes the in-file
+    * order SPLIT-PROOF: each file arrives as one row (never divided
+    * across FilePartitions), so line order is the file's own byte
+    * order by construction — the previous monotonically_increasing_id
+    * spelling silently depended on split-packing order for a file
+    * larger than maxPartitionBytes. Bounded driver state: k center
     * lines, never data.
     */
   def centersFrom(spark: SparkSession, path: String, skipCols: Int): Array[Array[Double]] =
-    spark.read.option("recursiveFileLookup", "true").text(path)
-      .select(col("value"),
-        org.apache.spark.sql.functions.input_file_name().as("f"),
-        org.apache.spark.sql.functions.monotonically_increasing_id().as("pos"))
+    spark.read
+      .option("recursiveFileLookup", "true")
+      .option("wholetext", "true").text(path)
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"),
+        col("value"))
       .collect()
-      .sortBy(r => (r.getString(1), r.getLong(2)))
-      .map(_.getString(0))
+      .sortBy(_.getString(0))
+      .flatMap(_.getString(1).split("\r?\n"))
       .filter(_.trim.nonEmpty)
       .map(_.split(",").drop(skipCols).map(_.trim.toDouble))
 }

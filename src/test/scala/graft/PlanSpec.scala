@@ -404,4 +404,24 @@ class PlanSpec extends SparkSpec {
         s"$name plan reintroduced a Scala UDF:\n${p.take(1500)}")
     }
   }
+
+  test("flat-ADC pqSearch keeps its query side broadcast (bounded-batch contract)") {
+    // pqSearch's scaladoc pins the serving contract: flat ADC scans
+    // every code per query BY DEFINITION, and the query-side (qid, tab)
+    // rows reach the scan via an explicit broadcast whose ceiling the
+    // doc computes. A future edit that silently drops the broadcast
+    // hint would flip this into a shuffled cartesian product — same
+    // results, catastrophically different shape at scale. Pin it.
+    val emb = Tables.embeddings(spark, sf)
+    val queries = graft.operators.Sampling.hashSample(emb, "vec_id", 0.1)
+    val model = graft.operators.Similarity.pqTrain(
+      emb, "vec_id", "embedding", m = 8, codes = 16)
+    val encoded = graft.operators.Similarity.pqEncode(
+      emb, "vec_id", "embedding", model)
+    val out = graft.operators.Similarity.pqSearch(
+      encoded, model, queries, "vec_id", "embedding", k = 5)
+    val p = out.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
 }
