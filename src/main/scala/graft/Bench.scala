@@ -55,7 +55,14 @@ object Bench {
     // a transient would have to recur at the same query three times.
     val names = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val best = scala.collection.mutable.Map[String, Double]()
+    // ALL rep times are kept (sweep order), not just the min: min is
+    // the reported cost, but without per-query dispersion a regression
+    // can't be triaged from the artifact alone — r7's q_ann_lsh moved
+    // +51% round-over-round and nothing in the JSON said whether its
+    // three reps agreed (real change) or straddled a bad sweep (noise).
+    val times = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    val sweepWall = new Array[Double](reps)
     val firstErr = scala.collection.mutable.Map[String, String]()
     for (sweep <- 0 until reps; (name, fn) <- names
          if !firstErr.contains(name)) {
@@ -66,14 +73,15 @@ object Bench {
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        if (dt < best.getOrElse(name, Double.MaxValue)) best(name) = dt
+        times(name) = times(name) :+ dt
+        sweepWall(sweep) += dt
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: $e")
         firstErr(name) = e.toString.replaceAll("[\\r\\n\\t]", " ").take(300)
       }
     }
     val results = names.map { case (name, _) =>
-      (name, best.getOrElse(name, 0.0), firstErr.get(name))
+      (name, times(name).minOption.getOrElse(0.0), firstErr.get(name))
     }
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
@@ -97,7 +105,22 @@ object Bench {
     val total = results.map(_._2).sum
     // omit the errors map when empty — every byte counts against the tail
     val errPart = if (errs == "{}") "" else s""","errors":$errs"""
-    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"queries":$qs$errPart,"sf":"$sfDir"}"""
+    // Dispersion (VERDICT r7): per-sweep wall totals — three numbers
+    // that say whether the sweeps agreed at all (~25 chars) — plus a
+    // per-query "spread" map, (max-min) across reps in cs, for the
+    // widest-spread queries. A regressed query with near-zero spread is
+    // a real change; one whose spread swamps the delta is sweep noise.
+    val sweepsPart =
+      s""","sweeps":[${sweepWall.map(v => f"$v%.1f").mkString(",")}]"""
+    def spreadJson(k: Int): String =
+      names.flatMap { case (n, _) =>
+        val ts = times(n)
+        if (ts.length >= 2 && ts.max - ts.min >= 0.05)
+          Some((n, math.round((ts.max - ts.min) * 100))) else None
+      }.sortBy(-_._2).take(k)
+        .map { case (n, cs) => "\"" + n.stripPrefix("q_") + "\":" + cs }
+        .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps$sweepsPart,"spread":${spreadJson(10)},"queries":$qs$errPart,"sf":"$sfDir"}"""
     // Failsafes when the corpus outgrows the tail budget (at 100+
     // queries the full form exceeds it every run): tier 2 re-emits with
     // the uniform "q_" name prefix stripped (recoverable -- every query
@@ -112,7 +135,7 @@ object Bench {
         }
       }.mkString("{", ",", "}")
       // every byte counts here: short note, basename-only sf
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"note":"q_ prefix stripped","queries":$qs1$errPart,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps$sweepsPart,"note":"q_ prefix stripped","queries":$qs1$errPart,"sf":"$sfShort"}"""
     }
     // Last-resort tier: per-query times as integer CENTISECONDS
     // ("qunit":"cs"); total stays in seconds. Saves ~2 chars per
@@ -121,7 +144,7 @@ object Bench {
       val qs2 = results.map { case (k, v, _) =>
         "\"" + k.stripPrefix("q_") + "\":" + math.round(v * 100)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"qunit":"cs","note":"q_ stripped; queries in centisec","queries":$qs2$errPart,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps$sweepsPart,"qunit":"cs","note":"q_ stripped; queries in centisec","queries":$qs2$errPart,"sf":"$sfShort"}"""
     }
     // Final fallback for a corpus too large for ANY full per-query map
     // (at 120 queries even centiseconds overflow the tail): keep the
@@ -147,7 +170,7 @@ object Bench {
           .toSeq.sortBy(t => (-t._2, t._1))
         val famJson = fams.map { case (f, cs) => "\"" + f + "\":" + cs }
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps,"qunit":"cs","note":"q_ stripped;top ${top.size}/${results.size};rest=family cs","omitted":${rest.size},"queries":$qs3,"rest":$famJson$errPart,"sf":"$sfShort"}"""
+        s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps$sweepsPart,"qunit":"cs","note":"q_ stripped;top ${top.size}/${results.size};rest=family cs;spread=maxrep-minrep cs","omitted":${rest.size},"queries":$qs3,"spread":${spreadJson(10)},"rest":$famJson$errPart,"sf":"$sfShort"}"""
       }
       var keep = sorted.length
       var out = render(keep)
@@ -165,6 +188,16 @@ object Bench {
       else topTier(1780)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
+    // Full dispersion record, free of the stdout tail budget: EVERY
+    // rep of EVERY query in sweep order (cs) — the file tools/ab.sh
+    // and any regression triage read instead of the compressed line.
+    val detail = {
+      val qd = names.map { case (n, _) =>
+        "\"" + n + "\":[" + times(n).map(t => math.round(t * 100)).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      s"""{"reps":$reps,"qunit":"cs","order":"sweep","sweep_wall_s":[${sweepWall.map(v => f"$v%.2f").mkString(",")}],"queries":$qd$errPart,"sf":"$sfDir"}"""
+    }
+    Files.writeString(Paths.get("target/bench_detail.json"), detail + "\n")
     spark.stop()
     // Emit metrics after spark.stop's shutdown chatter: a sentinel-
     // prefixed copy any line-scanner can strip, then the bare JSON line
