@@ -1,0 +1,111 @@
+#!/usr/bin/env bash
+# Interleaved A/B benchmark of two git refs on a named query subset.
+#
+# The r6→r7 asDouble/Cast incident proved single-shot measurements on
+# this box mislead: a committed "win" was machine-load noise hiding a
+# real 2.2→3.6 s regression, caught only by a hand-run back-to-back
+# bisect. This script is that bisect as tooling: it checks each ref
+# out into a worktree under target/ab/, compiles once, then runs the
+# two builds ALTERNATELY (A,B,A,B,…) so both sample the same machine
+# state within minutes, and reports per-query min/median/max per ref
+# with an overlap verdict.
+#
+# Usage:
+#   tools/ab.sh <refA> <refB> <queries_csv> [sweeps] [sfdir] [cpus]
+#     refA/refB    git refs; "." = the current working tree's build
+#     queries_csv  e.g. q_ann_lsh,q_ann_ivf  (SPARK_GRAFT_ONLY filter)
+#     sweeps       alternations per ref (default 5)
+#     sfdir        default /root/testdata/sf0.1
+#     cpus         default 32
+#   AB_REPS (env, default 2): in-JVM reps per run; min-of-reps absorbs
+#   per-JVM codegen/JIT compile cost identically for both refs.
+set -euo pipefail
+REFA=${1:?usage: ab.sh refA refB queries_csv [sweeps] [sfdir] [cpus]}
+REFB=${2:?need refB}
+QUERIES=${3:?need queries csv}
+SWEEPS=${4:-5}
+SFDIR=${5:-/root/testdata/sf0.1}
+CPUS=${6:-32}
+REPS=${AB_REPS:-2}
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+cd "$REPO"
+mkdir -p target/ab
+rm -f target/ab/run_*.json
+
+# Same JDK17 module opens + session props build.sbt passes to forked runs.
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+
+prepare() { # $1 = ref -> prints the build dir
+  if [ "$1" = "." ]; then
+    sbt -batch compile >/dev/null 2>&1
+    echo "$REPO"
+  else
+    local sha wt
+    sha=$(git rev-parse --short "$1")
+    wt="$REPO/target/ab/wt_$sha"
+    [ -d "$wt" ] || git worktree add --detach "$wt" "$sha" >/dev/null 2>&1
+    (cd "$wt" && sbt -batch compile >/dev/null 2>&1)
+    echo "$wt"
+  fi
+}
+
+run_one() { # $1 = build dir, $2 = tag, $3 = sweep index
+  (cd "$1" && \
+    SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="$CPUS" \
+    SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_REPS="$REPS" \
+    java -Xmx"${SPARK_DRIVER_MEM:-8g}" $ADD_OPENS \
+      -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+      -cp "$1/target/scala-2.13/classes:/opt/spark/jars/*" \
+      graft.Bench >/dev/null 2>&1)
+  # bench.json's "queries" map (full tier: always fits for a subset)
+  # exists at every ref; bench_detail.json only since round 8.
+  cp "$1/target/bench.json" "$REPO/target/ab/run_${2}_${3}.json"
+}
+
+echo "[ab] preparing A=$REFA" >&2
+DIR_A=$(prepare "$REFA")
+echo "[ab] preparing B=$REFB" >&2
+DIR_B=$(prepare "$REFB")
+
+for i in $(seq 1 "$SWEEPS"); do
+  echo "[ab] sweep $i/$SWEEPS: A" >&2
+  run_one "$DIR_A" A "$i"
+  echo "[ab] sweep $i/$SWEEPS: B" >&2
+  run_one "$DIR_B" B "$i"
+done
+
+python3 - "$REFA" "$REFB" "$SWEEPS" <<'EOF'
+import json, glob, statistics, sys
+refa, refb, sweeps = sys.argv[1], sys.argv[2], int(sys.argv[3])
+def load(tag):
+    per = {}
+    for f in sorted(glob.glob(f"target/ab/run_{tag}_*.json")):
+        d = json.load(open(f))
+        qs = d.get("queries", {})
+        cs = d.get("qunit") == "cs"
+        for q, v in qs.items():
+            per.setdefault(q, []).append(v / 100.0 if cs else float(v))
+    return per
+A, B = load("A"), load("B")
+print(f"\n== A/B: A={refa}  B={refb}  ({sweeps} interleaved sweeps, "
+      f"values = per-run min-of-reps seconds) ==")
+hdr = f"{'query':24s} {'A min/med/max':>20s} {'B min/med/max':>20s} {'Δmin':>8s}  verdict"
+print(hdr); print("-" * len(hdr))
+for q in sorted(set(A) | set(B)):
+    a, b = A.get(q, []), B.get(q, [])
+    if not a or not b:
+        print(f"{q:24s}  missing on one side"); continue
+    fmt = lambda xs: f"{min(xs):.2f}/{statistics.median(xs):.2f}/{max(xs):.2f}"
+    d = min(b) - min(a)
+    # ranges disjoint -> the refs differ more than this box's noise
+    real = max(a) < min(b) or max(b) < min(a)
+    verdict = "LIKELY REAL" if real else "ranges overlap (noise-compatible)"
+    print(f"{q:24s} {fmt(a):>20s} {fmt(b):>20s} {d:>+8.2f}  {verdict}")
+EOF
