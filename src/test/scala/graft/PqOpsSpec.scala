@@ -130,6 +130,32 @@ class PqOpsSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("null vector elements fail loudly in every native kernel entry") {
+    // ArrayData.toDoubleArray on UnsafeArrayData ignores the null
+    // bitmap — without the Vec.dense guard a null element silently
+    // reads as 0.0 and produces a plausible-but-wrong cell/code/bucket
+    // (the replaced Scala UDFs NPE'd on boxing instead).
+    import spark.implicits._
+    val dirty = Seq(Seq.tabulate(dim)(i =>
+      if (i == 3) null else java.lang.Double.valueOf(0.5))).toDF("v")
+    val hk = new graft.functions.HyperplaneKernel(
+      Array.fill(2 * 2 * dim)(0.1), dim, 2, 2)
+    val paths = Seq[org.apache.spark.sql.Column](
+      PqOps.unitVec(col("v")),
+      PqOps.code(col("v"), PqOps.kernel(codebooks)),
+      PqOps.table(col("v"), PqOps.kernel(codebooks)),
+      NearestCells.cell(col("v"), NearestCells.kernel(centroids)),
+      PqOps.hyperplaneBuckets(col("v"), hk),
+      PqOps.ivfEncode(col("v"), new graft.functions.IvfPqKernel(
+        NearestCells.kernel(centroids), PqOps.kernel(codebooks))))
+    for (c <- paths) {
+      val e = intercept[Exception] { dirty.select(c).collect() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+      assert(msgs.contains("null element"), s"$c -> $msgs")
+    }
+  }
+
   test("mismatched coarse/codebook dims are rejected at kernel build") {
     val e = intercept[IllegalArgumentException] {
       new graft.functions.IvfPqKernel(
