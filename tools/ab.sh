@@ -96,7 +96,11 @@ def load(tag):
 A, B = load("A"), load("B")
 print(f"\n== A/B: A={refa}  B={refb}  ({sweeps} interleaved sweeps, "
       f"values = per-run min-of-reps seconds) ==")
-hdr = f"{'query':24s} {'A min/med/max':>20s} {'B min/med/max':>20s} {'Δmin':>8s}  verdict"
+if sweeps < 3:
+    print("WARNING: <3 sweeps — ranges are too narrow to trust a "
+          "'disjoint' verdict; use 5+ for a decision")
+hdr = (f"{'query':24s} {'A min/med/max':>20s} {'B min/med/max':>20s}"
+       f" {'Δmin':>8s} {'pairedΔ':>8s}  verdict")
 print(hdr); print("-" * len(hdr))
 for q in sorted(set(A) | set(B)):
     a, b = A.get(q, []), B.get(q, [])
@@ -104,8 +108,18 @@ for q in sorted(set(A) | set(B)):
         print(f"{q:24s}  missing on one side"); continue
     fmt = lambda xs: f"{min(xs):.2f}/{statistics.median(xs):.2f}/{max(xs):.2f}"
     d = min(b) - min(a)
-    # ranges disjoint -> the refs differ more than this box's noise
-    real = max(a) < min(b) or max(b) < min(a)
-    verdict = "LIKELY REAL" if real else "ranges overlap (noise-compatible)"
-    print(f"{q:24s} {fmt(a):>20s} {fmt(b):>20s} {d:>+8.2f}  {verdict}")
+    # Paired stat: within one sweep A and B run back-to-back, so the
+    # per-sweep difference cancels slow machine-state drift that
+    # min/range comparisons across all sweeps cannot. Two independent
+    # signals must agree to call it real: disjoint ranges (strong) or
+    # every paired delta sharing one sign (consistent drift per pair).
+    pairs = [bb - aa for aa, bb in zip(a, b)]
+    pmed = statistics.median(pairs)
+    disjoint = max(a) < min(b) or max(b) < min(a)
+    onesided = len(pairs) >= 3 and (all(p > 0 for p in pairs)
+                                    or all(p < 0 for p in pairs))
+    verdict = ("LIKELY REAL (disjoint ranges)" if disjoint
+               else "LEANS REAL (all paired deltas one-signed)" if onesided
+               else "ranges overlap (noise-compatible)")
+    print(f"{q:24s} {fmt(a):>20s} {fmt(b):>20s} {d:>+8.2f} {pmed:>+8.2f}  {verdict}")
 EOF
