@@ -120,7 +120,12 @@ object Bench {
       }.sortBy(-_._2).take(k)
         .map { case (n, cs) => "\"" + n.stripPrefix("q_") + "\":" + cs }
         .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps$sweepsPart,"spread":${spreadJson(10)},"queries":$qs$errPart,"sf":"$sfDir"}"""
+    // omit an empty spread map (reps=1, or no query over the 0.05 s floor)
+    def spreadPartOf(k: Int): String = {
+      val sj = if (k == 0) "{}" else spreadJson(k)
+      if (sj == "{}") "" else s""","spread":$sj"""
+    }
+    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps$sweepsPart${spreadPartOf(10)},"queries":$qs$errPart,"sf":"$sfDir"}"""
     // Failsafes when the corpus outgrows the tail budget (at 100+
     // queries the full form exceeds it every run): tier 2 re-emits with
     // the uniform "q_" name prefix stripped (recoverable -- every query
@@ -154,9 +159,8 @@ object Bench {
     // every centisecond in the line stays round-over-round comparable
     // at family granularity or better — an opaque scalar remainder
     // (rounds ≤6 emitted "other_cs") hid ~27% of the total from
-    // regression triage. "omitted" counts the individually-folded
-    // queries; the total still reconciles: value ≈ Σqueries + Σrest.
-    // Greedy by descending time until the line fits.
+    // regression triage. The total still reconciles: value ≈
+    // Σqueries + Σrest. Greedy by descending time until the line fits.
     def topTier(budget: Int): String = {
       val sorted = results.sortBy(-_._2)
       def render(keep: Int, sk: Int): String = {
@@ -170,10 +174,9 @@ object Bench {
           .toSeq.sortBy(t => (-t._2, t._1))
         val famJson = fams.map { case (f, cs) => "\"" + f + "\":" + cs }
           .mkString("{", ",", "}")
-        val spreadPart =
-          if (sk == 0) "" else s""","spread":${spreadJson(sk)}"""
+        val spreadPart = spreadPartOf(sk)
         val note = s"q_ stripped;top ${top.size}/${results.size};rest=family cs" +
-          (if (sk > 0) ";spread=max-min rep cs" else "")
+          (if (spreadPart.nonEmpty) ";spread=max-min rep cs" else "")
         s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps$sweepsPart,"qunit":"cs","note":"$note","queries":$qs3$spreadPart,"rest":$famJson$errPart,"sf":"$sfShort"}"""
       }
       // Per-query minima are THE artifact the perf judgment reads —
