@@ -392,6 +392,16 @@ class ScaleSpec extends SparkSpec {
       // longs don't come back widened
       assert(canon(spark.read.schema(src.schema).json(jsonDir)) === want)
     }
+    withTempDir("graft-xml") { xmlDir =>
+      // XML is a first-class datasource in Spark 4 (spark-xml merged
+      // upstream) — the feed-ingest format crawl/vendor drops still
+      // arrive in. Same write→read parity contract as ORC/JSON; rowTag
+      // is mandatory on both sides, and like JSON the on-disk form is
+      // schemaless so the read supplies the writer's schema.
+      src.write.mode("overwrite").option("rowTag", "order").xml(xmlDir)
+      assert(canon(spark.read.schema(src.schema)
+        .option("rowTag", "order").xml(xmlDir)) === want)
+    }
   }
 
   test("dirty ingestion: PERMISSIVE quarantines corrupt rows, FAILFAST throws") {
