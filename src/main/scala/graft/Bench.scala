@@ -110,8 +110,10 @@ object Bench {
     // per-query "spread" map, (max-min) across reps in cs, for the
     // widest-spread queries. A regressed query with near-zero spread is
     // a real change; one whose spread swamps the delta is sweep noise.
+    // integer seconds: sweep totals are a did-they-agree signal, not a
+    // measurement — sub-second precision is not worth the bytes
     val sweepsPart =
-      s""","sweeps":[${sweepWall.map(v => f"$v%.1f").mkString(",")}]"""
+      s""","sweeps":[${sweepWall.map(v => math.round(v)).mkString(",")}]"""
     def spreadJson(k: Int): String =
       names.flatMap { case (n, _) =>
         val ts = times(n)
@@ -175,8 +177,8 @@ object Bench {
         val famJson = fams.map { case (f, cs) => "\"" + f + "\":" + cs }
           .mkString("{", ",", "}")
         val spreadPart = spreadPartOf(sk)
-        val note = s"q_ stripped;top ${top.size}/${results.size};rest=family cs" +
-          (if (spreadPart.nonEmpty) ";spread=max-min rep cs" else "")
+        val note = s"q_ stripped;cs;top ${top.size}/${results.size};rest=family" +
+          (if (spreadPart.nonEmpty) ";spread=max-min" else "")
         s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps$sweepsPart,"qunit":"cs","note":"$note","queries":$qs3$spreadPart,"rest":$famJson$errPart,"sf":"$sfShort"}"""
       }
       // Per-query minima are THE artifact the perf judgment reads, but
