@@ -93,6 +93,13 @@ object Graph {
     * ONE plan; Spark's ReuseExchange collapses the identical shuffle,
     * so no explicit persist (and therefore no cache lifetime to manage
     * on a DataFrame we hand to the caller).
+    *
+    * `iterations` cost model: each extra iteration adds exactly two
+    * keyed shuffles to the one lazy plan (contributions grouped by
+    * dst, then the left join back onto the vertex set) and nothing
+    * driver-side — the default 5 is tuned to the test fixtures'
+    * convergence, and turning it up for a larger graph scales the
+    * plan linearly with no new scan of `docs`.
     */
   def pageRankScores(docs: DataFrame, n: Long,
                      iterations: Int = 5): DataFrame = {
@@ -194,6 +201,15 @@ object Graph {
     * in/out-degree ≤ 3 (beyond that, swap to the documented double
     * path — exactness is a test-oracle property, not a production
     * requirement).
+    *
+    * `iterations` cost model: one HITS iteration = two supersteps
+    * (authority then hub), each a keyed shuffle plus an L1 normalize
+    * that materializes the score vector once (persist) and pulls ONE
+    * Long to the driver — so wall cost is linear in `iterations` with
+    * 2 shuffles + 2 bounded scalar jobs each. The default 2 is tuned
+    * to the test fixtures' convergence; a larger graph wanting more
+    * iterations pays exactly that linear increment, nothing
+    * superlinear.
     */
   def hits(docs: DataFrame, n: Long, iterations: Int = 2): DataFrame = {
     val vertices = docs.select(col("doc_id").cast("long").as("id"))
