@@ -22,6 +22,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * DuckDB oracle (`x * 127 / mx + 0.5` then floor, left-to-right
   * accumulation), so all three paths are bit-identical —
   * UdxSpec property-checks this expression against the HOF composition.
+  *
+  * Null ELEMENTS fail loudly (same contract as the [[Vec.dense]] kernel
+  * family): `getDouble` on UnsafeArrayData ignores the null bitmap, so
+  * without the check a null element would silently quantize as 0.0 —
+  * where the HOF composition this replaces would NULL-poison the fold.
+  * The check rides the max-pass loop that visits every element anyway.
   */
 case class Int8Checksum(child: Expression) extends UnaryExpression {
 
@@ -33,6 +39,7 @@ case class Int8Checksum(child: Expression) extends UnaryExpression {
     var mx = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) throw Int8Checksum.nullElement(i)
       val ax = math.abs(a.getDouble(i)); if (ax > mx) mx = ax; i += 1
     }
     var sum = 0L
@@ -63,6 +70,8 @@ case class Int8Checksum(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |double $mx = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i))
+         |    throw graft.functions.Int8Checksum.nullElement($i);
          |  double $ax = java.lang.Math.abs($a.getDouble($i));
          |  if ($ax > $mx) $mx = $ax;
          |}
@@ -90,4 +99,10 @@ object Int8Checksum {
   /** Column API: input cast to array<double> first (floats widen exactly). */
   def apply(v: Column): Column =
     Bridge.column(Int8Checksum(Bridge.expression(v.cast("array<double>"))))
+
+  /** Called from generated code too — keep it a plain static-shaped helper. */
+  def nullElement(i: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"int8 checksum: null element at index $i of an input vector — " +
+        "filter or impute dirty vectors upstream of the quantizer")
 }

@@ -147,7 +147,10 @@ class PqOpsSpec extends SparkSpec {
       NearestCells.cell(col("v"), NearestCells.kernel(centroids)),
       PqOps.hyperplaneBuckets(col("v"), hk),
       PqOps.ivfEncode(col("v"), new graft.functions.IvfPqKernel(
-        NearestCells.kernel(centroids), PqOps.kernel(codebooks))))
+        NearestCells.kernel(centroids), PqOps.kernel(codebooks))),
+      // same contract for the inline-loop quantizer (no Vec.dense copy —
+      // the check rides its max pass); its HOF twin would NULL-poison
+      graft.functions.Int8Checksum(col("v")))
     for (c <- paths) {
       val e = intercept[Exception] { dirty.select(c).collect() }
       val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
