@@ -164,12 +164,16 @@ final class IvfPqKernel(val cells: NearestCellsKernel, val pq: PqKernel)
 
 /** Sign-LSH hyperplane kernel: tables×bitsPerTable planes flattened
   * (plane (t, b) starts at (t·bitsPerTable + b)·dim), producing one
-  * packed bit-signature long per table. Loop order, sign rule
-  * (proj ≥ 0), and the historical min-length clamp are exactly the
-  * replaced UDF's, so bucket assignments are unchanged. One expression
-  * node holds all planes — the tables×bits expression-TREE form was
-  * measured to freeze the driver on plan explosion long before this
-  * kernel existed, which is why this stays a single opaque pass.
+  * packed bit-signature long per table. Loop order and sign rule
+  * (proj ≥ 0) are exactly the replaced UDF's, so bucket assignments
+  * are unchanged for well-formed vectors; ragged vectors fail loudly
+  * (the UDF's silent min-length clamp projected a truncated vector
+  * into a REAL bucket, hiding upstream corruption as plausible
+  * candidates — every other kernel in this family already rejects
+  * them). One expression node holds all planes — the tables×bits
+  * expression-TREE form was measured to freeze the driver on plan
+  * explosion long before this kernel existed, which is why this stays
+  * a single opaque pass.
   */
 final class HyperplaneKernel(val flat: Array[Double], val dim: Int,
                              val tables: Int, val bitsPerTable: Int)
@@ -184,6 +188,8 @@ final class HyperplaneKernel(val flat: Array[Double], val dim: Int,
     // 0.0 silently. Same values in the same order, so signatures are
     // bit-identical for clean vectors.
     val u = Vec.dense(a, "LSH signature")
+    require(u.length == dim,
+      s"ragged vector: ${u.length} dims, LSH planes expect $dim")
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
@@ -193,8 +199,7 @@ final class HyperplaneKernel(val flat: Array[Double], val dim: Int,
         val off = (t * bitsPerTable + b) * dim
         var proj = 0.0
         var i = 0
-        val n = math.min(u.length, dim)
-        while (i < n) { proj += u(i) * flat(off + i); i += 1 }
+        while (i < dim) { proj += u(i) * flat(off + i); i += 1 }
         if (proj >= 0) packed |= (1L << b)
         b += 1
       }

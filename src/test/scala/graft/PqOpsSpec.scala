@@ -104,6 +104,23 @@ class PqOpsSpec extends SparkSpec {
     assert(msgs.contains("dims"))
   }
 
+  test("ragged vectors fail loudly in the LSH signature kernel") {
+    // The replaced UDF's min-length clamp silently projected a
+    // truncated vector into a REAL bucket (plausible candidates from
+    // corrupt input); the kernel now rejects it like the rest of the
+    // family.
+    import spark.implicits._
+    val hk = new graft.functions.HyperplaneKernel(
+      Array.fill(2 * 2 * dim)(0.1), dim, 2, 2)
+    val e = intercept[Exception] {
+      Seq(Seq.fill(dim - 1)(0.5)).toDF("v")
+        .select(PqOps.hyperplaneBuckets(col("v"), hk)).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("LSH planes expect"), msgs)
+  }
+
   test("AdcScore rejects a table sized for a different model") {
     // codes encoded with one PQModel scored against another model's
     // table: without the slot-count check, unchecked UnsafeArrayData
