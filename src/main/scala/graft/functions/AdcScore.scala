@@ -27,6 +27,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * replaces, so scores are bit-identical. Null if either input is null;
   * out-of-range codes (code ≥ nCodes) are the caller's contract —
   * [[graft.operators.Similarity.pqEncode]] emits codes in [0, nCodes).
+  * No per-element null guard (unlike the [[Vec.dense]] kernels and
+  * [[DotProduct]]): both inputs are produced by this family's own
+  * expressions (PqCode/AdcTable/IvfPqEncode/IvfPqProbe), whose output
+  * types are `containsNull=false` — null elements cannot reach here by
+  * construction, and user vectors were already guarded at encode time.
   */
 case class AdcScore(left: Expression, right: Expression, nCodes: Int)
     extends BinaryExpression {

@@ -41,6 +41,22 @@ class DotProductSpec extends SparkSpec {
     assert(got.toSeq === Seq(Some(11.0), None, None))
   }
 
+  test("null ELEMENTS fail loudly (the kernel family's contract)") {
+    // getDouble on UnsafeArrayData ignores the null bitmap: unguarded,
+    // a null element scores as 0.0 — a plausible-but-wrong similarity
+    // on the exact-cosine paths (HofDotProduct NULL-poisons instead,
+    // matching the HOF it replaces; this is the hand-placed fast path).
+    import spark.implicits._
+    val dirty = Seq((Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 1.0, 1.0)))
+      .toDF("a", "b")
+    val e = intercept[Exception] {
+      dirty.select(DotProduct(col("a"), col("b"))).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("null element"), msgs)
+  }
+
   test("interpreted eval path agrees with codegen (mismatched lengths = common prefix)") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0, 5.0), Seq(3.0, 4.0))).toDF("a", "b")
