@@ -73,7 +73,10 @@ object Pm25 {
         col("value"))
       .collect()
       .sortBy(_.getString(0))
-      .flatMap(_.getString(1).split("\r?\n"))
+      // CRLF | CR | LF: Hadoop's line reader (and Spark's non-wholetext
+      // text source) treats a lone \r as a terminator too — "\r?\n"
+      // alone would glue CR-only-terminated lines into one.
+      .flatMap(_.getString(1).split("\r\n|\r|\n"))
       .filter(_.trim.nonEmpty)
       .map(_.split(",").drop(skipCols).map(_.trim.toDouble))
 }

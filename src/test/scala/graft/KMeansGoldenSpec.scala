@@ -77,6 +77,18 @@ class KMeansGoldenSpec extends SparkSpec {
     assert(nested.map(_.toSeq).toSeq === expected)
   }
 
+  test("centersFrom handles CR-only line terminators (Hadoop line-reader parity)") {
+    // Hadoop's LineRecordReader (and Spark's non-wholetext text source)
+    // treats a lone \r as a line terminator; the wholetext respell must
+    // not narrow that — a classic-Mac centers file is still k lines.
+    val dir = Files.createTempDirectory("centers-cr")
+    val all = lines(s"$base/pm25.cluster.center.conf.txt")
+    Files.write(dir.resolve("centers.txt"),
+      all.mkString("\r").getBytes(StandardCharsets.UTF_8))
+    val got = Pm25.centersFrom(spark, dir.toString, skipCols = 3)
+    assert(got.map(_.toSeq).toSeq === seeds.map(_.toSeq).toSeq)
+  }
+
   test("v1 golden centroids: means after 5 iterations render byte-exact") {
     // golden line i = cluster i+1 (single reducer, keys sorted); the date
     // prefix is the order-dependent rep-row bug (KMeans.repRows doc) — the
