@@ -62,7 +62,6 @@ object Bench {
     // three reps agreed (real change) or straddled a bad sweep (noise).
     val times = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
-    val sweepWall = new Array[Double](reps)
     val firstErr = scala.collection.mutable.Map[String, String]()
     for (sweep <- 0 until reps; (name, fn) <- names
          if !firstErr.contains(name)) {
@@ -74,11 +73,20 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         times(name) = times(name) :+ dt
-        sweepWall(sweep) += dt
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: $e")
         firstErr(name) = e.toString.replaceAll("[\\r\\n\\t]", " ").take(300)
       }
+    }
+    // Sweep walls are computed over queries with a FULL rep set only: a
+    // query that fails in sweep k would otherwise contribute to walls
+    // 0..k-1 but not k.. — a compositional step change the documented
+    // reading ("do the sweeps agree?") would misread as machine-state
+    // drift. Errored queries are visible in `errors`; the walls stay a
+    // pure like-for-like drift signal.
+    val sweepWall: IndexedSeq[Double] = (0 until reps).map { s =>
+      names.iterator.map { case (n, _) => times(n) }
+        .collect { case ts if ts.length == reps => ts(s) }.sum
     }
     val results = names.map { case (name, _) =>
       (name, times(name).minOption.getOrElse(0.0), firstErr.get(name))
@@ -114,27 +122,31 @@ object Bench {
     // measurement — sub-second precision is not worth the bytes
     val sweepsPart =
       s""","sweeps":[${sweepWall.map(v => math.round(v)).mkString(",")}]"""
-    def spreadJson(k: Int): String =
+    // `strip` follows the tier's queries-map key style: full keeps the
+    // q_ prefix, the stripped tiers strip — spread keys must correlate
+    // 1:1 with the adjacent queries map either way.
+    def spreadJson(k: Int, strip: Boolean): String =
       names.flatMap { case (n, _) =>
         val ts = times(n)
         if (ts.length >= 2 && ts.max - ts.min >= 0.05)
           Some((n, math.round((ts.max - ts.min) * 100))) else None
       }.sortBy(-_._2).take(k)
-        .map { case (n, cs) => "\"" + n.stripPrefix("q_") + "\":" + cs }
+        .map { case (n, cs) =>
+          "\"" + (if (strip) n.stripPrefix("q_") else n) + "\":" + cs }
         .mkString("{", ",", "}")
     // omit an empty spread map (reps=1, or no query over the 0.05 s floor)
-    def spreadPartOf(k: Int): String = {
-      val sj = if (k == 0) "{}" else spreadJson(k)
+    def spreadPartOf(k: Int, strip: Boolean = true): String = {
+      val sj = if (k == 0) "{}" else spreadJson(k, strip)
       if (sj == "{}") "" else s""","spread":$sj"""
     }
-    val full = s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps$sweepsPart${spreadPartOf(10)},"queries":$qs$errPart,"sf":"$sfDir"}"""
+    def full(sk: Int) = s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps$sweepsPart${spreadPartOf(sk, strip = false)},"queries":$qs$errPart,"sf":"$sfDir"}"""
     // Failsafes when the corpus outgrows the tail budget (at 100+
     // queries the full form exceeds it every run): tier 2 re-emits with
     // the uniform "q_" name prefix stripped (recoverable -- every query
     // name has it) and 1-decimal seconds; tier 3 (below) goes to integer
     // centiseconds.
     val sfShort = sfDir.split('/').last
-    val compact = {
+    def compact(sk: Int) = {
       val qs1 = results.map { case (k, v, _) =>
         "\"" + k.stripPrefix("q_") + "\":" + {
           val s = f"$v%.1f"
@@ -142,16 +154,16 @@ object Bench {
         }
       }.mkString("{", ",", "}")
       // every byte counts here: short note, basename-only sf
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps$sweepsPart,"note":"q_ prefix stripped","queries":$qs1$errPart,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps$sweepsPart${spreadPartOf(sk)},"note":"q_ prefix stripped","queries":$qs1$errPart,"sf":"$sfShort"}"""
     }
     // Last-resort tier: per-query times as integer CENTISECONDS
     // ("qunit":"cs"); total stays in seconds. Saves ~2 chars per
     // sub-second entry over the 1-decimal form.
-    val centi = {
+    def centi(sk: Int) = {
       val qs2 = results.map { case (k, v, _) =>
         "\"" + k.stripPrefix("q_") + "\":" + math.round(v * 100)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps$sweepsPart,"qunit":"cs","note":"q_ stripped; queries in centisec","queries":$qs2$errPart,"sf":"$sfShort"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":$reps$sweepsPart${spreadPartOf(sk)},"qunit":"cs","note":"q_ stripped; queries in centisec","queries":$qs2$errPart,"sf":"$sfShort"}"""
     }
     // Final fallback for a corpus too large for ANY full per-query map
     // (at 120 queries even centiseconds overflow the tail): keep the
@@ -204,11 +216,15 @@ object Bench {
       }) sk += 1
       out
     }
+    // Tier selection tries each form WITH its spread map first, then
+    // without — a mid-size corpus landing in compact/centi used to lose
+    // per-query dispersion entirely (the exact r7 triage gap), while
+    // the tiers on either side of them carried it.
     val json =
-      if (full.length <= 1800) full
-      else if (compact.length <= 1850) compact
-      else if (centi.length <= 1850) centi
-      else topTier(1780)
+      Seq(full(10), full(3), full(0)).find(_.length <= 1800)
+        .orElse(Seq(compact(3), compact(0), centi(3), centi(0))
+          .find(_.length <= 1850))
+        .getOrElse(topTier(1780))
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     // Full dispersion record, free of the stdout tail budget: EVERY
