@@ -43,27 +43,37 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 
 prepare() { # $1 = ref -> prints the build dir
+  # compile logs go to target/ab/*.log, not /dev/null: under set -e a
+  # silenced compile failure aborted the script with zero diagnostics
   if [ "$1" = "." ]; then
-    sbt -batch compile >/dev/null 2>&1
+    sbt -batch compile >target/ab/compile_worktree.log 2>&1 \
+      || { echo "[ab] compile FAILED for working tree — see target/ab/compile_worktree.log" >&2; exit 1; }
     echo "$REPO"
   else
     local sha wt
     sha=$(git rev-parse --short "$1")
     wt="$REPO/target/ab/wt_$sha"
-    [ -d "$wt" ] || git worktree add --detach "$wt" "$sha" >/dev/null 2>&1
-    (cd "$wt" && sbt -batch compile >/dev/null 2>&1)
+    # an `sbt clean`/target wipe deletes the worktree DIR but not git's
+    # .git/worktrees metadata; prune first so re-adding always works
+    [ -d "$wt" ] || git worktree prune
+    [ -d "$wt" ] || git worktree add --detach "$wt" "$sha" >/dev/null
+    (cd "$wt" && sbt -batch compile >"$REPO/target/ab/compile_$sha.log" 2>&1) \
+      || { echo "[ab] compile FAILED for $1 ($sha) — see target/ab/compile_$sha.log" >&2; exit 1; }
     echo "$wt"
   fi
 }
 
 run_one() { # $1 = build dir, $2 = tag, $3 = sweep index
+  # bench stdout/stderr kept per run: a query that throws makes Bench
+  # exit non-zero, and the log is the only place its stack trace lands
   (cd "$1" && \
     SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="$CPUS" \
     SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_REPS="$REPS" \
     java -Xmx"${SPARK_DRIVER_MEM:-8g}" $ADD_OPENS \
       -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
       -cp "$1/target/scala-2.13/classes:/opt/spark/jars/*" \
-      graft.Bench >/dev/null 2>&1)
+      graft.Bench >"$REPO/target/ab/bench_${2}_${3}.log" 2>&1) \
+    || { echo "[ab] bench FAILED ($2 sweep $3) — see target/ab/bench_${2}_${3}.log" >&2; exit 1; }
   # bench.json's "queries" map (full tier: always fits for a subset)
   # exists at every ref; bench_detail.json only since round 8.
   cp "$1/target/bench.json" "$REPO/target/ab/run_${2}_${3}.json"
@@ -90,7 +100,14 @@ def load(tag):
         d = json.load(open(f))
         qs = d.get("queries", {})
         cs = d.get("qunit") == "cs"
+        if d.get("rest"):
+            print(f"WARNING: {f} hit the family-rollup bench tier — "
+                  "queries folded into 'rest' are invisible here; "
+                  "run a smaller subset", file=sys.stderr)
         for q, v in qs.items():
+            # stripped bench tiers drop the uniform q_ prefix; restore
+            # it so A and B key identically whatever tier each emitted
+            q = q if q.startswith("q_") else "q_" + q
             per.setdefault(q, []).append(v / 100.0 if cs else float(v))
     return per
 A, B = load("A"), load("B")
