@@ -1,0 +1,197 @@
+package graft
+
+/** Pure rendering of the bench metrics artifacts — the ONE stdout JSON
+  * line the round driver parses (tail-budget-tiered) plus the full
+  * dispersion record (`target/bench_detail.json`). Extracted from
+  * [[Bench]] so the tier logic is unit-testable without a Spark run:
+  * a malformed or over-budget line nulls a round's perf artifact (it
+  * nulled rounds 1-3), which makes this formatting code the single
+  * most artifact-critical code path in the repo — BenchFormatSpec
+  * machine-checks every tier's invariants.
+  *
+  * @param names  corpus order (query name including the q_ prefix)
+  * @param times  sweep-order rep seconds per query; fewer than `reps`
+  *               entries means the query failed mid-run
+  * @param errors first error per failed query (pre-sanitized upstream)
+  * @param reps   sweeps requested
+  * @param sfDir  scale-factor directory the run measured
+  */
+final case class BenchInput(names: Seq[String],
+                            times: Map[String, List[Double]],
+                            errors: Map[String, String],
+                            reps: Int,
+                            sfDir: String) {
+  def timesOf(n: String): List[Double] = times.getOrElse(n, Nil)
+}
+
+object BenchFormat {
+
+  /** Per-sweep wall totals over queries with a FULL rep set only: a
+    * query that fails in sweep k would otherwise contribute to walls
+    * 0..k-1 but not k.. — a compositional step change the documented
+    * reading ("do the sweeps agree?") would misread as machine-state
+    * drift. Errored queries are visible in `errors`; the walls stay a
+    * pure like-for-like drift signal.
+    */
+  def sweepWalls(in: BenchInput): IndexedSeq[Double] =
+    (0 until in.reps).map { s =>
+      in.names.iterator.map(in.timesOf)
+        .collect { case ts if ts.length == in.reps => ts(s) }.sum
+    }
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                case c if c < ' ' => " "; case c => c.toString }
+
+  // Compact seconds: 2 decimals, trailing zeros trimmed ("1.50"->"1.5",
+  // "2.00"->"2"). The harness captures only the LAST 2000 chars of
+  // stdout, and the sbt epilogue line consumes ~70 of them — the whole
+  // metrics line must fit in what remains or its head gets truncated
+  // and never parses (this is exactly what nulled rounds 1-3). At ~90
+  // queries × ~20 chars/entry the 2-decimal form stays under budget.
+  private def sec(v: Double): String = {
+    val s = f"$v%.2f"
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+  }
+
+  /** The tier-selected stdout metrics line. */
+  def metricsLine(in: BenchInput): String = {
+    val results: Seq[(String, Double, Option[String])] = in.names.map { n =>
+      (n, in.timesOf(n).minOption.getOrElse(0.0), in.errors.get(n))
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
+    // total = sum of per-query minima: the steady-state cost of one full
+    // sweep, comparable round-over-round without warm-up skew
+    val total = results.map(_._2).sum
+    // omit the errors map when empty — every byte counts against the tail
+    val errPart = if (errs == "{}") "" else s""","errors":$errs"""
+    // Dispersion (VERDICT r7): per-sweep wall totals — three numbers
+    // that say whether the sweeps agreed at all (~25 chars) — plus a
+    // per-query "spread" map, (max-min) across reps in cs, for the
+    // widest-spread queries. A regressed query with near-zero spread is
+    // a real change; one whose spread swamps the delta is sweep noise.
+    // integer seconds: sweep totals are a did-they-agree signal, not a
+    // measurement — sub-second precision is not worth the bytes
+    val sweepsPart =
+      s""","sweeps":[${sweepWalls(in).map(v => math.round(v)).mkString(",")}]"""
+    // `strip` follows the tier's queries-map key style: full keeps the
+    // q_ prefix, the stripped tiers strip — spread keys must correlate
+    // 1:1 with the adjacent queries map either way.
+    def spreadJson(k: Int, strip: Boolean): String =
+      in.names.flatMap { n =>
+        val ts = in.timesOf(n)
+        if (ts.length >= 2 && ts.max - ts.min >= 0.05)
+          Some((n, math.round((ts.max - ts.min) * 100))) else None
+      }.sortBy(-_._2).take(k)
+        .map { case (n, cs) =>
+          "\"" + (if (strip) n.stripPrefix("q_") else n) + "\":" + cs }
+        .mkString("{", ",", "}")
+    // omit an empty spread map (reps=1, or no query over the 0.05 s floor)
+    def spreadPartOf(k: Int, strip: Boolean = true): String = {
+      val sj = if (k == 0) "{}" else spreadJson(k, strip)
+      if (sj == "{}") "" else s""","spread":$sj"""
+    }
+    def full(sk: Int) = s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":${in.reps}$sweepsPart${spreadPartOf(sk, strip = false)},"queries":$qs$errPart,"sf":"${in.sfDir}"}"""
+    // Failsafes when the corpus outgrows the tail budget (at 100+
+    // queries the full form exceeds it every run): tier 2 re-emits with
+    // the uniform "q_" name prefix stripped (recoverable -- every query
+    // name has it) and 1-decimal seconds; tier 3 (below) goes to integer
+    // centiseconds.
+    val sfShort = in.sfDir.split('/').last
+    def compact(sk: Int) = {
+      val qs1 = results.map { case (k, v, _) =>
+        "\"" + k.stripPrefix("q_") + "\":" + {
+          val s = f"$v%.1f"
+          if (s.endsWith(".0")) s.dropRight(2) else s
+        }
+      }.mkString("{", ",", "}")
+      // every byte counts here: short note, basename-only sf
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":${in.reps}$sweepsPart${spreadPartOf(sk)},"note":"q_ prefix stripped","queries":$qs1$errPart,"sf":"$sfShort"}"""
+    }
+    // Last-resort tier: per-query times as integer CENTISECONDS
+    // ("qunit":"cs"); total stays in seconds. Saves ~2 chars per
+    // sub-second entry over the 1-decimal form.
+    def centi(sk: Int) = {
+      val qs2 = results.map { case (k, v, _) =>
+        "\"" + k.stripPrefix("q_") + "\":" + math.round(v * 100)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":${in.reps}$sweepsPart${spreadPartOf(sk)},"qunit":"cs","note":"q_ stripped; queries in centisec","queries":$qs2$errPart,"sf":"$sfShort"}"""
+    }
+    // Final fallback for a corpus too large for ANY full per-query map
+    // (at 120 queries even centiseconds overflow the tail): keep the
+    // slowest queries individually — they are what perf judgment reads —
+    // and roll the remainder up PER FAMILY (the stripped name's first
+    // '_' token: "tpch", "fuzzagg", "window", …) as a "rest" cs map, so
+    // every centisecond in the line stays round-over-round comparable
+    // at family granularity or better — an opaque scalar remainder
+    // (rounds ≤6 emitted "other_cs") hid ~27% of the total from
+    // regression triage. The total still reconciles: value ≈
+    // Σqueries + Σrest. Greedy by descending time until the line fits.
+    def topTier(budget: Int): String = {
+      val sorted = results.sortBy(-_._2)
+      def render(keep: Int, sk: Int): String = {
+        val (top, rest) = sorted.splitAt(keep)
+        val qs3 = top.map { case (k, v, _) =>
+          "\"" + k.stripPrefix("q_") + "\":" + math.round(v * 100)
+        }.mkString("{", ",", "}")
+        val fams = rest
+          .groupBy { case (k, _, _) => k.stripPrefix("q_").takeWhile(_ != '_') }
+          .map { case (f, xs) => (f, math.round(xs.map(_._2).sum * 100)) }
+          .toSeq.sortBy(t => (-t._2, t._1))
+        val famJson = fams.map { case (f, cs) => "\"" + f + "\":" + cs }
+          .mkString("{", ",", "}")
+        val spreadPart = spreadPartOf(sk)
+        val note = s"q_ stripped;cs;top ${top.size}/${results.size};rest=family" +
+          (if (spreadPart.nonEmpty) ";spread=max-min" else "")
+        s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":${in.reps}$sweepsPart,"qunit":"cs","note":"$note","queries":$qs3$spreadPart,"rest":$famJson$errPart,"sf":"$sfShort"}"""
+      }
+      // Per-query minima are THE artifact the perf judgment reads, but
+      // at 220 queries they alone consume the whole budget and the
+      // spread map never appears — which was the r7 verdict's exact
+      // complaint. Reserve the top-3 spread entries (the queries whose
+      // round-over-round moves are most likely noise — ~70 chars, ≈4
+      // individual slots whose times stay family-visible in `rest`),
+      // fit the query list around them, then grow spread into any
+      // leftover budget. Full per-rep dispersion: bench_detail.json.
+      var keep = sorted.length
+      var out = render(keep, 3)
+      while (out.length > budget && keep > 0) {
+        // shrink in steps proportional to the overflow (~18 chars/entry)
+        keep = math.max(0, keep - math.max(1, (out.length - budget) / 18))
+        out = render(keep, 3)
+      }
+      var sk = 3
+      while (out.length > budget && sk > 0) { sk -= 1; out = render(keep, sk) }
+      while (sk < 10 && {
+        val t = render(keep, sk + 1)
+        if (t.length <= budget) { out = t; true } else false
+      }) sk += 1
+      out
+    }
+    // Tier selection tries each form WITH its spread map first, then
+    // without — a mid-size corpus landing in compact/centi used to lose
+    // per-query dispersion entirely (the exact r7 triage gap), while
+    // the tiers on either side of them carried it.
+    Seq(full(10), full(3), full(0)).find(_.length <= 1800)
+      .orElse(Seq(compact(3), compact(0), centi(3), centi(0))
+        .find(_.length <= 1850))
+      .getOrElse(topTier(1780))
+  }
+
+  /** Full dispersion record, free of the stdout tail budget: EVERY rep
+    * of EVERY query in sweep order (cs) — the file tools/ab.sh and any
+    * regression triage read instead of the compressed line.
+    */
+  def detailLine(in: BenchInput): String = {
+    val qd = in.names.map { n =>
+      "\"" + n + "\":[" + in.timesOf(n).map(t => math.round(t * 100)).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val errs = in.names.flatMap(n => in.errors.get(n).map(e =>
+      "\"" + n + "\":\"" + esc(e) + "\"")).mkString("{", ",", "}")
+    val errPart = if (errs == "{}") "" else s""","errors":$errs"""
+    s"""{"reps":${in.reps},"qunit":"cs","order":"sweep","sweep_wall_s":[${sweepWalls(in).map(v => f"$v%.2f").mkString(",")}],"queries":$qd$errPart,"sf":"${in.sfDir}"}"""
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** The bench metrics line is the round's perf artifact: a malformed or
+  * over-budget line nulls the round (it nulled rounds 1-3). These tests
+  * machine-check every tier's invariants — parseability, the tail
+  * budget, key-style consistency between the queries and spread maps,
+  * total reconciliation, and error-proof sweep walls — without a Spark
+  * run.
+  */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+  private def parse(s: String) = mapper.readTree(s)
+  private def keys(n: com.fasterxml.jackson.databind.JsonNode): Set[String] =
+    n.fieldNames().asScala.toSet
+
+  /** Deterministic synthetic corpus: n queries across a few families,
+    * reps sweep-times each, mild per-sweep jitter.
+    */
+  private def corpus(n: Int, reps: Int = 3): BenchInput = {
+    val names = (0 until n).map(i => s"q_fam${i % 7}_op$i")
+    // per-sweep jitter grows with the query index so some queries
+    // clear the 0.05 s spread floor and others stay under it
+    val times = names.zipWithIndex.map { case (nm, i) =>
+      nm -> List.tabulate(reps)(r => 0.2 + (i % 13) * 0.11 + r * 0.01 * (i % 9))
+    }.toMap
+    BenchInput(names, times, Map.empty, reps, "/root/testdata/sf0.1")
+  }
+
+  test("small corpus: full tier — prefixed keys, spread correlates, sweeps present") {
+    val in = corpus(8)
+    val line = BenchFormat.metricsLine(in)
+    val j = parse(line)
+    assert(j.get("unit").asText() === "sec")
+    assert(!j.has("note"), "small corpus must get the full tier")
+    val qk = keys(j.get("queries"))
+    assert(qk === in.names.toSet, "full tier keeps the q_ prefix")
+    assert(j.get("sweeps").size() === in.reps)
+    // spread keys must be a subset of the queries map's keys — the
+    // round-8 review found them stripped while queries were not
+    if (j.has("spread"))
+      assert(keys(j.get("spread")).subsetOf(qk))
+    val total = in.names.map(n => in.timesOf(n).min).sum
+    assert(math.abs(j.get("value").asDouble() - total) < 0.01)
+  }
+
+  test("every corpus size emits a parseable line within the tail budget") {
+    for (n <- Seq(1, 40, 90, 110, 150, 220, 300)) {
+      val line = BenchFormat.metricsLine(corpus(n))
+      assert(line.length <= 1850, s"n=$n line ${line.length} chars")
+      val j = parse(line) // throws on malformed JSON
+      assert(j.get("metric").asText() === "total", s"n=$n")
+    }
+  }
+
+  test("family-rollup tier: value reconciles with queries + rest") {
+    val in = corpus(300)
+    val j = parse(BenchFormat.metricsLine(in))
+    assert(j.has("rest"), "300 queries must hit the rollup tier")
+    assert(j.get("qunit").asText() === "cs")
+    val qSum = j.get("queries").elements().asScala.map(_.asLong()).sum
+    val rSum = j.get("rest").elements().asScala.map(_.asLong()).sum
+    val entries = j.get("queries").size() + j.get("rest").size()
+    // each entry rounds independently to a centisecond
+    assert(math.abs(j.get("value").asDouble() - (qSum + rSum) / 100.0)
+      <= 0.005 * entries + 0.01)
+    // the reserved spread map must have survived the budget fit
+    assert(j.has("spread"), "rollup tier reserves top-3 spread entries")
+    val stripped = keys(j.get("queries")) ++ keys(j.get("rest"))
+    assert(keys(j.get("spread")).forall(k => !k.startsWith("q_")),
+      "stripped tiers strip spread keys too")
+    assert(stripped.forall(k => !k.startsWith("q_")))
+  }
+
+  test("mid-size corpus keeps dispersion in the stripped tiers") {
+    // the round-8 review's gap: compact/centi previously dropped the
+    // spread map entirely
+    val in = corpus(95)
+    val j = parse(BenchFormat.metricsLine(in))
+    assert(j.has("note") && !j.has("rest"), "95 queries: a stripped flat tier")
+    assert(j.has("spread"))
+    assert(keys(j.get("spread")).subsetOf(keys(j.get("queries"))))
+  }
+
+  test("reps=1 emits no spread map") {
+    val j = parse(BenchFormat.metricsLine(corpus(8, reps = 1)))
+    assert(!j.has("spread"))
+  }
+
+  test("a query failing mid-run is excluded from every sweep wall") {
+    val names = Seq("q_a_1", "q_b_2", "q_c_3")
+    val times = Map(
+      "q_a_1" -> List(1.0, 1.0, 1.0),
+      "q_b_2" -> List(5.0), // failed in sweep 1
+      "q_c_3" -> List(2.0, 2.0, 2.0))
+    val in = BenchInput(names, times,
+      Map("q_b_2" -> "boom"), 3, "/root/testdata/sf0.1")
+    // walls must be like-for-like: the failed query contributes to NO
+    // wall, so all three agree instead of stepping 8 -> 3 -> 3
+    assert(BenchFormat.sweepWalls(in) === IndexedSeq(3.0, 3.0, 3.0))
+    val j = parse(BenchFormat.metricsLine(in))
+    assert(j.get("errors").get("q_b_2").asText() === "boom")
+    val d = parse(BenchFormat.detailLine(in))
+    assert(d.get("errors").get("q_b_2").asText() === "boom")
+    assert(d.get("queries").get("q_b_2").size() === 1)
+  }
+
+  test("detail line records every rep in sweep order") {
+    val in = corpus(8)
+    val d = parse(BenchFormat.detailLine(in))
+    assert(d.get("qunit").asText() === "cs")
+    assert(d.get("sweep_wall_s").size() === in.reps)
+    for (n <- in.names) {
+      val reps = d.get("queries").get(n)
+      assert(reps.size() === in.reps)
+      val expect = in.timesOf(n).map(t => math.round(t * 100))
+      assert(reps.elements().asScala.map(_.asLong()).toList === expect)
+    }
+  }
+}
