@@ -109,6 +109,33 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(d.get("queries").get("q_b_2").size() === 1)
   }
 
+  test("fuzz: random corpora always emit a parseable line inside the budget") {
+    // seeded-Random fuzz (house style): sizes, reps, magnitudes, error
+    // mixes, and name lengths all vary — the invariants may not
+    val rng = new scala.util.Random(11)
+    for (trial <- 0 until 200) {
+      val n = 1 + rng.nextInt(400)
+      val reps = 1 + rng.nextInt(4)
+      val names = (0 until n).map(i =>
+        s"q_f${rng.nextInt(9)}_${"x" * rng.nextInt(12)}$i")
+      val errQs = names.filter(_ => rng.nextDouble() < 0.03).toSet
+      val times = names.map { nm =>
+        val full = List.fill(reps)(rng.nextDouble() * 9)
+        nm -> (if (errQs(nm)) full.take(rng.nextInt(reps)) else full)
+      }.toMap
+      val errors = errQs.map(_ -> "err \"quoted\"\nline").toMap
+      val in = BenchInput(names, times, errors, reps, "/root/testdata/sf0.1")
+      val line = BenchFormat.metricsLine(in)
+      assert(line.length <= 1850, s"trial $trial: ${line.length} chars at n=$n")
+      val j = parse(line)
+      assert(j.get("metric").asText() === "total", s"trial $trial")
+      assert(j.get("sweeps").size() === reps, s"trial $trial")
+      if (errQs.nonEmpty && j.has("errors"))
+        assert(keys(j.get("errors")).nonEmpty)
+      parse(BenchFormat.detailLine(in))
+    }
+  }
+
   test("detail line records every rep in sweep order") {
     val in = corpus(8)
     val d = parse(BenchFormat.detailLine(in))
