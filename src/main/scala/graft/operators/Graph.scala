@@ -60,7 +60,11 @@ object Graph {
     * pass. `n` is passed in (one driver-held scalar, counted once by
     * the caller).
     */
-  def linkEdges(docs: DataFrame, n: Long): DataFrame =
+  def linkEdges(docs: DataFrame, n: Long): DataFrame = {
+    // every Graph entry point funnels through here before any `/ n` or
+    // `% n`: an empty corpus must die with the contract message, not a
+    // bare ArithmeticException (or an ANSI-dependent null modulo)
+    require(n > 0, s"graph over an empty corpus: vertex count n = $n")
     docs.select(col("doc_id").cast("long").as("src"))
       .select(col("src"),
         explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
@@ -69,6 +73,7 @@ object Graph {
         ((col("src") * 131L + col("j") * 17L) % n).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+  }
 
   /** Undirected edge list with u < v, deduplicated. */
   def undirected(edges: DataFrame): DataFrame =
