@@ -102,14 +102,73 @@ object Similarity {
 
   /** The canonical similarity loop — the one IEEE op order every exact
     * path (and the DuckDB oracle's list_reduce fold) agrees on.
+    *
+    * Zero-norm sides score 0.0, NOT NaN: a real zero vector has no
+    * direction, and NaN is a ranking poison — Spark's double ordering
+    * places NaN above every value, so an unguarded 0/0 would crown the
+    * corrupt vector rank-1 neighbor of everything it meets (while the
+    * local insertion lists' `>` comparisons treat NaN as never-beating,
+    * silently disagreeing with the global merge). 0.0 matches
+    * [[unitized]]'s documented zero-norm passthrough: degenerate but
+    * representable data gets a defined neutral answer. Ragged vectors
+    * (length mismatch) fail loudly like every native kernel — a
+    * min-length clamp would deflate the score and launder upstream
+    * corruption into a plausible ranking.
     */
   private def simOf(av: Array[Double], an: Double,
                     bv: Array[Double], bn: Double): Double = {
+    require(av.length == bv.length,
+      s"ragged vector: ${av.length} vs ${bv.length} dims in the exact scorer")
     var acc = 0.0
     var i = 0
-    val n = math.min(av.length, bv.length)
+    val n = av.length
     while (i < n) { acc += av(i) * bv(i); i += 1 }
-    acc / (an * bn)
+    val d = an * bn
+    if (d == 0.0) 0.0 else acc / d
+  }
+
+  /** Column form of [[simOf]]'s zero-norm rule for the join-shaped exact
+    * paths: same dotFast numerator, 0.0 whenever either norm is 0.
+    */
+  private def simCol(av: Column, bv: Column, an: Column, bn: Column): Column = {
+    val d = an * bn
+    when(d === 0.0, lit(0.0)).otherwise(dotFast(av, bv) / d)
+  }
+
+  /** Bounded insertion-list top-k of ONE query row against a candidate
+    * set held as parallel arrays — the single comparator both exact
+    * blocked paths share (sim desc, nid-asc tie-break, identity pair
+    * skipped). Shared so a comparator fix can never apply to one path
+    * and silently diverge the other.
+    */
+  private def localTopK(qid: Long, qv: Array[Double], qn: Double,
+                        ids: Array[Long], vecs: Array[Array[Double]],
+                        nrms: Array[Double], k: Int): Iterator[(Long, Long, Double)] = {
+    val topSim = new Array[Double](k)
+    val topNid = new Array[Long](k)
+    var filled = 0
+    var c = 0
+    while (c < ids.length) {
+      val nid = ids(c)
+      if (nid != qid) {
+        val sim = simOf(qv, qn, vecs(c), nrms(c))
+        val beatsLast = filled < k || sim > topSim(filled - 1) ||
+          (sim == topSim(filled - 1) && nid < topNid(filled - 1))
+        if (beatsLast) {
+          var pos = if (filled < k) filled else k - 1
+          while (pos > 0 && (sim > topSim(pos - 1) ||
+              (sim == topSim(pos - 1) && nid < topNid(pos - 1)))) {
+            topSim(pos) = topSim(pos - 1); topNid(pos) = topNid(pos - 1)
+            pos -= 1
+          }
+          topSim(pos) = sim; topNid(pos) = nid
+          if (filled < k) filled += 1
+        }
+      }
+      c += 1
+    }
+    val f = filled
+    (0 until f).iterator.map(r => (qid, topNid(r), topSim(r)))
   }
 
   /** Fan each row out to its `blocks` block-pair groups. A row in block g
@@ -158,40 +217,22 @@ object Similarity {
                         it: Iterator[((Int, Int), (Long, Array[Double], Double, Int))]) =>
         val (bi, bj) = key
         val rows = it.map(_._2).toArray
-        // top-k insertion list per query row over this group's candidates
-        def topkOf(q: (Long, Array[Double], Double, Int),
-                   cands: Array[(Long, Array[Double], Double, Int)]) = {
-          val (qid, qv, qn, _) = q
-          val topSim = new Array[Double](k)
-          val topNid = new Array[Long](k)
-          var filled = 0
-          var c = 0
-          while (c < cands.length) {
-            val (nid, cv, cn, _) = cands(c)
-            if (nid != qid) {
-              val sim = simOf(qv, qn, cv, cn)
-              val beatsLast = filled < k || sim > topSim(filled - 1) ||
-                (sim == topSim(filled - 1) && nid < topNid(filled - 1))
-              if (beatsLast) {
-                var pos = if (filled < k) filled else k - 1
-                while (pos > 0 && (sim > topSim(pos - 1) ||
-                    (sim == topSim(pos - 1) && nid < topNid(pos - 1)))) {
-                  topSim(pos) = topSim(pos - 1); topNid(pos) = topNid(pos - 1)
-                  pos -= 1
-                }
-                topSim(pos) = sim; topNid(pos) = nid
-                if (filled < k) filled += 1
-              }
-            }
-            c += 1
-          }
-          (0 until filled).iterator.map(r => (qid, topNid(r), topSim(r)))
-        }
-        if (bi == bj) rows.iterator.flatMap(q => topkOf(q, rows))
-        else {
+        // one unzip to parallel arrays per side, then the shared
+        // insertion-list core per query row
+        def cols(rs: Array[(Long, Array[Double], Double, Int)]) =
+          (rs.map(_._1), rs.map(_._2), rs.map(_._3))
+        if (bi == bj) {
+          val (ids, vecs, nrms) = cols(rows)
+          rows.iterator.flatMap { case (qid, qv, qn, _) =>
+            localTopK(qid, qv, qn, ids, vecs, nrms, k) }
+        } else {
           val (side1, side2) = rows.partition(_._4 == bi)
-          side1.iterator.flatMap(q => topkOf(q, side2)) ++
-            side2.iterator.flatMap(q => topkOf(q, side1))
+          val (i1, v1, n1) = cols(side1)
+          val (i2, v2, n2) = cols(side2)
+          side1.iterator.flatMap { case (qid, qv, qn, _) =>
+            localTopK(qid, qv, qn, i2, v2, n2, k) } ++
+            side2.iterator.flatMap { case (qid, qv, qn, _) =>
+              localTopK(qid, qv, qn, i1, v1, n1, k) }
         }
       }.toDF("qid", "nid", "sim")
     // Global merge: every (q,c) pair was scored in exactly one group, so
@@ -234,7 +275,7 @@ object Similarity {
     val scored = anchors.join(cands, Seq("nlabel"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), col("nlabel"),
-        (dotFast(col("qv"), col("nv")) / (col("qnrm") * col("nnrm")))
+        simCol(col("qv"), col("nv"), col("qnrm"), col("nnrm"))
           .as("sim"))
     topK(scored, Seq(("sim", true), ("nid", false)), k)
       .select(col("qid"), col("rank"), col("nid"), col("nlabel"), col("sim"))
@@ -271,32 +312,11 @@ object Similarity {
                         it: Iterator[((Int, Int), (Long, Array[Double], Double, Boolean))]) =>
         val rows = it.map(_._2).toArray
         val (qs, cs) = rows.partition(_._4)
+        val ids = cs.map(_._1)
+        val vecs = cs.map(_._2)
+        val nrms = cs.map(_._3)
         qs.iterator.flatMap { case (qid, qv, qn, _) =>
-          val topSim = new Array[Double](k)
-          val topNid = new Array[Long](k)
-          var filled = 0
-          var c = 0
-          while (c < cs.length) {
-            val (nid, cv, cn, _) = cs(c)
-            if (nid != qid) {
-              val sim = simOf(qv, qn, cv, cn)
-              val beatsLast = filled < k || sim > topSim(filled - 1) ||
-                (sim == topSim(filled - 1) && nid < topNid(filled - 1))
-              if (beatsLast) {
-                var pos = if (filled < k) filled else k - 1
-                while (pos > 0 && (sim > topSim(pos - 1) ||
-                    (sim == topSim(pos - 1) && nid < topNid(pos - 1)))) {
-                  topSim(pos) = topSim(pos - 1); topNid(pos) = topNid(pos - 1)
-                  pos -= 1
-                }
-                topSim(pos) = sim; topNid(pos) = nid
-                if (filled < k) filled += 1
-              }
-            }
-            c += 1
-          }
-          (0 until filled).iterator.map(r => (qid, topNid(r), topSim(r)))
-        }
+          localTopK(qid, qv, qn, ids, vecs, nrms, k) }
       }.toDF("qid", "nid", "sim")
     topK(local, Seq(("sim", true), ("nid", false)), k)
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
@@ -353,7 +373,7 @@ object Similarity {
       .join(slim.as("q"), col("qid") === col("q.id")).drop("id")
       .join(slim.as("c"), col("nid") === col("c.id")).drop("id")
       .select(col("qid"), col("nid"),
-        (dotFast(col("q.v"), col("c.v")) / (col("q.nrm") * col("c.nrm"))).as("sim"))
+        simCol(col("q.v"), col("c.v"), col("q.nrm"), col("c.nrm")).as("sim"))
     topK(scored, Seq(("sim", true), ("nid", false)), k)
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
@@ -430,6 +450,13 @@ object Similarity {
     val train = v.filter(pmod(xxhash64(col("id")), lit(sampleMod)) === 0)
     val seedVecs = train.orderBy("id").limit(nlist)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
+    // same pointed contract as pqTrain/ivfPqSearch: an undersized sample
+    // must not silently train fewer than nlist cells (quietly breaking
+    // the index's recall/cost parameters) or die inside KMeans.lloyd
+    require(seedVecs.length == nlist,
+      s"ivfTopK: training sample has only ${seedVecs.length} vectors for " +
+        s"nlist=$nlist cells (empty or undersized corpus/sample) — " +
+        "lower nlist or sampleMod")
     val centroids = KMeans.lloyd(train.select("id", "v"), "v", seedVecs,
       KMeans.EuclideanSq, maxIter = trainIters).centers
     // one native codegen scan per row for both cell assignment and probe
@@ -449,7 +476,7 @@ object Similarity {
     val scored = queries.join(data, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
-        (dotFast(col("qv"), col("nv")) / (col("qnrm") * col("nnrm"))).as("sim"))
+        simCol(col("qv"), col("nv"), col("qnrm"), col("nnrm")).as("sim"))
     topK(scored, Seq(("sim", true), ("nid", false)), k)
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
@@ -491,7 +518,7 @@ object Similarity {
       .join(slim.as("a"), col("a_id") === col("a.id")).drop("id")
       .join(slim.as("b"), col("b_id") === col("b.id")).drop("id")
       .select(col("a_id"), col("b_id"),
-        (dotFast(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+        simCol(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -520,6 +547,9 @@ object Similarity {
     val v = normed(df, idCol, vecCol)
     val seedVecs = v.orderBy("id").limit(nlist)
       .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(seedVecs.length == nlist,
+      s"semDedupPairs: corpus has only ${seedVecs.length} vectors for " +
+        s"nlist=$nlist cells (empty or undersized corpus) — lower nlist")
     val centroids = KMeans.lloyd(v.select("id", "v"), "v", seedVecs,
       KMeans.EuclideanSq, maxIter = trainIters).centers
     // native codegen cell assign — same kernel (and same exact-dim
@@ -530,7 +560,7 @@ object Similarity {
     cells.as("a").join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        (dotFast(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+        simCol(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 

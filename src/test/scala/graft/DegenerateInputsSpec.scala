@@ -86,6 +86,45 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(err.getMessage.contains("empty"))
   }
 
+  test("zero-norm vectors score 0.0, never NaN — and never outrank real neighbors") {
+    // An all-zeros embedding is representable clean data. Unguarded,
+    // 0/0 = NaN, and Spark's double ordering places NaN above every
+    // value — the corrupt vector would become the rank-1 neighbor of
+    // everything sharing its block/bucket.
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val top1 = Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    for (q <- Seq(1L, 2L, 3L)) {
+      val (nid, sim) = top1(q)
+      assert(!sim.isNaN && sim === 1.0 && nid != 4L,
+        s"query $q picked $nid sim=$sim — zero vector must not outrank real neighbors")
+    }
+    val (_, zsim) = top1(4L)
+    assert(zsim === 0.0, s"zero-norm query must score 0.0, got $zsim")
+    // pair path: a positive threshold excludes the zero vector entirely
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("ragged vectors fail loudly in the exact blocked scorer") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 1).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("ragged vector"), msgs)
+  }
+
   test("graph operators refuse an empty corpus with a pointed message") {
     // every Graph entry point divides or mods by the vertex count n;
     // n = 0 must be the contract message, not ArithmeticException
@@ -93,6 +132,11 @@ class DegenerateInputsSpec extends SparkSpec {
       graft.operators.Graph.pageRankScores(emptyDocs, n = 0)
     }
     assert(e.getMessage.contains("empty corpus"), e.getMessage)
+    // a STALE vertex count (n > 0, docs empty) passes the guard; the
+    // suite must then return empty like its siblings — hits' L1
+    // normalize used to NPE on the null sum-over-zero-rows
+    assert(graft.operators.Graph.hits(emptyDocs, n = 5).count() === 0)
+    assert(graft.operators.Graph.pageRankScores(emptyDocs, n = 5).count() === 0)
   }
 
   test("training operators refuse an empty corpus with a pointed message") {
