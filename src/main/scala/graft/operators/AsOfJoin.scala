@@ -65,6 +65,14 @@ object AsOfJoin {
                    tsCol: String, seqCol: String, valueCols: Seq[String],
                    forward: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    // fail fast on collision with the operator's scratch columns rather
+    // than silently overwriting (and then emitting) caller data — the
+    // same contract as Sampling.samplePerKey / balancedSample / Skew
+    for (c <- Seq("_side", "_seq", "_p", "_pc"); (df, side) <- Seq(
+        (left, "left"), (right, "right")))
+      require(!df.columns.contains(c),
+        s"asOf: $side input already has a '$c' column " +
+          "(reserved for the operator's scratch state) — rename it")
     val leftCols = left.columns.toSeq
     // The payload travels as ONE struct per right row (non-null on every
     // right row via the `_m` marker, null on left rows). `last(_, ignore
@@ -91,15 +99,25 @@ object AsOfJoin {
         leftCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(lit(1).as("_m") +: valueCols.map(c => col(c).as(c)): _*).as("_p"): _*)
-    val wBase = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("_side"), col("_seq"))
-    val carried = r.unionByName(l).withColumn("_pc",
+    // BOTH directions run a RUNNING frame (unboundedPreceding →
+    // currentRow, O(rows) per key group): forward is the exact mirror —
+    // all three sort keys reversed, so "first right row at-or-after in
+    // ascending order" ≡ "last right row at-or-before in descending
+    // order", with the same tie rules (right before left at equal ts;
+    // smallest seq wins = last in seq-descending order). The literal
+    // `first() over (currentRow, unboundedFollowing)` spelling hits
+    // Spark's UnboundedFollowing frame, which RECOMPUTES the aggregate
+    // per row — O(rows²) in a key group, hours on one hot key at scale.
+    val wBase =
       if (forward)
-        first(col("_p"), ignoreNulls = true).over(
-          wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        Window.partitionBy(keyCol)
+          .orderBy(col(tsCol).desc, col("_side").desc, col("_seq").desc)
       else
-        last(col("_p"), ignoreNulls = true).over(
-          wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        Window.partitionBy(keyCol)
+          .orderBy(col(tsCol), col("_side"), col("_seq"))
+    val carried = r.unionByName(l).withColumn("_pc",
+      last(col("_p"), ignoreNulls = true).over(
+        wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     carried.filter(col("_side") === lSide)
       .select(leftCols.map(col) ++
         valueCols.map(c => col("_pc").getField(c).as(s"asof_$c")): _*)

@@ -81,4 +81,25 @@ class AsOfJoinSpec extends SparkSpec {
     // nearest following right row is ts=1: (null, 1) — never (b, 1)
     assert(out(0) === Row(1L, 0L, null, 1))
   }
+
+  test("forward as-of runs a RUNNING window frame, never unbounded-following") {
+    // Spark's UnboundedFollowing frame recomputes the aggregate per row
+    // — O(rows²) per key group; the forward direction must use the
+    // descending-sort mirror of backward's running frame instead
+    val left = Seq((1L, 0L)).toDF("k", "ts")
+    val right = Seq((1L, 1L, 1L, "a")).toDF("k", "ts", "seq", "v")
+    val plan = AsOfJoin.asOfForward(left, right, "k", "ts", "seq", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("unboundedfollowing")
+      && !plan.contains("UNBOUNDED FOLLOWING"), plan.take(800))
+  }
+
+  test("scratch-column collisions fail fast instead of corrupting output") {
+    val left = Seq((1L, 0L, 9L)).toDF("k", "ts", "_seq")
+    val right = Seq((1L, 1L, 1L, "a")).toDF("k", "ts", "seq", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, "k", "ts", "seq", Seq("v"))
+    }
+    assert(e.getMessage.contains("_seq"), e.getMessage)
+  }
 }
