@@ -173,6 +173,11 @@ object Components {
       maxIter: Int): (DataFrame, Int) = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
+    // all endpoint vertices BEFORE the self-loop filter: a vertex whose
+    // only edge is (u, u) must still be labeled (comp = u), matching
+    // hash-to-min's contract — the contraction below never sees it
+    val verts = edges.select(a.as("id"))
+      .union(edges.select(b.as("id"))).distinct()
     var ee = edges.select(a.as("u"), b.as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
@@ -236,8 +241,12 @@ object Components {
         s"connectedComponentsStar did not converge in $maxIter rounds — " +
           "log2(n) + slack should suffice; raise maxIter")
     // fixpoint edge set is (member, root) stars; roots get self-labels
-    val labels = ee.select(col("u").as("id"), col("v").as("comp"))
+    val starLabels = ee.select(col("u").as("id"), col("v").as("comp"))
       .union(ee.select(col("v").as("id"), col("v").as("comp")).distinct())
-    (labels, iter)
+    // self-loop-only vertices (dropped by the contraction's u != v
+    // filter) label themselves — one anti-join over the vertex set
+    val selfOnly = verts.join(starLabels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    (starLabels.union(selfOnly), iter)
   }
 }

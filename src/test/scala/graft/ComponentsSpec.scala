@@ -64,7 +64,13 @@ class ComponentsSpec extends SparkSpec {
       Seq((3L, 2L), (2L, 1L), (10L, 11L)),
       Seq((5L, 7L)),
       Seq((1L, 2L), (2L, 3L), (3L, 1L), (7L, 8L)), // triangle + pair
-      Seq((4L, 4L), (4L, 9L))                      // self-loop ignored
+      Seq((4L, 4L), (4L, 9L)),                     // self-loop ignored
+      // self-loop-ONLY vertex: the contraction's u != v filter drops the
+      // edge, but the vertex must still be labeled (comp = itself) —
+      // hash-to-min labels it, and a dedup pipeline swapping variants
+      // must not silently lose its survivor row
+      Seq((5L, 5L)),
+      Seq((5L, 5L), (1L, 2L))
     )
     cases.foreach { es => assert(starComps(es) === comps(es), s"edges=$es") }
   }
