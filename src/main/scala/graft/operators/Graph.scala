@@ -231,7 +231,10 @@ object Graph {
     def l1normalize(scores: DataFrame, c: String): DataFrame = {
       val p = scores.persist()
       cached += p
-      val tot = p.agg(sum(col(c))).collect()(0).getLong(0)
+      // sum over ZERO rows is SQL null — coalesce so a caller passing a
+      // stale n with an empty docs side gets the empty result the rest
+      // of the suite returns, not a bare NullPointerException
+      val tot = p.agg(coalesce(sum(col(c)), lit(0L))).collect()(0).getLong(0)
       // Scala's / on Long IS floor-toward-zero integer division over
       // positives — identical to the previous in-plan `_tot div 1000000L`.
       // max(1L, ·) guards the tiny-graph case where the global sum is
@@ -286,6 +289,7 @@ object Graph {
     import spark.implicits._
     val edges = linkEdges(docs, n)
     var reached: DataFrame = Seq((source, 0)).toDF("id", "dist")
+    var prevCkpt: DataFrame = null
     for (depth <- 1 to maxDepth) {
       val frontier = reached.filter(col("dist") === depth - 1)
       val next = frontier
@@ -293,6 +297,20 @@ object Graph {
         .select(col("dst").as("id"), lit(depth).as("dist"))
       reached = reached.unionAll(next)
         .groupBy("id").agg(min("dist").as("dist"))
+      // `reached` is referenced TWICE per round (filter + unionAll), so
+      // the lazy plan doubles per superstep — 2^depth lineage copies is
+      // the plan-explosion failure mode Components.scala checkpoints
+      // against. Truncate every 5 rounds: the shallow default stays ONE
+      // lazy job (no materialization, unchanged plan), a deep walk's
+      // plan is bounded at 2^5 copies between checkpoints. Previous
+      // checkpoint blocks are dropped only once a successor exists
+      // (a localCheckpointed plan cannot be recomputed after unpersist).
+      if (depth % 5 == 0 && depth < maxDepth) {
+        val ck = reached.localCheckpoint()
+        if (prevCkpt ne null) prevCkpt.unpersist(blocking = false)
+        prevCkpt = ck
+        reached = ck
+      }
     }
     reached.select(col("id").as("doc_id"), col("dist").cast("long").as("dist"))
   }

@@ -112,6 +112,21 @@ class GraphSpec extends SparkSpec {
     assert(dist.values.forall(x => x >= 0L && x <= 4L))
   }
 
+  test("bfs: a deep walk (maxDepth 14) stays plan-bounded and agrees on shallow depths") {
+    // `reached` is referenced twice per superstep, so without periodic
+    // lineage truncation the plan doubles per round (2^14 copies here —
+    // the Components-documented driver-heap failure). The periodic
+    // localCheckpoint must not change any distance.
+    val shallow = Graph.bfsDepths(docsDf, n, source = 0L, maxDepth = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dist")).toMap
+    val deep = Graph.bfsDepths(docsDf, n, source = 0L, maxDepth = 14)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dist")).toMap
+    // a vertex at true distance <= 4 has the same distance in both runs
+    shallow.foreach { case (id, d) => if (d < 4L) assert(deep(id) === d) }
+    assert(deep.values.forall(x => x >= 0L && x <= 14L))
+    assert(deep.size >= shallow.size)
+  }
+
   test("degree distribution: each direction's histogram sums to |V|") {
     val rows = graft.queries.GraphQueries.defs("q_degree_dist")(spark, sf)
       .collect()
