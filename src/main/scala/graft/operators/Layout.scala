@@ -84,8 +84,19 @@ object Layout {
     */
   def compact(spark: org.apache.spark.sql.SparkSession,
               inDir: String, outDir: String, targetBytes: Long): Int = {
-    val bytes = new java.io.File(inDir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // size via the Hadoop FileSystem of the path, not java.io.File:
+    // the stated production use is hdfs://, s3a://, … partition dirs,
+    // where a local listFiles() returns null and NPEs — and the same
+    // reader below already resolves any Hadoop FS. Recursive walk so
+    // nested layouts count fully instead of collapsing to n = 1.
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var bytes = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir).repartition(n)
       .write.mode("overwrite").parquet(outDir)
