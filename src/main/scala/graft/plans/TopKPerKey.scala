@@ -74,7 +74,13 @@ object TopKPerKeyNode {
     def attr(n: String): Attribute = plan.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(
         s"column $n not in ${plan.output.map(_.name).mkString(",")}"))
-    val keys = keyCols.map(attr(_).asInstanceOf[Expression])
+    // floating keys are canonicalized (NaN bit patterns, -0.0 → 0.0):
+    // the optimizer's NormalizeFloatingNumbers rule covers only
+    // Aggregate/Window/Join, not custom nodes, and the final exec
+    // detects key runs by UnsafeRow BYTE equality while the planner's
+    // sort orders -0.0 equal to 0.0 — unnormalized, one logical group
+    // arrives interleaved and the rank counter resets mid-run
+    val keys = keyCols.map(n => Bridge.normalizeFloat(attr(n)))
     val order = orderSpec.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }

@@ -23,4 +23,14 @@ object Bridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Spark's own NaN/-0.0 canonicalization (a no-op for expressions that
+    * need none). The optimizer applies it to Aggregate/Window/Join keys
+    * only — a CUSTOM grouping operator (graft.plans.TopKPerKeyNode) must
+    * apply it itself, or byte-equality on its projected keys splits
+    * 0.0 / -0.0 (and distinct NaN bit patterns) into separate groups
+    * that SQL ordering then interleaves.
+    */
+  def normalizeFloat(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

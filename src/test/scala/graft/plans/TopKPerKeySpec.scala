@@ -108,4 +108,21 @@ class TopKPerKeySpec extends SparkSpec {
       assert(out.filter(_._1 == key).map(_._2).sorted === Seq(0L, 1L, 2L))
     }
   }
+
+  test("-0.0 and 0.0 group keys are ONE group (floating keys normalized)") {
+    // Spark's NormalizeFloatingNumbers rule covers Aggregate/Window/Join
+    // only; the sort orders -0.0 equal to 0.0 but the final exec's
+    // byte-equality run detection would split the interleaved run and
+    // reset the rank counter — emitting up to 2k rows for one group.
+    import spark.implicits._
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (-0.0, 4L), (1.5, 9L))
+      .toDF("key", "seq")
+    val out = TopKPerKeyNode.topKPerKey(df, Seq("key"),
+        Seq(("seq", false)), k = 3)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getInt(2)))
+    val zeroGroup = out.filter(_._1 == 0.0)
+    assert(zeroGroup.map(t => (t._2, t._3)).sorted === Seq((1L, 1), (2L, 2), (3L, 3)),
+      s"zero-key group split: ${zeroGroup.mkString(",")}")
+    assert(out.filter(_._1 == 1.5).map(_._3).toSeq === Seq(1))
+  }
 }
