@@ -36,12 +36,17 @@ object GoldenFormat {
     // Spark names the file part-00000-<uuid>.txt; golden layout wants a
     // stable name (the driver of the reference read part files by prefix).
     val d = Paths.get(dir)
-    Files.list(d).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-"))
-      .foreach { p =>
-        Files.move(p, d.resolve("part-00000"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+    // Files.list holds an open directory handle — close it (try/finally)
+    // or every golden write leaks one fd until GC
+    val listing = Files.list(d)
+    try {
+      listing.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-"))
+        .foreach { p =>
+          Files.move(p, d.resolve("part-00000"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+    } finally listing.close()
   }
 
   /** Read a written part file back as UTF-8 lines (test helper). */

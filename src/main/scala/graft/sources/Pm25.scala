@@ -26,11 +26,19 @@ object Pm25 {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val hours = (0 until 24).map(h => col(s"h$h").cast(DoubleType))
+    // each cell coalesced to "" BEFORE concat_ws: concat_ws skips null
+    // arguments TOGETHER WITH their separators, so a line with an empty
+    // cell would re-render one column short — silently shifting every
+    // later hour left and breaking the byte-exact golden-replay
+    // contract `raw` exists for (an empty CSV cell parses as null and
+    // renders back as the empty string, byte-faithful for this
+    // quote-free fixture class)
     spark.read.schema(schema).csv(path)
       .withColumn("vec", array(hours: _*))
       .withColumn("raw", concat_ws(",",
         (Seq(col("date"), col("station"), col("metric")) ++
-          (0 until 24).map(h => col(s"h$h"))): _*))
+          (0 until 24).map(h => col(s"h$h").cast(StringType)))
+          .map(c => coalesce(c, lit(""))): _*))
   }
 
   /** Headerless all-numeric rows (variant 2's model, kmeans.java:193-203):

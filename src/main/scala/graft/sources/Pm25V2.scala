@@ -34,6 +34,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Usage: `spark.read.format(classOf[Pm25V2].getName).load(path)`.
   */
+object Pm25V2 {
+  /** Rebuild a Configuration from serialized props — the ONE definition
+    * both the driver-side listing and the executor-side readers use, so
+    * they can never drift apart.
+    */
+  private[sources] def confOf(props: Map[String, String]): Configuration = {
+    val c = new Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+}
+
 class Pm25V2 extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     Pm25.schema
@@ -78,11 +90,7 @@ private[sources] class Pm25Scan(path: String, required: StructType)
       .sparkContext.hadoopConfiguration
     conf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap
   }
-  private def hadoopConf(): Configuration = {
-    val c = new Configuration(false)
-    hadoopProps.foreach { case (k, v) => c.set(k, v) }
-    c
-  }
+  private def hadoopConf(): Configuration = Pm25V2.confOf(hadoopProps)
   override def readSchema(): StructType = required
   override def description(): String =
     s"pm25 cols=[${required.fieldNames.mkString(",")}]"
@@ -90,9 +98,14 @@ private[sources] class Pm25Scan(path: String, required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(hadoopConf())
+    // skip metadata/hidden files (_SUCCESS, .part-*.tmp, checksums) the
+    // way Spark's built-in file sources do — an in-flight or orphaned
+    // temp file in the directory must not be parsed as data
     val files =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath)
+          .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+          .map(_.toString)
       else Array(path)
     files.map(f => Pm25Partition(f): InputPartition)
   }
@@ -124,8 +137,7 @@ private[sources] class Pm25Reader(file: String, requiredNames: Array[String],
 
   private val in = {
     val p = new Path(file)
-    val conf = new Configuration(false)
-    hadoopProps.foreach { case (k, v) => conf.set(k, v) }
+    val conf = Pm25V2.confOf(hadoopProps)
     val fs = p.getFileSystem(conf)
     new java.io.BufferedReader(new java.io.InputStreamReader(fs.open(p), "UTF-8"))
   }
@@ -143,7 +155,11 @@ private[sources] class Pm25Reader(file: String, requiredNames: Array[String],
         val t = if (fieldIdx(j) < toks.length) toks(fieldIdx(j)).trim else null
         vals(j) =
           if (t == null || t.isEmpty) null
-          else if (isInt(j)) t.toInt
+          // toIntOption, not toInt: the CSV-based Pm25.read is
+          // permissive (a non-numeric cell parses as null) and the two
+          // readers are parity-tested over the same declared layout —
+          // this one must not crash the job where its sibling yields null
+          else if (isInt(j)) t.toIntOption.map(Int.box).orNull
           else UTF8String.fromString(t)
         j += 1
       }

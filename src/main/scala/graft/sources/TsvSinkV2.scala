@@ -65,6 +65,15 @@ private[sources] class TsvSinkTable(path: String, writeSchema: StructType)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
+        // reject unsupported column types at BUILD time: the per-row
+        // check in fmt still guards, but without this a full
+        // distributed job launches, opens temp files on every task,
+        // and fails row-by-row for an error knowable before any task
+        for (f <- info.schema().fields)
+          if (!TsvDataWriter.supported(f.dataType))
+            throw new UnsupportedOperationException(
+              s"TsvSinkV2 supports atomic columns only, got " +
+                s"${f.name}: ${f.dataType}")
         override def toBatch: BatchWrite =
           new TsvBatchWrite(path, info.schema())
       }
@@ -163,4 +172,14 @@ private[sources] class TsvDataWriter(dir: String, schema: StructType,
     temp.delete()
   }
   override def close(): Unit = out.close()
+}
+
+private[sources] object TsvDataWriter {
+  /** The type set fmt renders — kept next to the writer so the
+    * build-time validation and the per-row formatter cannot drift.
+    */
+  def supported(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DoubleType | BooleanType | StringType => true
+    case _ => false
+  }
 }

@@ -89,6 +89,19 @@ class KMeansGoldenSpec extends SparkSpec {
     assert(got.map(_.toSeq).toSeq === seeds.map(_.toSeq).toSeq)
   }
 
+  test("raw column preserves separators around empty cells (byte-exact replay)") {
+    // concat_ws skips null arguments WITH their separators, so without
+    // per-cell coalesce a line with an empty hour cell re-rendered one
+    // column short — every later hour shifted left
+    val dir = Files.createTempDirectory("pm25-empty-cell")
+    val line = "2015/01/01,Dali,PM2.5," +
+      ("" +: Seq.fill(22)("7") :+ "9").mkString(",")
+    Files.write(dir.resolve("rows.csv"),
+      Seq(line).asJava, StandardCharsets.UTF_8)
+    val raw = Pm25.read(spark, dir.toString).select("raw").head.getString(0)
+    assert(raw === line)
+  }
+
   test("v1 golden centroids: means after 5 iterations render byte-exact") {
     // golden line i = cluster i+1 (single reducer, keys sorted); the date
     // prefix is the order-dependent rep-row bug (KMeans.repRows doc) — the

@@ -34,4 +34,26 @@ class Pm25V2Spec extends SparkSpec {
     val got = v2.agg(sum("h0"), max("h23")).head
     assert(got === want)
   }
+
+  test("dirty cells parse as null (CSV-reader parity) and hidden files are skipped") {
+    // Both readers present the same declared layout, so they must agree
+    // on the same bytes: a non-numeric hour cell yields null (permissive
+    // CSV semantics), never a task-killing NumberFormatException — and
+    // _SUCCESS / .tmp metadata files are data to neither.
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("pm25v2-dirty")
+    Files.writeString(dir.resolve("data.txt"),
+      "2015/01/01,X,PM2.5," + ("NA" +: Seq.fill(23)("7")).mkString(",") + "\n" +
+      "2015/01/02,X,PM2.5," + Seq.fill(24)("5").mkString(",") + "\n")
+    Files.writeString(dir.resolve("_SUCCESS"), "")
+    Files.writeString(dir.resolve(".part-00000.tmp"), "garbage\tline\n")
+    val cols = Pm25.schema.fieldNames.map(col).toSeq
+    val viaCsv = Pm25.read(spark, dir.toString).select(cols: _*)
+      .collect().map(_.toString).sorted
+    val viaV2 = spark.read.format(classOf[Pm25V2].getName).load(dir.toString)
+      .select(cols: _*).collect().map(_.toString).sorted
+    assert(viaV2.length === 2, viaV2.mkString("; "))
+    assert(viaV2.toSeq === viaCsv.toSeq)
+    assert(viaV2.exists(_.contains("null")))
+  }
 }

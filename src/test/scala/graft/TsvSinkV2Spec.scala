@@ -94,4 +94,20 @@ class TsvSinkV2Spec extends SparkSpec {
     assert(back.filter(col("s").isNull).select("id")
       .collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
+  test("unsupported column types are rejected at write-build time, before any task") {
+    val dir = tmpDir()
+    import spark.implicits._
+    val src = Seq((1L, new java.sql.Timestamp(0L))).toDF("id", "ts")
+    val e = intercept[Exception] {
+      src.write.format(classOf[TsvSinkV2].getName).mode("append").save(dir)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("atomic columns only"), msgs)
+    // build-time rejection: the job never launched, so no task ever
+    // opened a temp file in the target directory
+    val leftovers = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+    assert(leftovers.isEmpty, leftovers.map(_.getName).mkString(","))
+  }
+
 }
