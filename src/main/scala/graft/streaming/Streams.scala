@@ -69,7 +69,19 @@ object Streams {
     * which is the parity oracle and the DuckDB-checked batch projection.
     */
   def clickPurchaseJoin(events: DataFrame, horizon: String = "24 hours",
-                        delay: String = "10 minutes"): DataFrame = {
+                        delay: String = "10 minutes"): DataFrame =
+    clickPurchaseJoined(events, horizon, delay, "inner")
+      .select(col("click_id"), col("p_id"), col("user_id"),
+        round(col("value"), 6).as("value"))
+
+  /** The ONE click→purchase interval-join definition both variants
+    * share: the inner and left-outer results must stay semantically
+    * identical up to join type for the outer variant's parity oracle to
+    * hold, so the sides and the horizon condition are defined exactly
+    * once.
+    */
+  private def clickPurchaseJoined(events: DataFrame, horizon: String,
+                                  delay: String, joinType: String): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("c_ts"))
@@ -79,11 +91,10 @@ object Streams {
         col("ts").as("p_ts"), col("value"))
       .withWatermark("p_ts", delay)
     clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("p_ts") >= col("c_ts") - expr(s"INTERVAL $horizon") &&
-          col("p_ts") <= col("c_ts"))
-      .select(col("click_id"), col("p_id"), col("user_id"),
-        round(col("value"), 6).as("value"))
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr(s"INTERVAL $horizon") &&
+        col("p_ts") <= col("c_ts"),
+      joinType)
   }
 
   /** LEFT OUTER stream-stream interval join: same click→purchase window
@@ -100,23 +111,10 @@ object Streams {
     * is checkable downstream.
     */
   def clickPurchaseJoinOuter(events: DataFrame, horizon: String = "24 hours",
-                             delay: String = "10 minutes"): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts").as("c_ts"))
-      .withWatermark("c_ts", delay)
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-        col("ts").as("p_ts"), col("value"))
-      .withWatermark("p_ts", delay)
-    clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("p_ts") >= col("c_ts") - expr(s"INTERVAL $horizon") &&
-          col("p_ts") <= col("c_ts"),
-        "leftOuter")
+                             delay: String = "10 minutes"): DataFrame =
+    clickPurchaseJoined(events, horizon, delay, "leftOuter")
       .select(col("click_id"), col("c_ts"), col("p_id"), col("user_id"),
         round(col("value"), 6).as("value"))
-  }
 
   /** Stream–static broadcast join: enrich each event with its user's
     * dimension attributes. STATELESS — unlike a stream-stream join there
@@ -183,23 +181,6 @@ object Streams {
 
   case class UserMax(user_id: Long, max_value: Double)
 
-  /** Custom keyed state via `mapGroupsWithState`: running max value per
-    * user, state = one double per key (constant per key — the bounded-
-    * state discipline from SURVEY §2A's anti-pattern note). Emits the
-    * updated max for every key seen in the micro-batch (update mode).
-    * The same function on a batch Dataset (empty initial state, one
-    * "batch") degenerates to groupBy(user).max(value) — parity-tested.
-    *
-    * State per key is constant-size, but KEY CARDINALITY is not — at
-    * 100 TB/day of events an untimed state store grows with every user
-    * ever seen. The event-time timeout evicts a key once the watermark
-    * passes `last event ts + idleTimeout`: the timed-out callback emits a
-    * final snapshot and removes the state, so the store holds only keys
-    * active within the idle horizon. Streaming callers must therefore
-    * apply `withWatermark` on `ts` upstream (event-time timeouts require
-    * one); in batch execution the timeout never fires and the function
-    * still degenerates to groupBy/max.
-    */
   /** The same running-max through Spark 4's `transformWithState` — the
     * successor API to mapGroupsWithState: typed per-key state handles
     * (ValueState/ListState/MapState) with optional TTL, timers, and a
@@ -233,11 +214,34 @@ object Streams {
         OutputMode.Update())
   }
 
+  /** Custom keyed state via `mapGroupsWithState`: running max value per
+    * user, state = one double per key (constant per key — the bounded-
+    * state discipline from SURVEY §2A's anti-pattern note). Emits the
+    * updated max for every key seen in the micro-batch (update mode).
+    * The same function on a batch Dataset (empty initial state, one
+    * "batch") degenerates to groupBy(user).max(value) — parity-tested.
+    *
+    * State per key is constant-size, but KEY CARDINALITY is not — at
+    * 100 TB/day of events an untimed state store grows with every user
+    * ever seen. The event-time timeout evicts a key once the watermark
+    * passes `last event ts + idleTimeout`: the timed-out callback emits a
+    * final snapshot and removes the state, so the store holds only keys
+    * active within the idle horizon. Streaming callers must therefore
+    * apply `withWatermark` on `ts` upstream (event-time timeouts require
+    * one); in batch execution the timeout never fires and the function
+    * still degenerates to groupBy/max.
+    */
   def runningMaxPerUser(spark: SparkSession, events: DataFrame,
                         idleTimeout: String = "30 minutes"): Dataset[UserMax] = {
     import spark.implicits._
     val idleMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(idleTimeout))
+    // month/year intervals are calendar-ambiguous (and were silently
+    // dropped here, turning "1 month" into a 0 ms horizon that evicted
+    // every key at the first watermark) — reject them up front
+    require(idleMs.months == 0,
+      s"idleTimeout '$idleTimeout': month/year intervals are " +
+        "calendar-ambiguous for an idle horizon — use days/hours/minutes")
     val idleMillis = idleMs.days * 86400000L + idleMs.microseconds / 1000L
     events.select(col("user_id"), col("value"), col("ts"))
       .as[(Long, Double, java.sql.Timestamp)]

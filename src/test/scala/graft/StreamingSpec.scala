@@ -149,6 +149,16 @@ class StreamingSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
   }
 
+  test("month-based idle timeouts are rejected, not silently zeroed") {
+    // CalendarInterval.months was dropped by the millis conversion,
+    // turning "1 month" into a 0 ms idle horizon that evicted every key
+    // at the first watermark
+    val e = intercept[IllegalArgumentException] {
+      Streams.runningMaxPerUser(spark, batchEvents, idleTimeout = "1 month")
+    }
+    assert(e.getMessage.contains("calendar-ambiguous"), e.getMessage)
+  }
+
   test("session window parity: stream == batch") {
     runToCompletion("t_session", OutputMode.Complete()) {
       Streams.sessionAgg(
