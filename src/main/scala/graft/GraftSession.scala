@@ -4,11 +4,14 @@ import org.apache.spark.sql.SparkSession
 
 /** Session factory for the graft engine.
   *
-  * Tuned for correctness-reproducibility (UTC, ANSI off) and for the
-  * local[32] harness while keeping every knob meaningful on a real
-  * cluster: AQE handles runtime re-planning (skew joins, shuffle
-  * coalescing) identically on 32 local threads or 1000 executors;
-  * `shuffle.partitions` is only the pre-AQE initial value.
+  * Tuned for correctness-reproducibility (UTC; Spark 4's default ANSI
+  * mode is kept ON — errors over silent wraps/nulls, and every engine
+  * expression is written to be overflow-free under it, e.g.
+  * Sampling.bucketOf's split multiply) and for the local[32] harness
+  * while keeping every knob meaningful on a real cluster: AQE handles
+  * runtime re-planning (skew joins, shuffle coalescing) identically on
+  * 32 local threads or 1000 executors; `shuffle.partitions` is only
+  * the pre-AQE initial value.
   */
 object GraftSession {
   def builder(master: String = s"local[${defaultCpus}]",

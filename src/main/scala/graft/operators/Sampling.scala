@@ -12,9 +12,10 @@ import org.apache.spark.sql.types.LongType
   * speculative execution (the same row can land in both splits), and
   * cannot be verified by an external oracle. The Knuth multiplicative
   * hash `(key * 2654435761) mod 2^32` is uniform enough for split work,
-  * overflow-free in 64-bit for any int key (ANSI-safe), and replicable
-  * in one line of SQL on any engine — which is what makes these the only
-  * sampling primitives in the engine with a full hash-verified oracle.
+  * evaluated overflow-free for ANY key under ANSI mode (split partial
+  * products — see [[bucketOf]]), and replicable in one line of SQL on
+  * any engine — which is what makes these the only sampling primitives
+  * in the engine with a full hash-verified oracle.
   *
   * All three are narrow, per-row column expressions (no shuffle except
   * the explicit sort in [[epochShuffle]]) — they run unchanged on 100 TB.
@@ -27,18 +28,48 @@ object Sampling {
   private val KnuthA = 2654435761L // 2^32 * golden-ratio conjugate
   private val M = 4294967296L      // 2^32
 
-  /** Uniform bucket in [0, 2^32) from an integer key column; mixing a
-    * `seed` yields an independent assignment (different epochs/splits).
-    *
-    * Overflow note: for keys ≳ 2^63/a ≈ 3.5e9 the 64-bit product wraps —
-    * harmlessly: wrapping is reduction mod 2^64, and 2^32 divides 2^64,
-    * so `pmod(wrapped, 2^32)` equals the true product mod 2^32. External
-    * oracles must either wrap the same way or compute the product in
-    * wider integer arithmetic (e.g. DuckDB HUGEINT) before the mod —
-    * engines that ERROR on BIGINT overflow diverge otherwise.
+  /** Multiplier for a given seed: seed 0 is the canonical Knuth
+    * constant; other seeds derive a DIFFERENT odd 32-bit multiplier
+    * (LCG-mixed, same device as [[Dedup.hashCoeffs]]), so each seed is
+    * a genuinely different hash function. The previous `(key + seed)·A`
+    * form was affine in the seed — b_s(k) = b_0(k) + s·A (mod 2^32) —
+    * so every "independent" assignment was a constant rotation of
+    * seed 0's: epoch shuffles were cyclic rotations of each other, and
+    * two same-fraction samples at different seeds could be fully
+    * disjoint where independence predicts proportional overlap.
+    * Oracles replicate a given seed by inlining this multiplier value.
     */
-  def bucketOf(key: Column, seed: Long = 0L): Column =
-    pmod((key.cast("long") + lit(seed)) * lit(KnuthA), lit(M))
+  private[graft] def mixedMultiplier(seed: Long): Long =
+    if (seed == 0L) KnuthA
+    else {
+      val x = seed * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 32) | 1L) & 0xFFFFFFFFL // odd, 32-bit
+    }
+
+  /** Uniform bucket in [0, 2^32) from an integer key column; `seed`
+    * selects an independent hash function ([[mixedMultiplier]] — the
+    * per-row expression is still one multiply + mod with a literal
+    * multiplier).
+    *
+    * ANSI-safe at ANY key value: the key is pre-reduced mod 2^32 and
+    * the multiply is split into 16-bit-bounded partial products (each
+    * < 2^48), because the session runs Spark 4's default ANSI mode,
+    * where the former single `key·a` multiply is an ARITHMETIC_OVERFLOW
+    * error for keys ≳ 2^63/a ≈ 3.5e9 rather than a harmless wrap.
+    * Values are IDENTICAL to the single-multiply form for every key
+    * (exact congruence mod 2^32), so seed-0 oracles spell the plain
+    * `(key·a) % 2^32` in wider integer arithmetic (DuckDB HUGEINT) as
+    * before.
+    */
+  def bucketOf(key: Column, seed: Long = 0L): Column = {
+    val a = mixedMultiplier(seed)
+    val x = pmod(key.cast("long"), lit(M))
+    // bitwise split, NOT `/`: Column `/` is DOUBLE division in Spark SQL
+    val xlo = x.bitwiseAND(lit(65535L))
+    val xhi = shiftrightunsigned(x, 16)
+    pmod(xlo * lit(a) + (xhi * lit(a)).bitwiseAND(lit(65535L)) * lit(65536L),
+      lit(M))
+  }
 
   /** Deterministic Bernoulli-style sample: keeps a row iff its key's
     * bucket falls under `fraction`. Same key → same decision, on every
@@ -94,11 +125,20 @@ object Sampling {
                  seed: Long = 0L): Column = {
     val b = bucketOf(key, seed)
     val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
-    fractions.zip(cuts.zip(cuts.tail)).foldLeft(lit(null).cast("string")) {
-      case (acc, ((label, _), (lo, hi))) =>
-        when(b >= lit((lo * M).toLong) && b < lit((hi * M).toLong), lit(label))
-          .otherwise(acc)
-    }
+    // The LAST label's upper cut is pinned to 2^32 exactly: a float
+    // cumulative sum can land just under 1.0 (0.7+0.2+0.1 sums to
+    // 0.999…89), which would leave the maximum bucket matching no
+    // half-open range — a silent NULL label, violating the documented
+    // "partition of the data" contract (oracle CASE expressions use a
+    // final ELSE, i.e. the same pinned semantics).
+    val n = fractions.length
+    fractions.zip(cuts.zip(cuts.tail)).zipWithIndex
+      .foldLeft(lit(null).cast("string")) {
+        case (acc, (((label, _), (lo, hi)), i)) =>
+          val hiCut = if (i == n - 1) M else (hi * M).toLong
+          when(b >= lit((lo * M).toLong) && b < lit(hiCut), lit(label))
+            .otherwise(acc)
+      }
   }
 
   /** Deterministic stratified downsample that EQUALIZES stratum sizes —
@@ -163,6 +203,9 @@ object Sampling {
     * partition-placement dependent.
     */
   def withGlobalRank(df: DataFrame, posCol: String, ord: Column*): DataFrame = {
+    require(!df.columns.contains(posCol),
+      s"withGlobalRank: input already has a '$posCol' column — a duplicate " +
+        "field name surfaces later as AMBIGUOUS_REFERENCE far from the cause")
     val sorted = df.orderBy(ord: _*)
     val out = sorted.schema.add(posCol, LongType, nullable = false)
     val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>

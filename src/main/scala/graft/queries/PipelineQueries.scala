@@ -929,10 +929,13 @@ object PipelineQueries {
                       (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS b
                FROM documents)
          ORDER BY doc_id""",
+    // epoch 2's multiplier is the seed-derived odd constant from
+    // Sampling.mixedMultiplier — interpolated, not hand-copied, so the
+    // two engines cannot drift
     "q_epoch_shuffle" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
                 row_number() OVER (
-                  ORDER BY ((CAST(doc_id AS HUGEINT) + 2) * 2654435761) % 4294967296,
+                  ORDER BY (CAST(doc_id AS HUGEINT) * ${graft.operators.Sampling.mixedMultiplier(2L)}) % 4294967296,
                            doc_id) AS pos
          FROM documents ORDER BY pos""",
     "q_sample_per_key" ->

@@ -275,6 +275,46 @@ class PipelineSpec extends SparkSpec {
     assert(e1 !== order(2))
   }
 
+  test("bucketOf: seeds are independent hash functions, ANSI-safe at any key") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val M = 4294967296L
+    val keys = (0L until 200L).toDF("k")
+    def buckets(seed: Long): Seq[Long] = keys
+      .select(Sampling.bucketOf(col("k"), seed).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    val b0 = buckets(0L)
+    // seed 0 is the canonical Knuth hash, value-identical to the oracle
+    // SQL's (k * 2654435761) % 2^32
+    assert(b0.zipWithIndex.forall { case (b, k) =>
+      b == java.lang.Math.floorMod(k * 2654435761L, M) })
+    // non-affine seed mixing: under the old (key+seed)*A form every
+    // seed's buckets were a CONSTANT shift of seed 0's (epoch shuffles
+    // were rotations of each other) — the per-key differences must now
+    // take many values, not one
+    val diffs = buckets(1L).zip(b0)
+      .map { case (b1, b) => java.lang.Math.floorMod(b1 - b, M) }.distinct
+    assert(diffs.size > 100, s"seed mixing still affine: ${diffs.size} distinct shifts")
+    // ANSI-safe for keys beyond 2^63/a ~ 3.5e9: the old single multiply
+    // threw ARITHMETIC_OVERFLOW here
+    val big = Seq(9000000000L).toDF("k")
+      .select(Sampling.bucketOf(col("k")).as("b")).head.getLong(0)
+    assert(big === 4051499520L) // (9e9 * A) mod 2^32, computed externally
+  }
+
+  test("splitLabel: non-binary-exact fractions still partition (no null label)") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    // 0.7+0.2+0.1 sums to 0.999…89 in double; key 4050964655 hashes to
+    // bucket 2^32-1 (computed via the multiplier's modular inverse),
+    // which fell into NO half-open range before the last cut was pinned
+    val df = Seq(4050964655L, 1L, 2L).toDF("k")
+      .select(col("k"), Sampling.splitLabel(col("k"),
+        Seq("train" -> 0.7, "valid" -> 0.2, "test" -> 0.1)).as("s"))
+    assert(df.filter(col("s").isNull).count() === 0)
+    assert(df.filter(col("k") === 4050964655L).head.getString(1) === "test")
+  }
+
   test("exact dedup partitions the table: sum(n_copies) == row count") {
     val dd = SparkEntry.queries("q_dedup_exact")(spark, sf)
     assert(dd.agg(sum("n_copies")).head.getLong(0) === docs.count())
