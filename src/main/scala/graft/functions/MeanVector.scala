@@ -28,6 +28,14 @@ object MeanVector extends Aggregator[Seq[Double], MeanVectorBuf, Seq[Double]] {
     if (a == null) return b
     if (b.n == 0L) Buf(a.toArray, 1L)
     else {
+      // loud ragged guard (the kernel family's contract): unguarded,
+      // whichever vector a partition reduced FIRST fixed the dimension —
+      // a longer later vector's tail was silently dropped, a shorter one
+      // threw a bare index error, and which happened depended on row
+      // order, so the same data gave wrong-answer or crash
+      // nondeterministically
+      require(a.length == b.sum.length,
+        s"ragged vector: ${a.length} dims vs ${b.sum.length} in mean-vector aggregate")
       val s = b.sum
       var i = 0
       while (i < s.length) { s(i) += a(i); i += 1 }
@@ -39,6 +47,8 @@ object MeanVector extends Aggregator[Seq[Double], MeanVectorBuf, Seq[Double]] {
     if (x.n == 0L) y
     else if (y.n == 0L) x
     else {
+      require(x.sum.length == y.sum.length,
+        s"ragged vector: ${x.sum.length} dims vs ${y.sum.length} in mean-vector merge")
       val s = x.sum
       var i = 0
       while (i < s.length) { s(i) += y.sum(i); i += 1 }

@@ -373,6 +373,12 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
+    // 0..63: negative died with a bare '/ by zero' below; ≥ 64 cannot
+    // be pigeonhole-complete (64 chunks cover ≤ 63 differing bits), so
+    // the "EXACTLY the all-pairs hamming set" guarantee would silently
+    // break
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val fp = df.select(col(idCol).as("id"),
       simhash64(split(col(textCol), " ")).as("fp"))
     val nChunks = math.min(maxHamming + 1, 64)

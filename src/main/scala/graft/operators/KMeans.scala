@@ -185,7 +185,9 @@ object KMeans {
     val dists = array(centers.map(c => metric.dist(col(vecCol), c.toSeq)).toIndexedSeq: _*)
     assign(df, vecCol, centers, metric)
       .select(element_at(dists, col("cluster")).as("d"))
-      .agg(sum(col("d"))).head().getDouble(0)
+      // sum over zero rows is SQL null; an empty input's WCSS is 0.0,
+      // not an opaque NullPointerException from getDouble
+      .agg(coalesce(sum(col("d")), lit(0.0))).head().getDouble(0)
   }
 
   /** Representative-row pick (reference reducer, src/Kmeans.java:114-130).

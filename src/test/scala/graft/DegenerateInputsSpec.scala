@@ -125,6 +125,17 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(msgs.contains("ragged vector"), msgs)
   }
 
+  test("simhash near-dup validates maxHamming with a contract message") {
+    // -1 died with a bare '/ by zero'; >= 64 silently broke the
+    // pigeonhole completeness guarantee (64 chunks cover <= 63 bits)
+    for (bad <- Seq(-1, 64)) {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.simhashNearDups(emptyDocs, "doc_id", "text", maxHamming = bad)
+      }
+      assert(e.getMessage.contains("[0, 63]"), e.getMessage)
+    }
+  }
+
   test("graph operators refuse an empty corpus with a pointed message") {
     // every Graph entry point divides or mods by the vertex count n;
     // n = 0 must be the contract message, not ArithmeticException

@@ -39,6 +39,33 @@ class UdxSpec extends SparkSpec {
     }
   }
 
+  test("vec_* SQL UDFs are null-in-null-out like their Column siblings") {
+    import spark.implicits._
+    graft.functions.Udx.registerAll(spark)
+    Seq((Seq(1.0, 2.0), Option.empty[Seq[Double]])).toDF("a", "b")
+      .createOrReplaceTempView("nullvec")
+    val r = spark.sql(
+      "SELECT vec_dot(a, b), vec_cosine(b, a), vec_sqdist(a, b) FROM nullvec")
+      .head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("mean_vector fails loudly on ragged vectors (order-independent)") {
+    // unguarded, whichever vector a partition reduced first fixed the
+    // dimension: longer tails silently dropped OR a bare index error,
+    // depending on row order
+    import spark.implicits._
+    val df = Seq((1, Seq(1.0)), (1, Seq(1.0, 2.0))).toDF("g", "v")
+    val e = intercept[Exception] {
+      df.groupBy("g")
+        .agg(org.apache.spark.sql.functions.udaf(graft.functions.MeanVector)
+          .apply(col("v"))).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("ragged vector"), msgs)
+  }
+
   test("mean_vector UDAF callable from SQL") {
     Udx.registerAll(spark)
     Tables.embeddings(spark, sf)
