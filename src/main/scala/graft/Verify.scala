@@ -49,6 +49,14 @@ object Verify {
           System.err.println(f"[verify] $name ok ${(System.nanoTime()-t0)/1e9}%.1fs")
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // remove any previous-run or half-written output for this
+          // query: a stale parquet dir under outDir/<name> would be
+          // hash-compared as if it were THIS run's result — a failing
+          // query must read as a missing/failed row, never a false green
+          try {
+            import scala.reflect.io.Directory
+            new Directory(new java.io.File(s"$outDir/$name")).deleteRecursively()
+          } catch { case _: Throwable => () }
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

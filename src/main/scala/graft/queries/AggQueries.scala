@@ -156,7 +156,9 @@ object AggQueries {
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
           "metric", "value")
-        .orderBy("l_orderkey", "l_linenumber", "metric")),
+        // duplicate (orderkey, linenumber) pairs exist: value completes
+        // the total order within each metric
+        .orderBy("l_orderkey", "l_linenumber", "metric", "value")),
 
     // Uncorrelated scalar subquery: the planner computes the 1-row
     // aggregate once and broadcasts it into the filter (no rescan per
@@ -487,6 +489,6 @@ object AggQueries {
            UNION ALL
            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
            FROM lineitem)
-         ORDER BY l_orderkey, l_linenumber, metric""",
+         ORDER BY l_orderkey, l_linenumber, metric, value""",
   )
 }

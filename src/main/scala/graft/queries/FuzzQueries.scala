@@ -351,9 +351,15 @@ object FuzzQueries {
         s"GROUPING SETS ((${c.sets.map(_.mkString(", ")).mkString("), (")}))"
     }
     val having = c.havingMin.map(h => s" HAVING count(*) >= $h").getOrElse("")
+    // plain GROUP BY (kind 0): grouping() outside rollup/cube/sets is an
+    // error in both engines — gid is the literal 0, mirroring runAgg
+    val gidSql =
+      if (c.kind == 0) "0"
+      else
+        """grouping(l_returnflag) + 2 * grouping(l_linestatus)
+                + 4 * grouping(l_linenumber)"""
     s"""SELECT l_returnflag, l_linestatus, l_linenumber,
-              grouping(l_returnflag) + 2 * grouping(l_linestatus)
-                + 4 * grouping(l_linenumber) AS gid,
+              $gidSql AS gid,
               count(*) AS n,
               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
               min(l_extendedprice) AS mn
@@ -376,9 +382,15 @@ object FuzzQueries {
       case 2 => li.cube(kcols: _*)
       case 3 => li.groupingSets(c.sets.map(_.map(col)), kcols: _*)
     }
-    val gid = (grouping(col("l_returnflag"))
-      + lit(2) * grouping(col("l_linestatus"))
-      + lit(4) * grouping(col("l_linenumber"))).as("gid")
+    // kind 0 (plain GROUP BY) is a legal draw: grouping() outside
+    // rollup/cube/sets is an AnalysisException in Spark AND an error in
+    // DuckDB, so a plain group's gid is the literal 0 (every key
+    // grouped) — without this, a future seed/case-count change that
+    // happens to draw kind 0 turns a fuzz row red for a harness bug
+    val gid = (if (c.kind == 0) lit(0)
+      else grouping(col("l_returnflag"))
+        + lit(2) * grouping(col("l_linestatus"))
+        + lit(4) * grouping(col("l_linenumber"))).as("gid")
     val agged = grouped.agg(gid,
       count(lit(1)).as("n"),
       sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),

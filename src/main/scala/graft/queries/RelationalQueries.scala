@@ -18,7 +18,9 @@ object RelationalQueries {
         .filter(col("l_quantity") > 30 && col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in this testdata —
+        // net_price makes the sort total (the q_fuzzwin lesson)
+        .orderBy("l_orderkey", "l_linenumber", "net_price")
     }),
 
     "q_casewhen" -> ((s, d) => {
@@ -213,7 +215,7 @@ object RelationalQueries {
     "q_proj_filter" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net_price
          FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'R'
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, net_price""",
     "q_casewhen" ->
       """SELECT o_orderkey,
                 CASE WHEN o_totalprice > 100000 THEN 'big'

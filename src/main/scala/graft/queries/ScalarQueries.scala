@@ -51,7 +51,9 @@ object ScalarQueries {
           floor(sqrt(col("l_extendedprice"))).cast("long").as("fl"),
           ceil(sqrt(col("l_extendedprice"))).cast("long").as("ce"),
           pmod(col("l_orderkey"), lit(7)).cast("long").as("pm"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in this testdata;
+        // l_extendedprice makes the sort total (the q_fuzzwin lesson)
+        .orderBy("l_orderkey", "l_linenumber", "r1")
     }),
 
     "q_array_fns" -> ((s, d) => {
@@ -255,7 +257,12 @@ object ScalarQueries {
           round(try_divide(col("l_extendedprice"), col("l_quantity") - 30), 6)
             .as("per_unit_off30"),
           try_add(col("l_orderkey"), col("l_linenumber")).as("ta"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // duplicate (orderkey, linenumber) rows differ in per_unit_off30:
+        // include it so the output order is total on both engines — with
+        // the null order PINNED (try_divide yields nulls; Spark defaults
+        // nulls-first ascending, DuckDB nulls-last)
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("per_unit_off30").asc_nulls_first)
     }),
 
     // Higher-order array functions — filter/transform/aggregate/exists/
@@ -300,7 +307,7 @@ object ScalarQueries {
                 CAST(floor(sqrt(l_extendedprice)) AS BIGINT) AS fl,
                 CAST(ceil(sqrt(l_extendedprice)) AS BIGINT) AS ce,
                 ((l_orderkey % 7) + 7) % 7 AS pm
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, r1""",
     "q_array_fns" ->
       """SELECT vec_id, len(embedding) AS dim,
                 CAST(embedding[1] AS DOUBLE) AS first,
@@ -411,7 +418,7 @@ object ScalarQueries {
                 round(l_extendedprice / nullif(l_quantity - 30, 0), 6)
                   AS per_unit_off30,
                 l_orderkey + l_linenumber AS ta
-         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, per_unit_off30 NULLS FIRST""",
     "q_hof" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
          SELECT doc_id,
