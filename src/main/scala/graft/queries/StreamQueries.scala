@@ -53,14 +53,16 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "q_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
-                count(*) AS n, round(sum(value), 6) AS total
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""",
     // each event lands in exactly width/slide = 2 sliding windows:
     // starts time_bucket(30m, ts) and time_bucket(30m, ts) - 30m
     "q_stream_sliding" ->
       """SELECT time_bucket(INTERVAL '30 minutes', ts)
                   - k.k * INTERVAL '30 minutes' AS w_start, event_type,
-                count(*) AS n, round(sum(value), 6) AS total
+                count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
          GROUP BY 1, 2 ORDER BY w_start, event_type""",
     // gaps-and-islands: a session breaks when the gap is >= 6 h (Spark's

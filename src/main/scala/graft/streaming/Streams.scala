@@ -32,7 +32,12 @@ object Streams {
     */
   def tumblingAgg(events: DataFrame, width: String = "1 hour"): DataFrame =
     events.groupBy(window(col("ts"), width), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
+      // sum through DECIMAL(18,2), the corpus-wide money discipline:
+      // a raw double sum's partial-merge order varies with partitioning,
+      // and at large window populations the reorder noise reaches the
+      // round-to-6 boundary — a shuffle-order-dependent result
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Num.sumMoney(col("value")).as("total"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total"))
 
@@ -44,7 +49,8 @@ object Streams {
   def slidingAgg(events: DataFrame, width: String = "1 hour",
                  slide: String = "30 minutes"): DataFrame =
     events.groupBy(window(col("ts"), width, slide), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Num.sumMoney(col("value")).as("total"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total"))
 
