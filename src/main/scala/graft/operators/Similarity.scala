@@ -357,13 +357,20 @@ object Similarity {
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               dim: Int, tables: Int = 8, bitsPerTable: Int = 8,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L,
+              queryPred: Option[Column => Column] = None): DataFrame = {
     val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
       .withColumn("bks", hyperplaneBuckets(col("v"), dim, tables, bitsPerTable, seed))
     val banded = v.select(col("id"),
       posexplode(col("bks")).as(Seq("tbl", "bk")))
-    val cands = banded.as("l").join(banded.as("r"),
+    // queryPred restricts WHICH ids act as queries — applied BEFORE the
+    // bucket join, because per-query results are independent: filtering
+    // the query side first yields exactly the rows a post-filter on qid
+    // would keep, without scoring (and per-query-top-k-shuffling) the
+    // discarded 90% of queries first
+    val qBanded = queryPred.map(p => banded.filter(p(col("id")))).getOrElse(banded)
+    val cands = qBanded.as("l").join(banded.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.bk") === col("r.bk") &&
           col("l.id") =!= col("r.id"))
       .select(col("l.id").as("qid"), col("r.id").as("nid"))
@@ -443,7 +450,8 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4, sampleMod: Int = 4,
-              trainIters: Int = 3): DataFrame = {
+              trainIters: Int = 3,
+              queryPred: Option[Column => Column] = None): DataFrame = {
     val v = normed(df, idCol, vecCol)
     // deterministic hash-sample for training (xxhash64, never rand() —
     // speculative-execution-safe, same discipline as Skew salting)
@@ -469,7 +477,10 @@ object Similarity {
     val data = v.select(col("id").as("nid"), col("v").as("nv"),
       col("nrm").as("nnrm"),
       graft.functions.NearestCells.cell(col("v"), cells).as("cell"))
-    val queries = v.select(col("id").as("qid"), col("v").as("qv"),
+    // same queryPred contract as lshTopK: restrict the query side
+    // before probing — post-filter-equivalent output, 1/10th the scoring
+    val qv = queryPred.map(p => v.filter(p(col("id")))).getOrElse(v)
+    val queries = qv.select(col("id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"),
         explode(graft.functions.NearestCells.probes(col("v"), cells, nprobe))
           .as("cell"))

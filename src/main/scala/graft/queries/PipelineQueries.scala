@@ -27,6 +27,15 @@ object PipelineQueries {
 
   private val stopList = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** The ONE canonicalization expression q_text_normalize emits and
+    * q_dedup_normalized dedups on (lowercase, strip sentence
+    * punctuation, collapse whitespace runs) — shared so the dedup
+    * survivors can never silently desynchronize from the normalize
+    * output (both oracles spell the same regexp chain).
+    */
+  private def normExpr(text: org.apache.spark.sql.Column) =
+    regexp_replace(regexp_replace(lower(text), "[.,!?;:]", ""), " +", " ")
+
   /** The exact brute-force recall ANCHOR shared by the four ANN contract
     * rows, memoized per (session, sfDir) and persisted. The anchor is
     * the AUDIT, not the operator under test — each ANN architecture
@@ -76,6 +85,26 @@ object PipelineQueries {
       .agg(countDistinct(col("qid")).as("n_queries"),
         (floor(recall * 10 + lit(1e-9)) / lit(10.0)).as("recall_band"),
         (recall >= 0.5).as("recall_ok"))
+  }
+
+  /** Exact cosine re-rank of an ANN candidate list: join both sides'
+    * raw vectors back on, score with the canonical cosine, keep the
+    * top-k per query (sim desc, nid tie-break). ONE definition for the
+    * PQ and IVF-PQ queries — the comparator and tie rules must stay
+    * identical or their recall contracts silently diverge.
+    */
+  private def exactReRank(emb: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+    val v = emb.select(col("vec_id").cast("long").as("vid"), col("embedding"))
+    val scored = cand
+      .join(v.select(col("vid").as("q_vid"), col("embedding").as("q_emb")),
+        col("qid") === col("q_vid"))
+      .join(v, col("id") === col("vid"))
+      .select(col("qid"), col("id").as("nid"),
+        Similarity.cosine(col("q_emb"), col("embedding")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("qid", "nid")
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -191,10 +220,8 @@ object PipelineQueries {
     // whitespace) collapse to one survivor. Same sha2 grouping and
     // collision bound as q_dedup_exact.
     "q_dedup_normalized" -> ((s, d) => {
-      val norm = regexp_replace(
-        regexp_replace(lower(col("text")), "[.,!?;:]", ""), " +", " ")
       Tables.documents(s, d)
-        .select(col("doc_id"), norm.as("norm"))
+        .select(col("doc_id"), normExpr(col("text")).as("norm"))
         .groupBy(sha2(col("norm").cast("binary"), 256).as("h"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .select(col("doc_id"), col("n_copies"))
@@ -254,9 +281,15 @@ object PipelineQueries {
     // replicable) so the oracle can state its exact size.
     "q_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // the 10% query sample is applied on the QUERY SIDE of the bucket
+      // join (queryPred), not as a post-filter on the finished top-k:
+      // per-query results are independent, so the rows are identical,
+      // but the discarded 90% of queries never pay candidate scoring or
+      // the per-query top-k exchange
       val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
-          k = 5, dim = 64, tables = 16, bitsPerTable = 6)
-        .filter(Sampling.bucketOf(col("qid")) < lit((0.1 * 4294967296L).toLong))
+          k = 5, dim = 64, tables = 16, bitsPerTable = 6,
+          queryPred = Some(id =>
+            Sampling.bucketOf(id) < lit((0.1 * 4294967296L).toLong)))
       val bf = bfAnchor(s, d)
       recallContract(bf, lsh)
     }),
@@ -271,9 +304,11 @@ object PipelineQueries {
     // cells; the oracle CASEs the expected band on corpus cardinality.
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      // query-side sample via queryPred, same reasoning as q_ann_lsh
       val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
-          k = 5, nlist = 32, nprobe = 8)
-        .filter(Sampling.bucketOf(col("qid")) < lit((0.1 * 4294967296L).toLong))
+          k = 5, nlist = 32, nprobe = 8,
+          queryPred = Some(id =>
+            Sampling.bucketOf(id) < lit((0.1 * 4294967296L).toLong)))
       val bf = bfAnchor(s, d)
       recallContract(bf, ivf)
     }),
@@ -309,19 +344,8 @@ object PipelineQueries {
       val cand = Similarity
         .pqSearch(encoded, model, sampleQ, "vec_id", "embedding", k = 50)
         .filter(col("qid") =!= col("id"))
-      val v = emb.select(col("vec_id").cast("long").as("vid"), col("embedding"))
-      val scored = cand
-        .join(v.select(col("vid").as("q_vid"), col("embedding").as("q_emb")),
-          col("qid") === col("q_vid"))
-        .join(v, col("id") === col("vid"))
-        .select(col("qid"), col("id").as("nid"),
-          Similarity.cosine(col("q_emb"), col("embedding")).as("sim"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-      val top5 = scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5).select("qid", "nid")
       val bf = bfAnchor(s, d)
-      recallContract(bf, top5)
+      recallContract(bf, exactReRank(emb, cand, 5))
     }),
 
     // IVF-PQ (the fourth ANN architecture, and the one production
@@ -351,19 +375,8 @@ object PipelineQueries {
           sampleQ, "vec_id", "embedding",
           k = 80, nlist = 16, nprobe = 10, m = 8, codes = 64)
         .filter(col("qid") =!= col("id"))
-      val v = emb.select(col("vec_id").cast("long").as("vid"), col("embedding"))
-      val scored = cand
-        .join(v.select(col("vid").as("q_vid"), col("embedding").as("q_emb")),
-          col("qid") === col("q_vid"))
-        .join(v, col("id") === col("vid"))
-        .select(col("qid"), col("id").as("nid"),
-          Similarity.cosine(col("q_emb"), col("embedding")).as("sim"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-      val top5 = scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5).select("qid", "nid")
       val bf = bfAnchor(s, d)
-      recallContract(bf, top5)
+      recallContract(bf, exactReRank(emb, cand, 5))
     }),
 
     // Embedding near-dup pairs at cosine ≥ 0.45 (testdata max ≈ 0.51).
@@ -534,10 +547,7 @@ object PipelineQueries {
     // q_dedup_exact so trivially-variant copies hash together.
     "q_text_normalize" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(col("doc_id"),
-          regexp_replace(
-            regexp_replace(lower(col("text")), "[.,!?;:]", ""),
-            " +", " ").as("norm"))
+        .select(col("doc_id"), normExpr(col("text")).as("norm"))
         .orderBy("doc_id")),
 
     "q_token_count" -> ((s, d) =>
