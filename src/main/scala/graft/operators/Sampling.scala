@@ -125,6 +125,13 @@ object Sampling {
                  seed: Long = 0L): Column = {
     val b = bucketOf(key, seed)
     val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }
+    // the documented contract is a PARTITION of the data, and the last
+    // cut below is pinned to 2^32 to absorb float-sum shortfall — that
+    // pin must never silently absorb a genuinely partial fraction list
+    // (0.25/0.25 would relabel the unallocated half as the last label)
+    require(math.abs(cuts.last - 1.0) < 1e-9,
+      s"splitLabel fractions sum to ${cuts.last}, not 1 — the split " +
+        "must partition the data")
     // The LAST label's upper cut is pinned to 2^32 exactly: a float
     // cumulative sum can land just under 1.0 (0.7+0.2+0.1 sums to
     // 0.999…89), which would leave the maximum bucket matching no

@@ -51,9 +51,10 @@ object ScalarQueries {
           floor(sqrt(col("l_extendedprice"))).cast("long").as("fl"),
           ceil(sqrt(col("l_extendedprice"))).cast("long").as("ce"),
           pmod(col("l_orderkey"), lit(7)).cast("long").as("pm"))
-        // (l_orderkey, l_linenumber) is NOT unique in this testdata;
-        // l_extendedprice makes the sort total (the q_fuzzwin lesson)
-        .orderBy("l_orderkey", "l_linenumber", "r1")
+        // (l_orderkey, l_linenumber) is NOT unique in this testdata; sq
+        // (sqrt of the price — INJECTIVE, unlike round-to-1 r1) makes
+        // the sort genuinely total (the q_fuzzwin lesson)
+        .orderBy("l_orderkey", "l_linenumber", "sq")
     }),
 
     "q_array_fns" -> ((s, d) => {
@@ -307,7 +308,7 @@ object ScalarQueries {
                 CAST(floor(sqrt(l_extendedprice)) AS BIGINT) AS fl,
                 CAST(ceil(sqrt(l_extendedprice)) AS BIGINT) AS ce,
                 ((l_orderkey % 7) + 7) % 7 AS pm
-         FROM lineitem ORDER BY l_orderkey, l_linenumber, r1""",
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, sq""",
     "q_array_fns" ->
       """SELECT vec_id, len(embedding) AS dim,
                 CAST(embedding[1] AS DOUBLE) AS first,

@@ -313,6 +313,12 @@ class PipelineSpec extends SparkSpec {
         Seq("train" -> 0.7, "valid" -> 0.2, "test" -> 0.1)).as("s"))
     assert(df.filter(col("s").isNull).count() === 0)
     assert(df.filter(col("k") === 4050964655L).head.getString(1) === "test")
+    // the pin absorbs float shortfall ONLY: a genuinely partial
+    // fraction list must be rejected, not silently relabeled
+    val e = intercept[IllegalArgumentException] {
+      Sampling.splitLabel(col("k"), Seq("a" -> 0.25, "b" -> 0.25))
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
   }
 
   test("exact dedup partitions the table: sum(n_copies) == row count") {

@@ -48,6 +48,17 @@ class UdxSpec extends SparkSpec {
       "SELECT vec_dot(a, b), vec_cosine(b, a), vec_sqdist(a, b) FROM nullvec")
       .head
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // null ELEMENTS get the family's pointed message, not the encoder's
+    // opaque NOT_NULL_ASSERT_VIOLATION
+    for (f <- Seq("vec_dot", "vec_cosine", "vec_sqdist")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT $f(array(1.0, CAST(NULL AS DOUBLE)), array(1.0, 1.0))")
+          .collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+      assert(msgs.contains("null element"), s"$f -> $msgs")
+    }
   }
 
   test("mean_vector fails loudly on ragged vectors (order-independent)") {
