@@ -173,11 +173,15 @@ object Components {
       maxIter: Int): (DataFrame, Int) = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
-    // all endpoint vertices BEFORE the self-loop filter: a vertex whose
-    // only edge is (u, u) must still be labeled (comp = u), matching
-    // hash-to-min's contract — the contraction below never sees it
-    val verts = edges.select(a.as("id"))
-      .union(edges.select(b.as("id"))).distinct()
+    // Self-loop endpoints only, NOT all endpoint vertices: a vertex can
+    // be missing from the star labels below iff EVERY one of its edges
+    // was removed by the contraction's u =!= v filter, and such a vertex
+    // necessarily appears as an endpoint of some (u, u) edge — so this
+    // (typically near-empty) set is the complete candidate set for the
+    // final anti-join. The previous all-endpoints union+distinct paid
+    // two extra full-vertex exchanges on EVERY input, self-loops or not
+    // (the r8 bench's only consistent-rep regression, 188→263 cs).
+    val selfLoopVerts = edges.filter(a === b).select(a.as("id")).distinct()
     var ee = edges.select(a.as("u"), b.as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
@@ -244,8 +248,9 @@ object Components {
     val starLabels = ee.select(col("u").as("id"), col("v").as("comp"))
       .union(ee.select(col("v").as("id"), col("v").as("comp")).distinct())
     // self-loop-only vertices (dropped by the contraction's u != v
-    // filter) label themselves — one anti-join over the vertex set
-    val selfOnly = verts.join(starLabels, Seq("id"), "left_anti")
+    // filter) label themselves — one anti-join over the tiny
+    // self-loop-endpoint set (see selfLoopVerts above)
+    val selfOnly = selfLoopVerts.join(starLabels, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("comp"))
     (starLabels.union(selfOnly), iter)
   }
