@@ -27,9 +27,12 @@ import org.apache.spark.storage.StorageLevel
   * on the neighbor id) + ONE hash-agg (min per vertex) — both keyed by
   * vertex id, so a round costs the same as any keyed aggregation and
   * AQE's skew handling applies to high-degree vertices. Each round's
-  * labels are eagerly `localCheckpoint`ed: that both caches them for the
-  * next round AND truncates the logical lineage, which otherwise doubles
-  * per round (the label set is referenced twice each iteration). The
+  * labels are eagerly truncated via [[IterCkpt]]: that both caches them
+  * for the next round AND cuts the logical lineage, which otherwise
+  * doubles per round (the label set is referenced twice each iteration)
+  * — `localCheckpoint` by default, or a reliable `checkpoint()` when
+  * `graft.iter.checkpointDir` is set (executor-churn-safe for
+  * multi-hour cluster runs; see IterCkpt's scaladoc for the cost). The
   * convergence check rides the round's own materialization — no extra
   * pass. Driver state is two scalars (round counter, changed-count),
   * never vertex data.
@@ -74,7 +77,7 @@ object Components {
     while (iter < maxIter && changed > 0) {
       val nbrMin = symC.join(labels, symC("dst") === labels("id"))
         .groupBy("src").agg(min("comp").as("nmin"))
-      // localCheckpoint (eager), NOT persist: each round's plan references
+      // truncate (eager), NOT persist: each round's plan references
       // the previous round's TWICE (join + select), so without truncating
       // the logical lineage the plan TREE doubles per round — 2^rounds
       // nodes by round 15 blew the driver heap in testing (the same
@@ -84,20 +87,20 @@ object Components {
       // tasks), so each round is exactly ONE job — the former separate
       // `filter(_chg).count()` pass over the cached blocks is gone.
       val obs = Observation(s"cc_chg_$iter")
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(labels("id").as("id"),
-          least(labels("comp"), coalesce(col("nmin"), labels("comp"))).as("comp"),
-          (col("nmin") < labels("comp")).as("_chg"))
-        .observe(obs, count(when(col("_chg"), true)).as("chg"))
-        .localCheckpoint() // eager: round-i blocks exist once this returns
+      val next = IterCkpt.truncate( // eager: round-i state exists once this returns
+        labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(labels("id").as("id"),
+            least(labels("comp"), coalesce(col("nmin"), labels("comp"))).as("comp"),
+            (col("nmin") < labels("comp")).as("_chg"))
+          .observe(obs, count(when(col("_chg"), true)).as("chg")))
       // Drop the PREVIOUS round's checkpoint blocks now that its successor
       // is materialized — without this every round's (id, comp) set stays
       // cached until session end (rounds × |V| rows per invocation, and a
       // bench run invokes this twice). The final round's blocks are the
-      // returned labels, so they alone survive; a localCheckpointed RDD
-      // cannot be recomputed after unpersist, which is why only rounds
-      // with a live successor are ever dropped.
-      if (prevCkpt ne null) prevCkpt.unpersist(blocking = false)
+      // returned labels, so they alone survive; truncated state cannot be
+      // recomputed after the drop, which is why only rounds with a live
+      // successor are ever dropped.
+      if (prevCkpt ne null) IterCkpt.drop(prevCkpt)
       prevCkpt = next
       // the eager checkpoint already ran the job, so the observation
       // fills as soon as the listener bus drains; a bounded wait rather
@@ -182,12 +185,11 @@ object Components {
     // two extra full-vertex exchanges on EVERY input, self-loops or not
     // (the r8 bench's only consistent-rep regression, 188→263 cs).
     val selfLoopVerts = edges.filter(a === b).select(a.as("id")).distinct()
-    var ee = edges.select(a.as("u"), b.as("v"))
+    var ee = IterCkpt.truncate(edges.select(a.as("u"), b.as("v"))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
@@ -197,16 +199,15 @@ object Components {
       val minsL = nbs.groupBy("u").agg(min("v").as("mv"))
         .select(col("u").as("mu"), least(col("u"), col("mv")).as("m"))
       val obsL = Observation(s"star_l_$iter")
-      val ls = nbs.join(minsL, nbs("u") === col("mu"))
+      val ls = IterCkpt.truncate(nbs.join(minsL, nbs("u") === col("mu"))
         .filter(col("v") > col("u"))
         // edge (v ← u) re-points to (v ← m); changed iff m ≠ u
         .select(col("v").as("eu"), col("m").as("ev"),
           (col("m") =!= col("u")).as("_chg"))
         .observe(obsL, count(when(col("_chg"), true)).as("chg"))
         .select(col("eu").as("u"), col("ev").as("v"))
-        .distinct()
-        .localCheckpoint()
-      ee.unpersist(blocking = false)
+        .distinct())
+      IterCkpt.drop(ee)
       // ---- small-star ----
       // aggregate key aliased (su): groupBy output keeps the input's
       // attribute id, so joining back on the bare name would be an
@@ -219,12 +220,11 @@ object Components {
         .select(col("v").as("eu"), col("m").as("ev"), lit(true).as("_chg"))
       val self = minsS
         .select(col("su").as("eu"), col("m").as("ev"), lit(false).as("_chg"))
-      val ss = reparent.union(self)
+      val ss = IterCkpt.truncate(reparent.union(self)
         .observe(obsS, count(when(col("_chg"), true)).as("chg"))
         .select(col("eu").as("u"), col("ev").as("v"))
-        .distinct()
-        .localCheckpoint()
-      ls.unpersist(blocking = false)
+        .distinct())
+      IterCkpt.drop(ls)
       ee = ss
       val cl = observedCount(obsL).getOrElse(-1L)
       val cs = observedCount(obsS).getOrElse(-1L)

@@ -300,14 +300,16 @@ object Graph {
       // `reached` is referenced TWICE per round (filter + unionAll), so
       // the lazy plan doubles per superstep — 2^depth lineage copies is
       // the plan-explosion failure mode Components.scala checkpoints
-      // against. Truncate every 5 rounds: the shallow default stays ONE
-      // lazy job (no materialization, unchanged plan), a deep walk's
-      // plan is bounded at 2^5 copies between checkpoints. Previous
-      // checkpoint blocks are dropped only once a successor exists
-      // (a localCheckpointed plan cannot be recomputed after unpersist).
+      // against. Truncate every 5 rounds via IterCkpt (localCheckpoint,
+      // or reliable checkpoint when graft.iter.checkpointDir is set):
+      // the shallow default stays ONE lazy job (no materialization,
+      // unchanged plan), a deep walk's plan is bounded at 2^5 copies
+      // between truncations. A superseded truncation's blocks are
+      // dropped only once a successor exists (truncated state cannot be
+      // recomputed after the drop).
       if (depth % 5 == 0 && depth < maxDepth) {
-        val ck = reached.localCheckpoint()
-        if (prevCkpt ne null) prevCkpt.unpersist(blocking = false)
+        val ck = IterCkpt.truncate(reached)
+        if (prevCkpt ne null) IterCkpt.drop(prevCkpt)
         prevCkpt = ck
         reached = ck
       }

@@ -24,6 +24,23 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The materialized RDD behind a checkpointed Dataset, if any.
+    * `Dataset.checkpoint`/`localCheckpoint` persist an internal RDD
+    * directly (never through the CacheManager) and wrap it in a
+    * `LogicalRDD`; `Dataset.unpersist` on the result is therefore a
+    * no-op (the CacheManager has no entry to drop), and freeing a
+    * superseded round's blocks DETERMINISTICALLY — instead of waiting
+    * for the ContextCleaner to GC the RDD — requires unpersisting that
+    * underlying RDD itself. `LogicalRDD` is `private[sql]` in Spark 4,
+    * hence this door.
+    */
+  def materializedRdd(df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
   /** Spark's own NaN/-0.0 canonicalization (a no-op for expressions that
     * need none). The optimizer applies it to Aggregate/Window/Join keys
     * only — a CUSTOM grouping operator (graft.plans.TopKPerKeyNode) must
