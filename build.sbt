@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Wipe JUnit XML before each test run: suites deleted from source leave
+// stale report files behind (r8: two ProbeTmp leftovers inflated naive
+// report aggregation), so the dir must contain exactly the current run.
+Test / executeTests := (Test / executeTests)
+  .dependsOn(Def.task { IO.delete(target.value / "test-reports") }).value
 run / fork := true
 // Pass the forked JVM's stdout through verbatim instead of routing it via
 // sbt's logger, which prefixes every line with "[info] " and breaks the

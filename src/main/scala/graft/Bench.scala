@@ -45,6 +45,17 @@ object Bench {
     // and the remaining reps are skipped.
     val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
+    // Discarded warm-up sweeps before the measured ones. Min-of-N does
+    // not defend against a cold FIRST sweep inflating minima corpus-wide
+    // when N is small: r8's artifact had sweep walls 242.7/182.4/170.2 s
+    // (JIT + page-cache warm-up leaking into the measurement) and its
+    // min-of-3 total disagreed with a quiet-box run of the same HEAD by
+    // 5.7%. One full discarded sweep pays ~1/4 more wall time to make
+    // every measured sweep start JIT-warm and cache-warm. ab.sh opts out
+    // (SPARK_GRAFT_WARMUP=0): its cross-JVM interleaving is the noise
+    // defense there, and per-run warm-ups would double its cost.
+    val warm = sys.env.get("SPARK_GRAFT_WARMUP").flatMap(_.toIntOption)
+      .filter(_ >= 0).getOrElse(1)
     // Reps are interleaved as FULL SWEEPS (run the whole corpus, then
     // run it again), not back-to-back per query: session transients —
     // a major GC, a JIT deopt storm as 120 codegen'd plans fill the
@@ -63,23 +74,31 @@ object Bench {
     val times = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     val firstErr = scala.collection.mutable.Map[String, String]()
-    for (sweep <- 0 until reps; (name, fn) <- names
-         if !firstErr.contains(name)) {
-      val t0 = System.nanoTime()
-      // noop sink, not count(): count() lets Catalyst prune projections
-      // entirely for narrow queries, under-measuring expression work;
-      // noop materializes every output column.
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val dt = (System.nanoTime() - t0) / 1e9
-        times(name) = times(name) :+ dt
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: $e")
-        firstErr(name) = e.toString.replaceAll("[\\r\\n\\t]", " ").take(300)
+    // 1-min system loadavg at each sweep boundary (warm-up included):
+    // box-load context for the artifact, so a sweep-wall disagreement
+    // can be attributed to machine state instead of guessed at.
+    val loads = scala.collection.mutable.ArrayBuffer[Double]()
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    for (sweep <- -warm until reps) {
+      loads += osBean.getSystemLoadAverage
+      for ((name, fn) <- names if !firstErr.contains(name)) {
+        val t0 = System.nanoTime()
+        // noop sink, not count(): count() lets Catalyst prune projections
+        // entirely for narrow queries, under-measuring expression work;
+        // noop materializes every output column.
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (sweep >= 0) times(name) = times(name) :+ dt
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          firstErr(name) = e.toString.replaceAll("[\\r\\n\\t]", " ").take(300)
+        }
       }
     }
+    loads += osBean.getSystemLoadAverage
     val input = BenchInput(names.map(_._1),
-      times.toMap, firstErr.toMap, reps, sfDir)
+      times.toMap, firstErr.toMap, reps, sfDir, warm, loads.toSeq)
     val json = BenchFormat.metricsLine(input)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")

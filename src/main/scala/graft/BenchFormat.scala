@@ -13,14 +13,20 @@ package graft
   * @param times  sweep-order rep seconds per query; fewer than `reps`
   *               entries means the query failed mid-run
   * @param errors first error per failed query (pre-sanitized upstream)
-  * @param reps   sweeps requested
+  * @param reps   measured sweeps requested (warm-ups excluded)
   * @param sfDir  scale-factor directory the run measured
+  * @param warmup discarded warm-up sweeps run before the measured ones
+  * @param loads  1-min system loadavg at each sweep boundary, warm-up
+  *               sweeps included, plus one final end-of-run sample —
+  *               `warmup + reps + 1` entries
   */
 final case class BenchInput(names: Seq[String],
                             times: Map[String, List[Double]],
                             errors: Map[String, String],
                             reps: Int,
-                            sfDir: String) {
+                            sfDir: String,
+                            warmup: Int = 0,
+                            loads: Seq[Double] = Nil) {
   def timesOf(n: String): List[Double] = times.getOrElse(n, Nil)
 }
 
@@ -175,9 +181,12 @@ object BenchFormat {
     // without — a mid-size corpus landing in compact/centi used to lose
     // per-query dispersion entirely (the exact r7 triage gap), while
     // the tiers on either side of them carried it.
-    Seq(full(10), full(3), full(0)).find(_.length <= 1800)
-      .orElse(Seq(compact(3), compact(0), centi(3), centi(0))
-        .find(_.length <= 1850))
+    // thunked: render each tier only until one fits (a 220-query corpus
+    // otherwise renders all 7 rejected forms every run)
+    Seq(() => full(10), () => full(3), () => full(0))
+      .iterator.map(_()).find(_.length <= 1800)
+      .orElse(Seq(() => compact(3), () => compact(0), () => centi(3), () => centi(0))
+        .iterator.map(_()).find(_.length <= 1850))
       .getOrElse(topTier(1780))
   }
 
@@ -192,6 +201,10 @@ object BenchFormat {
     val errs = in.names.flatMap(n => in.errors.get(n).map(e =>
       "\"" + n + "\":\"" + esc(e) + "\"")).mkString("{", ",", "}")
     val errPart = if (errs == "{}") "" else s""","errors":$errs"""
-    s"""{"reps":${in.reps},"qunit":"cs","order":"sweep","sweep_wall_s":[${sweepWalls(in).map(v => f"$v%.2f").mkString(",")}],"queries":$qd$errPart,"sf":"${in.sfDir}"}"""
+    // box-load context (VERDICT r8 #3): loadavg per sweep boundary lets
+    // triage distinguish "the code moved" from "the box was busy"
+    val loadPart = if (in.loads.isEmpty) ""
+      else s""","loadavg":[${in.loads.map(v => f"$v%.1f").mkString(",")}]"""
+    s"""{"reps":${in.reps},"warmup":${in.warmup},"qunit":"cs","order":"sweep","sweep_wall_s":[${sweepWalls(in).map(v => f"$v%.2f").mkString(",")}]$loadPart,"queries":$qd$errPart,"sf":"${in.sfDir}"}"""
   }
 }

@@ -148,4 +148,21 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(reps.elements().asScala.map(_.asLong()).toList === expect)
     }
   }
+
+  test("detail line carries warm-up count and per-sweep loadavg context") {
+    val in = corpus(4).copy(warmup = 1, loads = Seq(2.53, 1.1, 1.0, 0.9, 0.8))
+    val d = parse(BenchFormat.detailLine(in))
+    assert(d.get("warmup").asInt() === 1)
+    // warmup + reps + 1 boundary samples, 1-decimal rendering
+    assert(d.get("loadavg").size() === 5)
+    assert(d.get("loadavg").get(0).asDouble() === 2.5)
+    // warm-up sweeps are DISCARDED: per-query rep lists and walls still
+    // count only the measured sweeps
+    assert(d.get("sweep_wall_s").size() === in.reps)
+    // metrics line is warm-up-agnostic (tail budget unchanged)
+    val j = parse(BenchFormat.metricsLine(in))
+    assert(!j.has("warmup") && !j.has("loadavg"))
+    // loads omitted entirely → no loadavg key (old-artifact shape)
+    assert(!parse(BenchFormat.detailLine(corpus(4))).has("loadavg"))
+  }
 }
