@@ -73,6 +73,12 @@ object AsOfJoin {
       require(!df.columns.contains(c),
         s"asOf: $side input already has a '$c' column " +
           "(reserved for the operator's scratch state) — rename it")
+    // the payload struct leads with a '_m' marker field; a value column
+    // of that name would duplicate the field and make getField("_m")
+    // resolve ambiguously instead of failing fast
+    require(!valueCols.contains("_m"),
+      "asOf: a value column named '_m' collides with the payload " +
+        "struct's match-marker field — rename it")
     val leftCols = left.columns.toSeq
     // The payload travels as ONE struct per right row (non-null on every
     // right row via the `_m` marker, null on left rows). `last(_, ignore

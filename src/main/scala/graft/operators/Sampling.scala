@@ -29,21 +29,30 @@ object Sampling {
   private val M = 4294967296L      // 2^32
 
   /** Multiplier for a given seed: seed 0 is the canonical Knuth
-    * constant; other seeds derive a DIFFERENT odd 32-bit multiplier
-    * (LCG-mixed, same device as [[Dedup.hashCoeffs]]), so each seed is
-    * a genuinely different hash function. The previous `(key + seed)·A`
-    * form was affine in the seed — b_s(k) = b_0(k) + s·A (mod 2^32) —
-    * so every "independent" assignment was a constant rotation of
-    * seed 0's: epoch shuffles were cyclic rotations of each other, and
-    * two same-fraction samples at different seeds could be fully
-    * disjoint where independence predicts proportional overlap.
-    * Oracles replicate a given seed by inlining this multiplier value.
+    * constant; other seeds derive a DIFFERENT odd 32-bit multiplier via
+    * a splitmix64 finalizer, so each seed is a genuinely different hash
+    * function. The previous `(key + seed)·A` form was affine in the
+    * seed — b_s(k) = b_0(k) + s·A (mod 2^32) — so every "independent"
+    * assignment was a constant rotation of seed 0's: epoch shuffles
+    * were cyclic rotations of each other, and two same-fraction samples
+    * at different seeds could be fully disjoint where independence
+    * predicts proportional overlap. A single LCG step (the r8 form)
+    * fixed that but kept a soft spot: its high word has no avalanche,
+    * so an unlucky seed could yield a near-zero multiplier whose
+    * "shuffle" is nearly key-ordered. The full splitmix64 mix
+    * (Steele et al., OOPSLA 2014 — the JDK SplittableRandom finalizer)
+    * avalanches every seed bit into the kept word. Oracles replicate a
+    * given seed by inlining this multiplier value (interpolated, never
+    * hand-copied).
     */
   private[graft] def mixedMultiplier(seed: Long): Long =
     if (seed == 0L) KnuthA
     else {
-      val x = seed * 6364136223846793005L + 1442695040888963407L
-      ((x >>> 32) | 1L) & 0xFFFFFFFFL // odd, 32-bit
+      var z = seed * 6364136223846793005L + 1442695040888963407L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= z >>> 31
+      ((z >>> 32) | 1L) & 0xFFFFFFFFL // odd, 32-bit
     }
 
   /** Uniform bucket in [0, 2^32) from an integer key column; `seed`
