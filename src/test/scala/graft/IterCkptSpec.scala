@@ -66,4 +66,16 @@ class IterCkptSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === wantStar)
     }
   }
+
+  test("bfsDepths deep walk truncates reliably too, distances unchanged") {
+    // maxDepth 11 crosses two truncation points (depth 5 and 10) — the
+    // knob's other consumer exercises reliable checkpoints mid-walk
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    def depths() = graft.operators.Graph.bfsDepths(docs, n, 0L, maxDepth = 11)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dist")).toMap
+    val local = depths()
+    val reliable = withReliableDir(_ => depths())
+    assert(reliable === local)
+  }
 }
