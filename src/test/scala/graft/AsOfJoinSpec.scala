@@ -102,4 +102,15 @@ class AsOfJoinSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("_seq"), e.getMessage)
   }
+
+  test("a value column named _m is rejected (payload marker collision)") {
+    // unguarded, a '_m' value column duplicated the payload struct's
+    // match-marker field and getField("_m") resolved ambiguously
+    val left = Seq((1L, 0L)).toDF("k", "ts")
+    val right = Seq((1L, 1L, 1L, "a")).toDF("k", "ts", "seq", "_m")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right, "k", "ts", "seq", Seq("_m"))
+    }
+    assert(e.getMessage.contains("_m"), e.getMessage)
+  }
 }

@@ -302,6 +302,21 @@ class PipelineSpec extends SparkSpec {
     assert(big === 4051499520L) // (9e9 * A) mod 2^32, computed externally
   }
 
+  test("mixedMultiplier: splitmix finalizer yields non-degenerate, distinct multipliers") {
+    import graft.operators.Sampling
+    // the single-LCG-step form had no avalanche in its high word, so an
+    // unlucky seed could yield a near-zero multiplier whose 'shuffle' is
+    // nearly key-ordered; the splitmix64 finalizer avalanches every bit
+    val ms = (1L to 5000L).map(Sampling.mixedMultiplier)
+    assert(ms.forall(m => (m & 1L) == 1L), "multipliers must be odd")
+    assert(ms.forall(m => m > 0L && m < 4294967296L), "multipliers must be 32-bit")
+    // no tiny (degenerate) multipliers: P(m < 2^16) ≈ 5000·2^-16 ≈ 0.08
+    // for ONE draw — across the full avalanche, none should land there
+    assert(!ms.exists(_ < 65536L), "degenerate near-zero multiplier")
+    // effectively injective over small sequential epochs
+    assert(ms.distinct.size == ms.size, "multiplier collision in epoch range")
+  }
+
   test("splitLabel: non-binary-exact fractions still partition (no null label)") {
     import graft.operators.Sampling
     import spark.implicits._
