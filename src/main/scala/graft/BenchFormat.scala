@@ -81,8 +81,21 @@ object BenchFormat {
     // a real change; one whose spread swamps the delta is sweep noise.
     // integer seconds: sweep totals are a did-they-agree signal, not a
     // measurement — sub-second precision is not worth the bytes
+    val walls = sweepWalls(in)
     val sweepsPart =
-      s""","sweeps":[${sweepWalls(in).map(v => math.round(v)).mkString(",")}]"""
+      s""","sweeps":[${walls.map(v => math.round(v)).mkString(",")}]""" +
+        // VERDICT r9 #4/#5: the artifact must describe the box state on
+        // its own — the r9 artifact's walls sat 5.6% above a same-HEAD
+        // quiet-box run and only bench_detail.json (never shipped) and
+        // commit messages could say why. loadavg per sweep boundary
+        // (warm-ups included, one end-of-run sample) plus an explicit
+        // self-flag when the measured walls disagree >5% — the close-out
+        // replication discipline, readable from the artifact alone.
+        (if (in.loads.isEmpty) ""
+         else s""","loadavg":[${in.loads.map(v => f"$v%.1f").mkString(",")}]""") +
+        (if (walls.size >= 2 && walls.min > 0 &&
+             (walls.max - walls.min) / walls.min > 0.05)
+          s""","warn":"sweep walls disagree >5%"""" else "")
     // `strip` follows the tier's queries-map key style: full keeps the
     // q_ prefix, the stripped tiers strip — spread keys must correlate
     // 1:1 with the adjacent queries map either way.

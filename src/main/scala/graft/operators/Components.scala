@@ -39,6 +39,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object Components {
 
+  /** Loud null-endpoint contract, shared by BOTH variants: a null doc id
+    * in a near-dup pair is upstream corruption, and the two algorithms
+    * would otherwise silently disagree on it (hash-to-min propagates a
+    * (null, null) label row; star's `u =!= v` / `a === b` predicates
+    * drop null rows from every set they touch). Spelled as a filter on
+    * `assert_true` — codegen'd, evaluated once per input edge inside the
+    * first materialization both variants already pay (symC's cache fill /
+    * the initial star truncate), so the guard costs no extra job and no
+    * extra pass. Passing rows yield NULL (⇒ isNull = true, row kept);
+    * a null endpoint throws with the contract message.
+    */
+  private def nonNullEndpoints(u: String, v: String)(df: DataFrame): DataFrame =
+    df.filter(assert_true(col(u).isNotNull && col(v).isNotNull,
+      lit("null endpoint in connected-components edge input — near-dup " +
+        "pair sources must emit non-null ids; drop or repair null rows " +
+        "upstream if they are expected")).isNull)
+
   /** The "chg" metric of an already-materialized Observation, waiting at
     * most 5 s for the listener bus to drain (the job itself has finished
     * — eager checkpoint — so this is bus latency, not compute). None if
@@ -66,8 +83,10 @@ object Components {
       maxIter: Int): (DataFrame, Int) = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
-    val sym = edges.select(a.as("src"), b.as("dst"))
-      .union(edges.select(b.as("src"), a.as("dst")))
+    val oriented = nonNullEndpoints("src", "dst")(
+      edges.select(a.as("src"), b.as("dst")))
+    val sym = oriented
+      .union(oriented.select(col("dst").as("src"), col("src").as("dst")))
     val symC = sym.persist(StorageLevel.MEMORY_AND_DISK)
     var labels = symC.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
@@ -185,7 +204,8 @@ object Components {
     // two extra full-vertex exchanges on EVERY input, self-loops or not
     // (the r8 bench's only consistent-rep regression, 188→263 cs).
     val selfLoopVerts = edges.filter(a === b).select(a.as("id")).distinct()
-    var ee = IterCkpt.truncate(edges.select(a.as("u"), b.as("v"))
+    var ee = IterCkpt.truncate(nonNullEndpoints("u", "v")(
+        edges.select(a.as("u"), b.as("v")))
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))

@@ -124,7 +124,12 @@ class BenchFormatSpec extends AnyFunSuite {
         nm -> (if (errQs(nm)) full.take(rng.nextInt(reps)) else full)
       }.toMap
       val errors = errQs.map(_ -> "err \"quoted\"\nline").toMap
-      val in = BenchInput(names, times, errors, reps, "/root/testdata/sf0.1")
+      // half the trials carry loadavg context (the post-r9 shape) so the
+      // tail-budget invariant covers the wider line too
+      val loads = if (rng.nextBoolean())
+        Seq.fill(reps + 2)(rng.nextDouble() * 40) else Nil
+      val in = BenchInput(names, times, errors, reps, "/root/testdata/sf0.1",
+        warmup = if (loads.isEmpty) 0 else 1, loads = loads)
       val line = BenchFormat.metricsLine(in)
       assert(line.length <= 1850, s"trial $trial: ${line.length} chars at n=$n")
       val j = parse(line)
@@ -159,10 +164,38 @@ class BenchFormatSpec extends AnyFunSuite {
     // warm-up sweeps are DISCARDED: per-query rep lists and walls still
     // count only the measured sweeps
     assert(d.get("sweep_wall_s").size() === in.reps)
-    // metrics line is warm-up-agnostic (tail budget unchanged)
+    // the metrics line carries the loadavg context too (VERDICT r9 #4:
+    // the shipped artifact must describe the box state on its own) but
+    // stays warm-up-count-agnostic
     val j = parse(BenchFormat.metricsLine(in))
-    assert(!j.has("warmup") && !j.has("loadavg"))
+    assert(!j.has("warmup"))
+    assert(j.get("loadavg").size() === 5)
+    assert(j.get("loadavg").get(0).asDouble() === 2.5)
     // loads omitted entirely → no loadavg key (old-artifact shape)
     assert(!parse(BenchFormat.detailLine(corpus(4))).has("loadavg"))
+    assert(!parse(BenchFormat.metricsLine(corpus(4))).has("loadavg"))
+  }
+
+  test("metrics line self-flags sweep walls that disagree >5%") {
+    // VERDICT r9 #5: the 2.2%-replication close-out discipline lived in
+    // commit messages; the artifact now says it itself. Agreeing walls
+    // carry no warn; a 43%-spread r8-shaped run does.
+    val names = Seq("q_a_1", "q_b_2")
+    val quiet = BenchInput(names,
+      Map("q_a_1" -> List(5.0, 5.1, 4.95), "q_b_2" -> List(2.0, 2.02, 2.0)),
+      Map.empty, 3, "/root/testdata/sf0.1")
+    assert(!parse(BenchFormat.metricsLine(quiet)).has("warn"))
+    val noisy = BenchInput(names,
+      Map("q_a_1" -> List(8.0, 5.0, 4.8), "q_b_2" -> List(2.0, 1.9, 1.9)),
+      Map.empty, 3, "/root/testdata/sf0.1")
+    val j = parse(BenchFormat.metricsLine(noisy))
+    assert(j.get("warn").asText().contains(">5%"))
+    // the warn survives tier compression on a big corpus
+    val big = corpus(300)
+    val bigNoisy = big.copy(times = big.times.map { case (k, ts) =>
+      k -> ts.zipWithIndex.map { case (t, i) => if (i == 0) t * 1.3 else t } })
+    val jb = parse(BenchFormat.metricsLine(bigNoisy))
+    assert(jb.has("rest") && jb.get("warn").asText().contains(">5%"))
+    assert(BenchFormat.metricsLine(bigNoisy).length <= 1850)
   }
 }

@@ -136,6 +136,27 @@ class DegenerateInputsSpec extends SparkSpec {
     }
   }
 
+  test("clustering: null edge endpoints fail loudly in BOTH variants") {
+    // ADVICE r9: hash-to-min used to propagate a (null, null) label row
+    // while star's null-dropping predicates silently removed the same
+    // rows — two "identical-contract" variants disagreeing on corrupt
+    // input. Both now refuse it with the same contract message.
+    import spark.implicits._
+    val edges = Seq((Some(1L), Some(2L)), (Some(3L), None))
+      .toDF("a", "b")
+    for ((name, run) <- Seq[(String, () => Any)](
+        ("hash-to-min", () =>
+          graft.operators.Components.connectedComponents(edges, "a", "b").collect()),
+        ("star", () =>
+          graft.operators.Components.connectedComponentsStar(edges, "a", "b").collect()))) {
+      val e = intercept[Exception] { run.apply() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("; ")
+      assert(msgs.contains("null endpoint"),
+        s"$name on null endpoints: wanted the contract message, got: $msgs")
+    }
+  }
+
   test("graph operators refuse an empty corpus with a pointed message") {
     // every Graph entry point divides or mods by the vertex count n;
     // n = 0 must be the contract message, not ArithmeticException

@@ -78,4 +78,58 @@ class IterCkptSpec extends SparkSpec {
     val reliable = withReliableDir(_ => depths())
     assert(reliable === local)
   }
+
+  test("reliable truncate computes the round's plan exactly ONCE") {
+    // Spark 4's eager Dataset.checkpoint runs RDD.doCheckpoint() directly:
+    // one job computes the plan and writes the partitions as it goes. The
+    // Spark 3 era behavior (materialize, then a SECOND full computation to
+    // write the files) would double every reliable round's cost — this
+    // accumulator pins the single-evaluation guarantee the IterCkpt
+    // scaladoc now states, so a Spark upgrade that regresses it turns red
+    // here instead of silently doubling cluster bills.
+    import org.apache.spark.sql.functions.{col, udf}
+    withReliableDir { _ =>
+      val acc = spark.sparkContext.longAccumulator("iterckpt_evals")
+      val counting = udf((x: Long) => { acc.add(1); x })
+      val t = IterCkpt.truncate(
+        spark.range(100).select(counting(col("id")).as("id")))
+      assert(acc.value === 100L,
+        s"reliable truncate evaluated the plan ${acc.value / 100.0} times — must be exactly once")
+      assert(t.count() === 100)
+      // and the post-truncate count() read checkpoint state, not the plan
+      assert(acc.value === 100L)
+    }
+  }
+
+  test("reliable-mode blocks are persisted for re-reads; drop frees blocks AND deletes the round's files") {
+    import spark.implicits._
+    withReliableDir { _ =>
+      val t = IterCkpt.truncate((1 to 40).toDF("n").filter("n % 2 = 0"))
+      val rdd = Bridge.materializedRdd(t).get
+      // next-round references should hit the block manager, not DFS
+      assert(rdd.getStorageLevel !== StorageLevel.NONE,
+        "reliable truncate must persist the checkpointed RDD for block-backed re-reads")
+      val cp = rdd.getCheckpointFile
+      assert(cp.isDefined, "reliable truncate must yield a checkpoint file path")
+      val p = new org.apache.hadoop.fs.Path(cp.get)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(p), s"checkpoint dir $p must exist while the round is live")
+      IterCkpt.drop(t)
+      assert(rdd.getStorageLevel === StorageLevel.NONE, "drop must unpersist the blocks")
+      // ADVICE r9: without this, a multi-hour run accumulates rounds × |V|
+      // of DFS storage (ContextCleaner file cleanup is off by default)
+      assert(!fs.exists(p), s"drop must delete the superseded round's checkpoint files at $p")
+    }
+  }
+
+  test("dirMismatch flags a live context dir that did not come from the configured one") {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // no live dir: nothing to flag
+    assert(IterCkpt.dirMismatch(None, "/tmp/want", hconf).isEmpty)
+    // live dir is want/<uuid> (setCheckpointDir's shape): our conf took effect
+    assert(IterCkpt.dirMismatch(Some("file:/tmp/want/3f2a-uuid"), "/tmp/want", hconf).isEmpty)
+    // live dir descends from somewhere else: first-write-wins hazard, flagged
+    assert(IterCkpt.dirMismatch(Some("file:/tmp/other/3f2a-uuid"), "/tmp/want", hconf)
+      === Some("file:/tmp/other/3f2a-uuid"))
+  }
 }
