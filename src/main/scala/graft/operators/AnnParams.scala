@@ -1,0 +1,111 @@
+package graft.operators
+
+/** Corpus-cardinality-derived operating points for the IVF / PQ ANN
+  * family — the rule that replaces the fixed constants the repo's own
+  * history proved decay with scale (round 5: a fixed 50-deep candidate
+  * list that passed at 500 vectors fell to 0.448 candidate recall at
+  * 2000 — under the contractual 0.5 floor — because a CONSTANT depth is
+  * a shrinking FRACTION of a growing scanned set; SURVEY §2C).
+  *
+  * The three knobs and their scaling laws:
+  *
+  *   - '''nlist''' (coarse cells): ⌈√n⌉, clamped to [16, 65536] — the
+  *     published IVF sizing guidance (Jégou et al. PAMI 2011 §V; the
+  *     FAISS manual's nlist ≈ √n .. 4√n). Cells then hold ≈√n vectors
+  *     each, so BOTH the per-cell scan and the quantizer's codebook stay
+  *     sub-linear in n. The lower clamp keeps the quantizer trainable on
+  *     tiny corpora; the upper keeps the centroid set (driver state,
+  *     nlist×dim doubles) bounded — 65536×64 doubles = 32 MB, the same
+  *     canonical bounded-state exception as any k-means.
+  *   - '''nprobe''': ⌈ρ·nlist⌉ for a caller-owned probe fraction ρ.
+  *     ρ governs CELL recall (probability the true neighbor's cell is
+  *     probed) and is a property of the data distribution, not of n:
+  *     near-random embeddings (this repo's oracle corpus — background
+  *     cosine ≈ 0.5) need the grid-measured ρ = 0.625 because no
+  *     quantizer separates what isn't clustered; real clustered corpora
+  *     run ρ ≈ 0.01–0.1 (the FAISS regime). Holding ρ fixed while nlist
+  *     grows as √n keeps the scanned fraction of the corpus constant —
+  *     recall does not silently thin as the corpus grows.
+  *   - '''candK''' (ADC candidate depth before the exact re-rank):
+  *     max(floor, ⌈γ·ρ·n⌉) — a fixed fraction γ of the EXPECTED SCANNED
+  *     SET ρ·n. This is the knob the round-5 incident was about: a true
+  *     neighbor's ADC rank among scanned candidates degrades linearly
+  *     with how many distractors are scanned (code precision fixes the
+  *     per-distractor beat probability; the count of scanned distractors
+  *     is ρ·n), so constant candidate RECALL requires depth proportional
+  *     to ρ·n. γ is grid-measured once per code configuration
+  *     (graft.RecallGrid; γ = 0.10 at m=8/codes=64 holds every measured
+  *     band with ≥0.04 margin to its edge) and then survives any n. The
+  *     floor keeps small corpora at the depth their bands were measured
+  *     at.
+  *
+  * All three are monotone non-decreasing in n (AnnParamsSpec
+  * property-checks this): deliberately defined on n and the CONFIGURED ρ
+  * rather than the realized nprobe/nlist ratio, whose ceil-boundary
+  * wobble would make candK non-monotone across nlist steps.
+  *
+  * Flat ADC ([[Similarity.pqSearch]]) scans the WHOLE corpus (ρ ≡ 1),
+  * so its depth is [[flatCandK]]: max(floor, ⌈γflat·n⌉).
+  *
+  * Used by the q_ann_pq / q_ann_ivfpq oracle queries
+  * (graft.queries.PipelineQueries), which derive (nlist, nprobe, candK)
+  * from `embeddings.count()` instead of hard-coding bench-scale
+  * constants; their oracle bands are re-measured per scale by
+  * graft.RecallGrid whenever γ/ρ or the code shape changes.
+  */
+object AnnParams {
+
+  /** Grid-measured defaults for the near-random oracle corpus at
+    * m=8 / codes=64 (see RecallGrid): the probe fraction, the
+    * scanned-set candidate fraction, and the small-corpus depth floors.
+    */
+  val ProbeFrac = 0.625
+  val CandFrac = 0.10
+  val CandFloor = 80
+  val FlatCandFrac = 0.05
+  val FlatCandFloor = 50
+
+  val MinNlist = 16
+  val MaxNlist = 65536
+
+  private def requirePositive(n: Long): Unit =
+    require(n > 0, s"corpus cardinality must be positive, got $n")
+
+  /** Coarse-cell count: ⌈√n⌉ clamped to [[MinNlist]]..[[MaxNlist]]. */
+  def nlist(n: Long): Int = {
+    requirePositive(n)
+    math.min(MaxNlist.toLong,
+      math.max(MinNlist.toLong, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+  }
+
+  /** Probed cells: ⌈ρ·nlist⌉, clamped to [1, nlist]. */
+  def nprobe(n: Long, probeFrac: Double = ProbeFrac): Int = {
+    requirePositive(n)
+    require(probeFrac > 0 && probeFrac <= 1,
+      s"probe fraction must be in (0, 1], got $probeFrac")
+    val cells = nlist(n)
+    math.min(cells.toLong, math.max(1L, math.ceil(probeFrac * cells).toLong)).toInt
+  }
+
+  /** IVF-PQ candidate depth: max(floor, ⌈γ·ρ·n⌉), never below k. */
+  def candK(n: Long, k: Int, probeFrac: Double = ProbeFrac,
+            candFrac: Double = CandFrac, floor: Int = CandFloor): Int = {
+    requirePositive(n)
+    require(k >= 1, s"k must be >= 1, got $k")
+    math.max(k.toLong,
+      math.max(floor.toLong, math.ceil(candFrac * probeFrac * n.toDouble).toLong))
+      .min(Int.MaxValue).toInt
+  }
+
+  /** Flat-ADC candidate depth (scanned set = the whole corpus):
+    * max(floor, ⌈γflat·n⌉), never below k.
+    */
+  def flatCandK(n: Long, k: Int, candFrac: Double = FlatCandFrac,
+                floor: Int = FlatCandFloor): Int = {
+    requirePositive(n)
+    require(k >= 1, s"k must be >= 1, got $k")
+    math.max(k.toLong,
+      math.max(floor.toLong, math.ceil(candFrac * n.toDouble).toLong))
+      .min(Int.MaxValue).toInt
+  }
+}

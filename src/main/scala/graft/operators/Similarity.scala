@@ -731,7 +731,11 @@ object Similarity {
     * intersection. Flat ADC ([[pqSearch]]) still reads every code at
     * 10^11 vectors; cell-filtered ADC reads nprobe/nlist of them, which
     * is what makes the architecture scale-stable: recall is governed by
-    * (nprobe, codes), not corpus size.
+    * (nprobe, codes), not corpus size. The parameters are explicit here
+    * (the caller owns the cost/recall trade); derive them from corpus
+    * cardinality with [[AnnParams]] rather than hard-coding — fixed
+    * constants tuned at one scale decay at another (the candidate-depth
+    * collapse documented in AnnParams' scaladoc).
     *
     * Simplification vs FAISS kept deliberate: codes quantize the RAW
     * normalized vectors, not per-cell residuals — one fewer transform,

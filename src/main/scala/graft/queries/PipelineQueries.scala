@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{Components, Dedup, MultiModal, Sampling, Similarity}
+import graft.operators.{AnnParams, Components, Dedup, MultiModal, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -314,35 +314,42 @@ object PipelineQueries {
     }),
 
     // PQ-ANN (the memory-scale third architecture: 8-byte product-
-    // quantization codes + ADC scoring + EXACT re-rank of the 50-deep
-    // candidate list — Similarity.pqTrain/pqEncode/pqSearch). The query
+    // quantization codes + ADC scoring + EXACT re-rank of the candidate
+    // list — Similarity.pqTrain/pqEncode/pqSearch). The query
     // batch is the same deterministic 10% hash-sample, passed as a
     // DataFrame — per-query ADC tables are computed in the plan on the
     // query side, then broadcast into the flat scan (the broadcast is
     // the deliberate bounded-batch contract of flat ADC: tables DO
     // transit the driver, sized |queries| x m x codes doubles; the
     // corpus-scale path is ivfPqSearch's cell equi-join).
-    // Same recall-contract oracle as LSH/IVF; the exact
-    // re-rank means the band measures CANDIDATE recall@50, which is what
-    // PQ owes the pipeline. codes=64 (6-bit subquantizers): the original
-    // 4-bit codebooks' candidate recall fell to 0.448 at sf0.1 — BELOW
-    // the 0.5 floor — because a fixed 50-deep candidate list is a 4×
-    // smaller fraction of a 4× larger corpus; finer codebooks restore
-    // the margin at every scale. Grid-measured at codes=64: recall@5 =
-    // 0.776 (sf0.001) / 0.764 (sf0.01) → band 0.7, and 0.620 (sf0.1) →
-    // band 0.6 — all above the 0.5 floor (the oracle CASEs the band on
-    // corpus cardinality). These vectors are near-random (background
-    // cos ≈ 0.5), the hard regime for any short code (see the
-    // planted-dup test for the structured regime, where PQ recovers
-    // cos ≈ 0.999 neighbors reliably).
+    // Same recall-contract oracle as LSH/IVF; the exact re-rank means
+    // the band measures CANDIDATE recall, which is what PQ owes the
+    // pipeline. The candidate depth is NOT a constant: it is derived
+    // from corpus cardinality by AnnParams.flatCandK (flat ADC scans the
+    // whole corpus, so depth scales as a fixed fraction γflat·n with a
+    // small-corpus floor of 50) — the round-5 incident proved a constant
+    // depth decays with scale (candidate recall 0.448 < the 0.5 floor at
+    // sf0.1, because 50 candidates were a 4× smaller fraction of a 4×
+    // larger corpus). codes=64 (6-bit subquantizers), measured by
+    // graft.RecallGrid at the DERIVED depths: recall@5 = 0.776
+    // (sf0.001, n=500 → candK 50) / 0.764 (sf0.01, n=500 → 50) / 0.757
+    // (sf0.1, n=2000 → candK 100) — band 0.7 at every measured scale
+    // with ≥0.057 margin to the band edge, ≥0.25 above the 0.5 floor
+    // (so the oracle is the constant band). These vectors are near-random
+    // (background cos ≈ 0.5), the hard regime for any short code (see
+    // the planted-dup test for the structured regime, where PQ recovers
+    // cos ≈ 0.999 neighbors reliably). Re-measure with RecallGrid
+    // before touching AnnParams or the code shape.
     "q_ann_pq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val n = emb.count()
       val sampleQ = Sampling.hashSample(emb, "vec_id", 0.1)
       val model = Similarity.pqTrain(emb, "vec_id", "embedding",
         m = 8, codes = 64)
       val encoded = Similarity.pqEncode(emb, "vec_id", "embedding", model)
       val cand = Similarity
-        .pqSearch(encoded, model, sampleQ, "vec_id", "embedding", k = 50)
+        .pqSearch(encoded, model, sampleQ, "vec_id", "embedding",
+          k = AnnParams.flatCandK(n, 5))
         .filter(col("qid") =!= col("id"))
       val bf = bfAnchor(s, d)
       recallContract(bf, exactReRank(emb, cand, 5))
@@ -353,19 +360,25 @@ object PipelineQueries {
     // vectors each query scans, PQ codes bound the BYTES per scanned
     // vector — flat ADC (q_ann_pq) still reads every code at 10^11
     // vectors; this reads nprobe/nlist of them. Candidate list + exact
-    // re-rank contract as q_ann_pq but 80 deep. Parameters (nlist=16,
-    // nprobe=10, m=8, codes=64, candK=80) grid-measured by
-    // graft.RecallGrid: recall@5 = 0.880 (sf0.001) / 0.844 (sf0.01) →
-    // band 0.8, and 0.671 (sf0.1) → band 0.6 — every scale carries
-    // ≥0.04 margin to its band edge and ≥0.17 above the contractual
-    // ≥0.5 floor (the round-5 configuration, nprobe=8/candK=50, sat
-    // EXACTLY at the floor at sf0.1: 0.566 → band 0.5). The extra
-    // probes+candidates cost nprobe/nlist = 10/16 of the ADC scan and
-    // an 80-row re-rank per query — the right trade when the recall
-    // floor is contractual. Re-measure with RecallGrid before touching
-    // any parameter here.
+    // re-rank contract as q_ann_pq. The operating points (nlist, nprobe,
+    // candK) are NOT constants: they are derived from corpus cardinality
+    // by graft.operators.AnnParams — nlist = ⌈√n⌉ (Jégou/FAISS sizing),
+    // nprobe = ⌈ρ·nlist⌉ at the grid-measured probe fraction ρ = 0.625,
+    // candK = max(80, ⌈γ·ρ·n⌉) at γ = 0.07 (candidate depth a fixed
+    // fraction of the expected scanned set — the quantity whose FIXED
+    // predecessor caused the round-5 recall collapse: nprobe=8/candK=50
+    // sat EXACTLY at the 0.5 floor at sf0.1, 0.566 → band 0.5, because
+    // a constant depth is a shrinking fraction of a growing scanned
+    // set). Derived points and grid-measured recall@5 (graft.RecallGrid):
+    // n=500 (sf0.001/sf0.01) → (23, 15, 80), recall 0.896/0.872 → band
+    // 0.8; n=2000 (sf0.1) → (45, 29, 125), recall 0.762 → band 0.7 —
+    // every scale ≥0.062 above its band edge and ≥0.26 above the
+    // contractual ≥0.5 floor. AnnParamsSpec pins the derived values
+    // at these two cardinalities so rule and bands can only move
+    // together; re-measure with RecallGrid before touching either.
     "q_ann_ivfpq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val n = emb.count()
       val sampleQ = Sampling.hashSample(emb, "vec_id", 0.1)
       // queries stay a DataFrame: probe cells + ADC tables are computed
       // in the plan and meet the codes through one cell equi-join — the
@@ -373,7 +386,8 @@ object PipelineQueries {
       // serves a corpus-sized query set at 100 TB.
       val cand = Similarity.ivfPqSearch(emb, "vec_id", "embedding",
           sampleQ, "vec_id", "embedding",
-          k = 80, nlist = 16, nprobe = 10, m = 8, codes = 64)
+          k = AnnParams.candK(n, 5), nlist = AnnParams.nlist(n),
+          nprobe = AnnParams.nprobe(n), m = 8, codes = 64)
         .filter(col("qid") =!= col("id"))
       val bf = bfAnchor(s, d)
       recallContract(bf, exactReRank(emb, cand, 5))
@@ -737,14 +751,13 @@ object PipelineQueries {
          WHERE (CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 < 429496729""",
     "q_ann_pq" ->
       """SELECT count(*) AS n_queries,
-                CAST(CASE WHEN (SELECT count(*) FROM embeddings) >= 2000
-                     THEN 0.6 ELSE 0.7 END AS DOUBLE) AS recall_band,
+                CAST(0.7 AS DOUBLE) AS recall_band,
                 true AS recall_ok FROM embeddings
          WHERE (CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 < 429496729""",
     "q_ann_ivfpq" ->
       """SELECT count(*) AS n_queries,
                 CAST(CASE WHEN (SELECT count(*) FROM embeddings) >= 2000
-                     THEN 0.6 ELSE 0.8 END AS DOUBLE) AS recall_band,
+                     THEN 0.7 ELSE 0.8 END AS DOUBLE) AS recall_band,
                 true AS recall_ok FROM embeddings
          WHERE (CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 < 429496729""",
     "q_cosine_topk" ->

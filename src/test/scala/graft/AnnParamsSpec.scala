@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.AnnParams
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ANN operating-point rule is pure arithmetic — no Spark. What must
+  * hold: every knob is monotone non-decreasing in corpus cardinality
+  * (the whole point of replacing fixed constants: a bigger corpus may
+  * never get a SHALLOWER index or candidate list), the clamps and floors
+  * bind where documented, and the values at the three measured testdata
+  * scales are exactly the ones the oracle bands were grid-measured at —
+  * a silent rule change must turn this red before it silently invalidates
+  * the bands.
+  */
+class AnnParamsSpec extends AnyFunSuite {
+
+  test("all three knobs are monotone non-decreasing in corpus size") {
+    val rng = new scala.util.Random(7)
+    // dense small range + random log-scale pairs up to 10^11 (the stated
+    // 100 TB corpus shape) — the ceil boundaries live in the small range
+    val ns = (1L to 3000L) ++
+      Seq.fill(2000)(math.pow(10, rng.nextDouble() * 11).toLong max 1L)
+    val sorted = ns.distinct.sorted
+    sorted.sliding(2).foreach { case Seq(n1, n2) =>
+      assert(AnnParams.nlist(n1) <= AnnParams.nlist(n2), s"nlist at $n1 vs $n2")
+      assert(AnnParams.nprobe(n1) <= AnnParams.nprobe(n2), s"nprobe at $n1 vs $n2")
+      assert(AnnParams.candK(n1, 5) <= AnnParams.candK(n2, 5), s"candK at $n1 vs $n2")
+      assert(AnnParams.flatCandK(n1, 5) <= AnnParams.flatCandK(n2, 5),
+        s"flatCandK at $n1 vs $n2")
+    case _ => ()
+    }
+  }
+
+  test("clamps and floors bind where documented") {
+    // tiny corpora stay trainable and at their measured depth
+    assert(AnnParams.nlist(1) === AnnParams.MinNlist)
+    assert(AnnParams.candK(1, 5) === AnnParams.CandFloor)
+    assert(AnnParams.flatCandK(1, 5) === AnnParams.FlatCandFloor)
+    // the driver-state ceiling: 10^11 vectors still cap at 65536 cells
+    assert(AnnParams.nlist(100000000000L) === AnnParams.MaxNlist)
+    // nprobe never exceeds the cell count at any fraction
+    assert(AnnParams.nprobe(1000000L, probeFrac = 1.0) ===
+      AnnParams.nlist(1000000L))
+    // candidate depth never shrinks below the requested k
+    assert(AnnParams.candK(100, k = 200) === 200)
+    // degenerate inputs are loud, not silently clamped
+    intercept[IllegalArgumentException](AnnParams.nlist(0))
+    intercept[IllegalArgumentException](AnnParams.nprobe(100, probeFrac = 0.0))
+    intercept[IllegalArgumentException](AnnParams.candK(100, k = 0))
+  }
+
+  test("derived values at the measured testdata scales match the grid-measured configuration") {
+    // n = 500 (sf0.001 / sf0.01 embeddings) and n = 2000 (sf0.1): the
+    // oracle CASE bands in PipelineQueries were measured at EXACTLY these
+    // operating points (RecallGrid) — pin them so a rule tweak and the
+    // bands can only move together
+    assert((AnnParams.nlist(500), AnnParams.nprobe(500), AnnParams.candK(500, 5))
+      === ((23, 15, 80)))
+    assert((AnnParams.nlist(2000), AnnParams.nprobe(2000), AnnParams.candK(2000, 5))
+      === ((45, 29, 125)))
+    assert(AnnParams.flatCandK(500, 5) === 50)
+    assert(AnnParams.flatCandK(2000, 5) === 100)
+  }
+}
