@@ -95,7 +95,7 @@ object BenchFormat {
          else s""","loadavg":[${in.loads.map(v => f"$v%.1f").mkString(",")}]""") +
         (if (walls.size >= 2 && walls.min > 0 &&
              (walls.max - walls.min) / walls.min > 0.05)
-          s""","warn":"sweep walls disagree >5%"""" else "")
+          s""","warn":"walls disagree >5%"""" else "")
     // `strip` follows the tier's queries-map key style: full keeps the
     // q_ prefix, the stripped tiers strip — spread keys must correlate
     // 1:1 with the adjacent queries map either way.
@@ -196,11 +196,16 @@ object BenchFormat {
     // the tiers on either side of them carried it.
     // thunked: render each tier only until one fits (a 220-query corpus
     // otherwise renders all 7 rejected forms every run)
+    // topTier budget 1830 (was 1780): the loadavg + warn fields cost ~70
+    // chars, and at the old budget a noisy 220-query run rendered
+    // "top 0/220" — family-only, no per-query minima, which is exactly
+    // what perf triage reads. 1830 + the ~70-char sbt epilogue still
+    // leaves ~100 chars of margin inside the 2000-char stdout tail.
     Seq(() => full(10), () => full(3), () => full(0))
       .iterator.map(_()).find(_.length <= 1800)
       .orElse(Seq(() => compact(3), () => compact(0), () => centi(3), () => centi(0))
         .iterator.map(_()).find(_.length <= 1850))
-      .getOrElse(topTier(1780))
+      .getOrElse(topTier(1830))
   }
 
   /** Full dispersion record, free of the stdout tail budget: EVERY rep
