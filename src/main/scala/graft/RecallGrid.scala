@@ -82,6 +82,41 @@ object RecallGrid {
         println(f"GRID pqflat $d candK=$ck " +
           f"recall=${recallOf(spark, bf, emb, cand)}%.4f$mark")
       }
+      // plain IVF (exact scoring inside probed cells — cell recall only):
+      // derived point plus probe neighbors. ivfTopK emits its own exact
+      // top-5, so recall is measured on its rows directly.
+      val (ivfNlist, ivfNprobe) = (nlist, AnnParams.nprobe(n, AnnParams.IvfProbeFrac))
+      for (np <- Seq(ivfNprobe, ivfNprobe - 2, ivfNprobe + 2).distinct.filter(_ >= 1)) {
+        val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+            k = 5, nlist = ivfNlist, nprobe = np,
+            queryPred = Some(id =>
+              Sampling.bucketOf(id) < lit((0.1 * 4294967296L).toLong)))
+          .select(col("qid"), col("nid"), lit(1).as("hit"))
+        val recall = bf
+          .join(ivf, Seq("qid", "nid"), "left")
+          .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
+            count(lit(1))).as("r")).collect()(0).getDouble(0)
+        val mark = if (np == ivfNprobe) " <== derived" else ""
+        println(f"GRID ivf $d nlist=$ivfNlist nprobe=$np recall=$recall%.4f$mark")
+      }
+      // SemDeDup pair recall vs the exact 0.45-threshold pairs, at the
+      // cell-size-derived nlist plus neighbors
+      val exactPairs = Similarity
+        .cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
+        .select(col("a_id"), col("b_id")).cache()
+      val nExact = exactPairs.count()
+      val sdNlist = AnnParams.semDedupNlist(n)
+      for (nl <- Seq(sdNlist, sdNlist / 2, sdNlist * 2).distinct.filter(_ >= 1)) {
+        val sem = Similarity
+          .semDedupPairs(emb, "vec_id", "embedding", 0.45, nlist = nl)
+          .select(col("a_id"), col("b_id"), lit(1).as("hit"))
+        val hits = exactPairs.join(sem, Seq("a_id", "b_id"), "left")
+          .agg(sum(coalesce(col("hit"), lit(0)))).collect()(0).getLong(0)
+        val mark = if (nl == sdNlist) " <== derived" else ""
+        println(f"GRID semdedup $d nlist=$nl nExact=$nExact " +
+          f"pairRecall=${hits.toDouble / nExact}%.4f$mark")
+      }
+      exactPairs.unpersist()
       bf.unpersist()
     }
     spark.stop()

@@ -65,6 +65,17 @@ object AnnParams {
   val FlatCandFrac = 0.05
   val FlatCandFloor = 50
 
+  /** Probe fraction for plain IVF ([[Similarity.ivfTopK]]): exact
+    * scoring inside probed cells means cell recall is the ONLY recall
+    * term, so the band depends on this fraction, not on any absolute
+    * count. Grid-measured at 0.46 (recall@5 0.872/0.840/0.843 across
+    * the three testdata scales — one shared 0.8 band with ≥0.028 edge
+    * distance everywhere, which is what the cardinality-CASE'd oracle
+    * needs: the two n=500 datasets must land in the SAME band). Same
+    * near-random-corpus caveat as [[ProbeFrac]].
+    */
+  val IvfProbeFrac = 0.46
+
   val MinNlist = 16
   val MaxNlist = 65536
 
@@ -107,5 +118,28 @@ object AnnParams {
     math.max(k.toLong,
       math.max(floor.toLong, math.ceil(candFrac * n.toDouble).toLong))
       .min(Int.MaxValue).toInt
+  }
+
+  /** Cluster count for SemDeDup ([[Similarity.semDedupPairs]]):
+    * ⌈n / targetCellSize⌉, clamped to [1, [[MaxNlist]]]. SemDeDup's
+    * whole scale trick is that clustering bounds the pair space at
+    * nlist·|cell|² = n·targetCellSize comparisons — LINEAR in n for a
+    * fixed target cell size — so nlist must grow LINEARLY with the
+    * corpus (the paper dedups LAION-440M with 50k clusters ≈ 9k
+    * vectors/cell); a fixed nlist silently degrades to |cell| = n/nlist
+    * → n²/nlist total comparisons, the quadratic blow-up the operator
+    * exists to avoid. targetCellSize is the recall/cost knob the caller
+    * owns (bigger cells → fewer boundary-straddling pairs missed, more
+    * work); the default 64 reproduces the measured oracle configuration
+    * at the small testdata scales. Past the [[MaxNlist]] clamp
+    * (driver-state ceiling) per-cell size grows again — at that corpus
+    * scale, raise the clamp consciously or shard the corpus first.
+    */
+  def semDedupNlist(n: Long, targetCellSize: Int = 64): Int = {
+    requirePositive(n)
+    require(targetCellSize >= 1,
+      s"targetCellSize must be >= 1, got $targetCellSize")
+    math.min(MaxNlist.toLong,
+      math.max(1L, math.ceil(n.toDouble / targetCellSize).toLong)).toInt
   }
 }

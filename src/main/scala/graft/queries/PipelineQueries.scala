@@ -298,15 +298,25 @@ object PipelineQueries {
     // nprobe probing — Similarity.ivfTopK). Same recall-contract oracle
     // shape as q_ann_lsh: Spark measures recall@5 against its own exact
     // anchor (hash-verified in q_cosine_topk), and the hash pins the
-    // achieved band. Parameters (nlist=32, nprobe=8) grid-measured:
-    // recall@5 = 0.744 at sf0.001 / 0.732 at sf0.01 → band 0.7, and
-    // band 0.6 at sf0.1 — all above the 0.5 floor, probing 1/4 of the
-    // cells; the oracle CASEs the expected band on corpus cardinality.
+    // achieved band. The operating points derive from corpus cardinality
+    // (AnnParams): nlist = ⌈√n⌉, nprobe = ⌈ρ·nlist⌉ at the IVF probe
+    // fraction ρ = 0.46 (exact scoring inside probed cells means cell
+    // recall is the ONLY recall term, so the fraction — not any absolute
+    // count — is what the band depends on; a fixed nlist would instead
+    // let per-cell size, and so per-probe cost, grow linearly with the
+    // corpus). Derived points and grid-measured recall@5 (RecallGrid):
+    // n=500 → (23, 11), recall 0.872/0.840 (sf0.001/sf0.01 — the two
+    // same-cardinality datasets MUST share a band, the binding
+    // constraint on ρ); n=2000 → (45, 21), recall 0.843 — one constant
+    // 0.8 band, every scale ≥0.028 from a band edge and ≥0.34 above
+    // the 0.5 floor. AnnParamsSpec pins the derived values.
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val n = emb.count()
       // query-side sample via queryPred, same reasoning as q_ann_lsh
       val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
-          k = 5, nlist = 32, nprobe = 8,
+          k = 5, nlist = AnnParams.nlist(n),
+          nprobe = AnnParams.nprobe(n, AnnParams.IvfProbeFrac),
           queryPred = Some(id =>
             Sampling.bucketOf(id) < lit((0.1 * 4294967296L).toLong)))
       val bf = bfAnchor(s, d)
@@ -455,23 +465,31 @@ object PipelineQueries {
     // exact pair set. Precision is 1 by construction (every emitted pair
     // is exact-cosine-verified ≥ threshold ⇒ a subset of the exact
     // pairs — `sound` asserts exactly that); recall < 1 only when a
-    // near-dup pair straddles a k-means cell. Band measured on this
-    // testdata (nlist=8, 3 Lloyd iters, deterministic lowest-id seeds):
-    // 0.7 at sf0.01 (10/14 pairs in-cell), 0.2 at sf0.001 (2/7), 0.3 at
-    // sf0.1 (144 exact pairs) — the 0.45 threshold sits inside this
-    // 64-dim near-random corpus's background cosine distribution (see
-    // Similarity.lshNearDupPairs scaladoc), so pairs are not tight
-    // clusters and cell-straddling is common; on a real corpus SemDeDup
-    // runs at ~0.95+ where pairs ARE tight. The oracle CASEs the
-    // expected band on its own computed n_exact (7/14/144 — distinct
-    // at every verified sf).
+    // near-dup pair straddles a k-means cell. The cluster count derives
+    // from corpus cardinality (AnnParams.semDedupNlist: ⌈n/64⌉ — the
+    // paper's shape, nlist ∝ n for a FIXED target cell size, because
+    // SemDeDup's whole scale trick is bounding the pair space at
+    // n·targetCellSize comparisons; a fixed nlist silently degrades to
+    // n²/nlist, the quadratic blow-up the operator exists to avoid).
+    // Derived: n=500 → 8 cells (the historically measured config,
+    // unchanged), n=2000 → 32. Grid-measured pair recall at the derived
+    // points (RecallGrid): 0.286 at sf0.001 (2/7 pairs in-cell), 0.714
+    // at sf0.01 (10/14), 0.215 at sf0.1 (31/144) — the 0.45 threshold
+    // sits inside this 64-dim near-random corpus's background cosine
+    // distribution (see Similarity.lshNearDupPairs scaladoc), so pairs
+    // are not tight clusters and cell-straddling is common; on a real
+    // corpus SemDeDup runs at ~0.95+ where pairs ARE tight, and the
+    // exact blocked path is the right tool for this regime (that is
+    // q_embed_neardup). The oracle CASEs the expected band on its own
+    // computed n_exact (7/14/144 — distinct at every verified sf).
     "q_semdedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val exact = Similarity
         .cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
         .select(col("a_id"), col("b_id"))
       val sem = Similarity
-        .semDedupPairs(emb, "vec_id", "embedding", 0.45, nlist = 8)
+        .semDedupPairs(emb, "vec_id", "embedding", 0.45,
+          nlist = AnnParams.semDedupNlist(emb.count()))
         .select(col("a_id"), col("b_id"), lit(1).as("hit"))
       val nExact = sum(coalesce(col("ex"), lit(0)))
       val hits = sum(when(col("ex") === 1 && col("hit") === 1, 1).otherwise(0))
@@ -745,8 +763,7 @@ object PipelineQueries {
          WHERE (CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 < 429496729""",
     "q_ann_ivf" ->
       """SELECT count(*) AS n_queries,
-                CAST(CASE WHEN (SELECT count(*) FROM embeddings) >= 2000
-                     THEN 0.6 ELSE 0.7 END AS DOUBLE) AS recall_band,
+                CAST(0.8 AS DOUBLE) AS recall_band,
                 true AS recall_ok FROM embeddings
          WHERE (CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 < 429496729""",
     "q_ann_pq" ->
@@ -894,7 +911,7 @@ object PipelineQueries {
                     list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm
            FROM v)
          SELECT count(*) AS n_exact,
-                CAST(CASE WHEN count(*) >= 100 THEN 0.3
+                CAST(CASE WHEN count(*) >= 100 THEN 0.2
                           WHEN count(*) <= 10 THEN 0.2
                           ELSE 0.7 END AS DOUBLE) AS pair_recall_band,
                 true AS sound

@@ -24,9 +24,13 @@ class AnnParamsSpec extends AnyFunSuite {
     sorted.sliding(2).foreach { case Seq(n1, n2) =>
       assert(AnnParams.nlist(n1) <= AnnParams.nlist(n2), s"nlist at $n1 vs $n2")
       assert(AnnParams.nprobe(n1) <= AnnParams.nprobe(n2), s"nprobe at $n1 vs $n2")
+      assert(AnnParams.nprobe(n1, AnnParams.IvfProbeFrac) <=
+        AnnParams.nprobe(n2, AnnParams.IvfProbeFrac), s"ivf nprobe at $n1 vs $n2")
       assert(AnnParams.candK(n1, 5) <= AnnParams.candK(n2, 5), s"candK at $n1 vs $n2")
       assert(AnnParams.flatCandK(n1, 5) <= AnnParams.flatCandK(n2, 5),
         s"flatCandK at $n1 vs $n2")
+      assert(AnnParams.semDedupNlist(n1) <= AnnParams.semDedupNlist(n2),
+        s"semDedupNlist at $n1 vs $n2")
     case _ => ()
     }
   }
@@ -43,10 +47,16 @@ class AnnParamsSpec extends AnyFunSuite {
       AnnParams.nlist(1000000L))
     // candidate depth never shrinks below the requested k
     assert(AnnParams.candK(100, k = 200) === 200)
+    // semdedup: nlist ∝ n for a fixed cell size, clamped at the
+    // driver-state ceiling
+    assert(AnnParams.semDedupNlist(64) === 1)
+    assert(AnnParams.semDedupNlist(6400) === 100)
+    assert(AnnParams.semDedupNlist(1000000000000L) === AnnParams.MaxNlist)
     // degenerate inputs are loud, not silently clamped
     intercept[IllegalArgumentException](AnnParams.nlist(0))
     intercept[IllegalArgumentException](AnnParams.nprobe(100, probeFrac = 0.0))
     intercept[IllegalArgumentException](AnnParams.candK(100, k = 0))
+    intercept[IllegalArgumentException](AnnParams.semDedupNlist(100, targetCellSize = 0))
   }
 
   test("derived values at the measured testdata scales match the grid-measured configuration") {
@@ -60,5 +70,12 @@ class AnnParamsSpec extends AnyFunSuite {
       === ((45, 29, 125)))
     assert(AnnParams.flatCandK(500, 5) === 50)
     assert(AnnParams.flatCandK(2000, 5) === 100)
+    // plain IVF probes at its own grid-measured fraction
+    assert(AnnParams.nprobe(500, AnnParams.IvfProbeFrac) === 11)
+    assert(AnnParams.nprobe(2000, AnnParams.IvfProbeFrac) === 21)
+    // semdedup cell counts: 8 at both 500-vector sfs (the historically
+    // measured config), 32 at 2000
+    assert(AnnParams.semDedupNlist(500) === 8)
+    assert(AnnParams.semDedupNlist(2000) === 32)
   }
 }
