@@ -1,8 +1,8 @@
 package graft
 
 import graft.operators.{AnnParams, Sampling, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Measurement harness for the ANN recall-band grid (not part of the
@@ -15,32 +15,34 @@ import org.apache.spark.sql.functions._
   *   sbt "runMain graft.RecallGrid /root/testdata/sf0.001 /root/testdata/sf0.01 /root/testdata/sf0.1"
   *
   * For each sf it prints the AnnParams-DERIVED operating points (the
-  * configuration q_ann_pq / q_ann_ivfpq actually run) and one GRID line
-  * per measured configuration with the un-bucketized recall, so the
-  * margin above each band edge is visible — the judge flagged a round-5
+  * configuration the oracle queries actually run) and one GRID line per
+  * measured configuration with the un-bucketized recall, so the margin
+  * above each band edge is visible — the judge flagged a round-5
   * configuration that sat exactly on the 0.5 contract floor. Neighbor
-  * configurations (±nprobe, ±candK) are measured too, showing how much
-  * headroom the derived point carries.
+  * configurations (±nprobe, ±candK, ×÷2 cells) are measured too,
+  * showing how much headroom each derived point carries.
+  *
+  * The recall math is NOT re-implemented here: the re-rank and the
+  * hit-fraction come from PipelineQueries (exactReRank / hitJoin /
+  * recallExpr), so this harness measures the identical quantity the
+  * shipped queries pin — a second copy of that math is how oracle bands
+  * silently drift from what the queries actually run.
   */
 object RecallGrid {
 
-  private def recallOf(spark: SparkSession, bf: DataFrame,
-                       emb: DataFrame, cand: DataFrame): Double = {
-    val v = emb.select(col("vec_id").cast("long").as("vid"), col("embedding"))
-    val scored = cand
-      .join(v.select(col("vid").as("q_vid"), col("embedding").as("q_emb")),
-        col("qid") === col("q_vid"))
-      .join(v, col("id") === col("vid"))
-      .select(col("qid"), col("id").as("nid"),
-        Similarity.cosine(col("q_emb"), col("embedding")).as("sim"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    val top5 = scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5).select("qid", "nid")
-    bf.join(top5.withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
-      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
-        count(lit(1))).as("recall"))
+  /** Un-bucketized recall of re-ranked candidates vs the exact anchor —
+    * the same exactReRank + hit-join the PQ oracle queries aggregate.
+    */
+  private def candRecall(bf: DataFrame, emb: DataFrame, cand: DataFrame): Double =
+    PipelineQueries.hitJoin(bf, PipelineQueries.exactReRank(emb, cand, 5))
+      .agg(PipelineQueries.recallExpr.as("r"))
       .collect()(0).getDouble(0)
-  }
+
+  /** Un-bucketized recall of an operator's own (qid, nid) top-k rows. */
+  private def topKRecall(bf: DataFrame, ann: DataFrame): Double =
+    PipelineQueries.hitJoin(bf, ann)
+      .agg(PipelineQueries.recallExpr.as("r"))
+      .collect()(0).getDouble(0)
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("graft-recall-grid")
@@ -69,7 +71,7 @@ object RecallGrid {
           .filter(col("qid") =!= col("id"))
         val mark = if (np == nprobe && ck == candK) " <== derived" else ""
         println(f"GRID ivfpq $d nlist=$nlist nprobe=$np candK=$ck " +
-          f"recall=${recallOf(spark, bf, emb, cand)}%.4f$mark")
+          f"recall=${candRecall(bf, emb, cand)}%.4f$mark")
       }
       // flat PQ: derived depth plus neighbors
       val model = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, codes = 64)
@@ -80,24 +82,20 @@ object RecallGrid {
           .filter(col("qid") =!= col("id"))
         val mark = if (ck == flatK) " <== derived" else ""
         println(f"GRID pqflat $d candK=$ck " +
-          f"recall=${recallOf(spark, bf, emb, cand)}%.4f$mark")
+          f"recall=${candRecall(bf, emb, cand)}%.4f$mark")
       }
       // plain IVF (exact scoring inside probed cells — cell recall only):
       // derived point plus probe neighbors. ivfTopK emits its own exact
       // top-5, so recall is measured on its rows directly.
-      val (ivfNlist, ivfNprobe) = (nlist, AnnParams.nprobe(n, AnnParams.IvfProbeFrac))
+      val ivfNprobe = AnnParams.nprobe(n, AnnParams.IvfProbeFrac)
       for (np <- Seq(ivfNprobe, ivfNprobe - 2, ivfNprobe + 2).distinct.filter(_ >= 1)) {
         val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
-            k = 5, nlist = ivfNlist, nprobe = np,
+            k = 5, nlist = nlist, nprobe = np,
             queryPred = Some(id =>
               Sampling.bucketOf(id) < lit((0.1 * 4294967296L).toLong)))
-          .select(col("qid"), col("nid"), lit(1).as("hit"))
-        val recall = bf
-          .join(ivf, Seq("qid", "nid"), "left")
-          .agg((sum(coalesce(col("hit"), lit(0))).cast("double") /
-            count(lit(1))).as("r")).collect()(0).getDouble(0)
         val mark = if (np == ivfNprobe) " <== derived" else ""
-        println(f"GRID ivf $d nlist=$ivfNlist nprobe=$np recall=$recall%.4f$mark")
+        println(f"GRID ivf $d nlist=$nlist nprobe=$np " +
+          f"recall=${topKRecall(bf, ivf)}%.4f$mark")
       }
       // SemDeDup pair recall vs the exact 0.45-threshold pairs, at the
       // cell-size-derived nlist plus neighbors

@@ -9,14 +9,17 @@ package graft.operators
   *
   * The three knobs and their scaling laws:
   *
-  *   - '''nlist''' (coarse cells): ⌈√n⌉, clamped to [16, 65536] — the
+  *   - '''nlist''' (coarse cells): ⌈√n⌉, capped at 65536 — the
   *     published IVF sizing guidance (Jégou et al. PAMI 2011 §V; the
   *     FAISS manual's nlist ≈ √n .. 4√n). Cells then hold ≈√n vectors
   *     each, so BOTH the per-cell scan and the quantizer's codebook stay
-  *     sub-linear in n. The lower clamp keeps the quantizer trainable on
-  *     tiny corpora; the upper keeps the centroid set (driver state,
-  *     nlist×dim doubles) bounded — 65536×64 doubles = 32 MB, the same
-  *     canonical bounded-state exception as any k-means.
+  *     sub-linear in n. No lower clamp: ⌈√n⌉ stays trainable at any n
+  *     (a 1/sampleMod hash-sample holds ≥√n rows for n ≥ sampleMod², and
+  *     the trainers fail loudly below that), where an artificial floor
+  *     would demand more seed vectors than a tiny corpus's sample can
+  *     supply. The cap keeps the centroid set (driver state, nlist×dim
+  *     doubles) bounded — 65536×64 doubles = 32 MB, the same canonical
+  *     bounded-state exception as any k-means.
   *   - '''nprobe''': ⌈ρ·nlist⌉ for a caller-owned probe fraction ρ.
   *     ρ governs CELL recall (probability the true neighbor's cell is
   *     probed) and is a property of the data distribution, not of n:
@@ -76,17 +79,16 @@ object AnnParams {
     */
   val IvfProbeFrac = 0.46
 
-  val MinNlist = 16
   val MaxNlist = 65536
 
   private def requirePositive(n: Long): Unit =
     require(n > 0, s"corpus cardinality must be positive, got $n")
 
-  /** Coarse-cell count: ⌈√n⌉ clamped to [[MinNlist]]..[[MaxNlist]]. */
+  /** Coarse-cell count: ⌈√n⌉ capped at [[MaxNlist]]. */
   def nlist(n: Long): Int = {
     requirePositive(n)
     math.min(MaxNlist.toLong,
-      math.max(MinNlist.toLong, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+      math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
   }
 
   /** Probed cells: ⌈ρ·nlist⌉, clamped to [1, nlist]. */

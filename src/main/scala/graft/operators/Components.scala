@@ -44,11 +44,15 @@ object Components {
     * would otherwise silently disagree on it (hash-to-min propagates a
     * (null, null) label row; star's `u =!= v` / `a === b` predicates
     * drop null rows from every set they touch). Spelled as a filter on
-    * `assert_true` — codegen'd, evaluated once per input edge inside the
-    * first materialization both variants already pay (symC's cache fill /
-    * the initial star truncate), so the guard costs no extra job and no
-    * extra pass. Passing rows yield NULL (⇒ isNull = true, row kept);
-    * a null endpoint throws with the contract message.
+    * `assert_true` — codegen'd, riding the first materialization both
+    * variants already pay (symC's cache fill / the initial star
+    * truncate), so the guard costs no extra job and no extra pass. It
+    * IS re-evaluated wherever the guarded plan is referenced before
+    * materializing (hash-to-min's union scans `oriented` twice, so twice
+    * per input edge there) — cheap null checks, but don't hang
+    * exactly-once side effects on it. Passing rows yield NULL
+    * (⇒ isNull = true, row kept); a null endpoint throws with the
+    * contract message.
     */
   private def nonNullEndpoints(u: String, v: String)(df: DataFrame): DataFrame =
     df.filter(assert_true(col(u).isNotNull && col(v).isNotNull,

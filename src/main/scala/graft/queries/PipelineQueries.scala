@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.operators.{AnnParams, Components, Dedup, MultiModal, Sampling, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -78,22 +78,34 @@ object PipelineQueries {
     * 0.5999999...) from flipping on FP noise.
     */
   private def recallContract(bf: DataFrame, ann: DataFrame): DataFrame = {
-    val recall =
-      sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
-    bf.join(ann.select(col("qid"), col("nid"), lit(1).as("hit")),
-        Seq("qid", "nid"), "left")
+    val recall = recallExpr
+    hitJoin(bf, ann)
       .agg(countDistinct(col("qid")).as("n_queries"),
         (floor(recall * 10 + lit(1e-9)) / lit(10.0)).as("recall_band"),
         (recall >= 0.5).as("recall_ok"))
   }
 
+  /** The raw (un-bucketized) recall pieces [[recallContract]] aggregates:
+    * left-join the exact anchor's (qid, nid) rows against the ANN rows'
+    * hit markers, then the hit fraction. Shared with [[graft.RecallGrid]]
+    * so the harness that MEASURES the oracle bands computes the identical
+    * quantity the shipped queries pin — a second copy of this math is how
+    * bands silently drift from what the queries actually run.
+    */
+  private[graft] def hitJoin(bf: DataFrame, ann: DataFrame): DataFrame =
+    bf.join(ann.select(col("qid"), col("nid"), lit(1).as("hit")),
+      Seq("qid", "nid"), "left")
+  private[graft] def recallExpr: Column =
+    sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+
   /** Exact cosine re-rank of an ANN candidate list: join both sides'
     * raw vectors back on, score with the canonical cosine, keep the
     * top-k per query (sim desc, nid tie-break). ONE definition for the
-    * PQ and IVF-PQ queries — the comparator and tie rules must stay
-    * identical or their recall contracts silently diverge.
+    * PQ and IVF-PQ queries — and for [[graft.RecallGrid]]'s band
+    * measurements — the comparator and tie rules must stay identical
+    * or their recall contracts silently diverge.
     */
-  private def exactReRank(emb: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+  private[graft] def exactReRank(emb: DataFrame, cand: DataFrame, k: Int): DataFrame = {
     val v = emb.select(col("vec_id").cast("long").as("vid"), col("embedding"))
     val scored = cand
       .join(v.select(col("vid").as("q_vid"), col("embedding").as("q_emb")),
@@ -374,7 +386,7 @@ object PipelineQueries {
     // candK) are NOT constants: they are derived from corpus cardinality
     // by graft.operators.AnnParams — nlist = ⌈√n⌉ (Jégou/FAISS sizing),
     // nprobe = ⌈ρ·nlist⌉ at the grid-measured probe fraction ρ = 0.625,
-    // candK = max(80, ⌈γ·ρ·n⌉) at γ = 0.07 (candidate depth a fixed
+    // candK = max(80, ⌈γ·ρ·n⌉) at γ = 0.10 (candidate depth a fixed
     // fraction of the expected scanned set — the quantity whose FIXED
     // predecessor caused the round-5 recall collapse: nprobe=8/candK=50
     // sat EXACTLY at the 0.5 floor at sf0.1, 0.566 → band 0.5, because

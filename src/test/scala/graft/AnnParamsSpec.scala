@@ -36,8 +36,11 @@ class AnnParamsSpec extends AnyFunSuite {
   }
 
   test("clamps and floors bind where documented") {
-    // tiny corpora stay trainable and at their measured depth
-    assert(AnnParams.nlist(1) === AnnParams.MinNlist)
+    // no lower nlist clamp: ⌈√n⌉ keeps tiny corpora trainable (a floor
+    // of 16 demanded 16 seed vectors from a ~n/4-row sample, so corpora
+    // of roughly 17-63 vectors could never train at all)
+    assert(AnnParams.nlist(1) === 1)
+    assert(AnnParams.nlist(40) === 7)
     assert(AnnParams.candK(1, 5) === AnnParams.CandFloor)
     assert(AnnParams.flatCandK(1, 5) === AnnParams.FlatCandFloor)
     // the driver-state ceiling: 10^11 vectors still cap at 65536 cells
