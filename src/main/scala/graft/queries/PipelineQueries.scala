@@ -643,6 +643,35 @@ object PipelineQueries {
           ascii(substring(col("payload").cast("string"), 1, 1)).as("header_byte"),
           col("meta.lang").as("lang"), col("meta.nChars").as("n_chars"))
         .orderBy("doc_id")),
+
+    // Multimodal DECODE path through the correctness gate: the
+    // mapPartitions feature extraction (stub codec: width/height from
+    // the leading payload bytes, rolling 131-checksum with 64-bit
+    // wraparound) and the flatMap frame sampler (frameSize=7, keep every
+    // 2nd frame) run as the REAL Dataset pipeline — per-partition
+    // decoder init, streamed rows — and the oracle recomputes all of it
+    // from first principles (the payload is the UTF-8 text bytes and the
+    // corpus is pure ASCII, so DuckDB codepoints ARE the bytes; the
+    // Long wraparound is HUGEINT mod 2^64 re-signed). This is the row
+    // that catches a broken batch shape, a frame boundary off-by-one,
+    // or a checksum-order change — q_multimodal_meta only pins the
+    // payload/metadata plumbing.
+    "q_multimodal_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = MultiModal.withPayload(Tables.documents(s, d)).select(
+        col("doc_id").as("docId"), col("payload"), col("meta"))
+        .as[MultiModal.MediaRecord]
+      val feats = MultiModal.extractFeatures(s, media).toDF()
+        .select(col("docId").as("doc_id"), col("width"), col("height"),
+          col("checksum"))
+      val frames = MultiModal.sampleFrames(s, media, frameSize = 7, every = 2)
+        .toDF()
+        .groupBy("docId")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("bytes"))).as("frame_bytes"))
+        .select(col("docId").as("doc_id"), col("n_frames"), col("frame_bytes"))
+      feats.join(frames, "doc_id").orderBy("doc_id")
+    }),
   )
 
   /** Shared ground-truth CTEs for the near-dup pair set `jp` (all-pairs
@@ -1066,5 +1095,42 @@ object PipelineQueries {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
                 ascii(substr(text, 1, 1)) AS header_byte, lang, n_chars
          FROM documents ORDER BY doc_id""",
+    // stub-codec decode + frame sampling from first principles: the
+    // payload is the UTF-8 text bytes (pure-ASCII corpus ⇒ codepoints
+    // are the bytes); checksum replicates Long wraparound via HUGEINT
+    // mod 2^64 re-signed; frames of 7 bytes, every 2nd kept
+    "q_multimodal_decode" ->
+      """WITH b AS (
+           SELECT doc_id, octet_length(CAST(text AS BLOB)) AS L,
+                  list_transform(generate_series(1, len(text)),
+                    i -> CAST(ascii(text[i]) AS HUGEINT)) AS bytes
+           FROM documents),
+         f AS (
+           SELECT doc_id, L,
+                  CAST(1 + (bytes[1] % 128) AS INTEGER) AS width,
+                  CAST(1 + (CASE WHEN L > 1 THEN bytes[2] % 128 ELSE 0 END)
+                       AS INTEGER) AS height,
+                  list_reduce(list_prepend(CAST(0 AS HUGEINT), bytes),
+                    (a, c) -> (a * 131 + c) % 18446744073709551616) AS csu
+           FROM b),
+         fr AS (
+           SELECT doc_id, f, L FROM (
+             SELECT doc_id, L,
+                    unnest(generate_series(0,
+                      CAST(ceil(L / 7.0) AS BIGINT) - 1)) AS f
+             FROM f)
+           WHERE f % 2 = 0),
+         fs AS (
+           SELECT doc_id, count(*) AS n_frames,
+                  sum(CASE WHEN L - 7 * f < 7 THEN L - 7 * f ELSE 7 END)
+                    AS frame_bytes
+           FROM fr GROUP BY doc_id)
+         SELECT f.doc_id, f.width, f.height,
+                CAST(CASE WHEN csu >= 9223372036854775808
+                     THEN csu - 18446744073709551616 ELSE csu END
+                     AS BIGINT) AS checksum,
+                fs.n_frames, CAST(fs.frame_bytes AS BIGINT) AS frame_bytes
+         FROM f JOIN fs ON f.doc_id = fs.doc_id
+         ORDER BY f.doc_id""",
   )
 }
