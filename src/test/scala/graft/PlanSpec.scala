@@ -424,4 +424,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
   }
+
+  test("multimodal decode: narrow object pipeline, one agg exchange, no cartesian") {
+    // The decode path is deliberately the object pipeline (mapPartitions
+    // is the per-partition-codec-init shape), so an object barrier is
+    // expected; what must NOT appear is any join-shaped blow-up or an
+    // extra exchange beyond the frames groupBy + the final doc_id join.
+    // The feature extraction itself is narrow: decode adds no shuffle.
+    val docs = Tables.documents(spark, sf)
+    import spark.implicits._
+    val media = graft.operators.MultiModal.withPayload(docs).select(
+      org.apache.spark.sql.functions.col("doc_id").as("docId"),
+      org.apache.spark.sql.functions.col("payload"),
+      org.apache.spark.sql.functions.col("meta"))
+      .as[graft.operators.MultiModal.MediaRecord]
+    val feats = graft.operators.MultiModal.extractFeatures(spark, media)
+    val fp = feats.queryExecution.sparkPlan.toString
+    assert(!fp.contains("Exchange"),
+      s"feature extraction must be shuffle-free (narrow map):\n${fp.take(1500)}")
+    assert(fp.contains("MapPartitions"), fp.take(1500))
+    val frames = graft.operators.MultiModal.sampleFrames(spark, media, 7, 2)
+    val fr = frames.queryExecution.sparkPlan.toString
+    assert(!fr.contains("Exchange"),
+      s"frame sampling must be shuffle-free (narrow flatMap):\n${fr.take(1500)}")
+    val full = SparkEntry.queries("q_multimodal_decode")(spark, sf)
+    val p = full.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(1500))
+  }
 }
