@@ -81,6 +81,21 @@ object AnnParams {
 
   val MaxNlist = 65536
 
+  /** Candidate-depth ceiling. The ∝n depth rule is the honest cost of
+    * CONSTANT candidate recall in the near-random regime, but the depth
+    * also sizes per-task state (the top-k operator's bounded heaps and
+    * the exact re-rank's per-query row count), so it gets the same kind
+    * of hard ceiling as the centroid set: 65536 × ~16 bytes ≈ 1 MB per
+    * in-flight query. Past the cap — which the rule reaches near n ≈
+    * 10^6 at the oracle corpus's fractions — constant recall on
+    * adversarially random data is simply not affordable, and the
+    * measured bands no longer apply; real clustered corpora run γ·ρ
+    * orders of magnitude smaller (distractors rarely beat true
+    * neighbors under 64-code ADC when the data has structure), so the
+    * cap is the designed behavior there, not a silent truncation.
+    */
+  val MaxCandK = 65536
+
   private def requirePositive(n: Long): Unit =
     require(n > 0, s"corpus cardinality must be positive, got $n")
 
@@ -100,25 +115,29 @@ object AnnParams {
     math.min(cells.toLong, math.max(1L, math.ceil(probeFrac * cells).toLong)).toInt
   }
 
-  /** IVF-PQ candidate depth: max(floor, ⌈γ·ρ·n⌉), never below k. */
+  /** IVF-PQ candidate depth: max(floor, ⌈γ·ρ·n⌉) capped at
+    * [[MaxCandK]], never below k.
+    */
   def candK(n: Long, k: Int, probeFrac: Double = ProbeFrac,
             candFrac: Double = CandFrac, floor: Int = CandFloor): Int = {
     requirePositive(n)
     require(k >= 1, s"k must be >= 1, got $k")
     math.max(k.toLong,
-      math.max(floor.toLong, math.ceil(candFrac * probeFrac * n.toDouble).toLong))
+      math.max(floor.toLong, math.ceil(candFrac * probeFrac * n.toDouble).toLong)
+        .min(MaxCandK.toLong))
       .min(Int.MaxValue).toInt
   }
 
   /** Flat-ADC candidate depth (scanned set = the whole corpus):
-    * max(floor, ⌈γflat·n⌉), never below k.
+    * max(floor, ⌈γflat·n⌉) capped at [[MaxCandK]], never below k.
     */
   def flatCandK(n: Long, k: Int, candFrac: Double = FlatCandFrac,
                 floor: Int = FlatCandFloor): Int = {
     requirePositive(n)
     require(k >= 1, s"k must be >= 1, got $k")
     math.max(k.toLong,
-      math.max(floor.toLong, math.ceil(candFrac * n.toDouble).toLong))
+      math.max(floor.toLong, math.ceil(candFrac * n.toDouble).toLong)
+        .min(MaxCandK.toLong))
       .min(Int.MaxValue).toInt
   }
 

@@ -45,6 +45,12 @@ class AnnParamsSpec extends AnyFunSuite {
     assert(AnnParams.flatCandK(1, 5) === AnnParams.FlatCandFloor)
     // the driver-state ceiling: 10^11 vectors still cap at 65536 cells
     assert(AnnParams.nlist(100000000000L) === AnnParams.MaxNlist)
+    // ...and candidate depth caps at the per-task-memory ceiling instead
+    // of deriving a heap-sized Int from the ∝n rule
+    assert(AnnParams.candK(100000000000L, 5) === AnnParams.MaxCandK)
+    assert(AnnParams.flatCandK(100000000000L, 5) === AnnParams.MaxCandK)
+    // a requested k above the cap still wins (the caller asked for it)
+    assert(AnnParams.candK(100000000000L, k = 100000) === 100000)
     // nprobe never exceeds the cell count at any fraction
     assert(AnnParams.nprobe(1000000L, probeFrac = 1.0) ===
       AnnParams.nlist(1000000L))
