@@ -58,7 +58,8 @@ object RecallGrid {
       println(s"DERIVED $d n=$n nlist=$nlist nprobe=$nprobe candK=$candK flatCandK=$flatK")
       val sampleQ = Sampling.hashSample(emb, "vec_id", 0.1)
       val bf = Similarity
-        .bruteForceTopKFor(sampleQ, emb, "vec_id", "embedding", k = 5)
+        .bruteForceTopKFor(sampleQ, emb, "vec_id", "embedding", k = 5,
+          blocks = AnnParams.bruteBlocks(n))
         .cache()
       bf.count()
       // IVF-PQ: the derived point plus neighbors on each knob
@@ -100,7 +101,8 @@ object RecallGrid {
       // SemDeDup pair recall vs the exact 0.45-threshold pairs, at the
       // cell-size-derived nlist plus neighbors
       val exactPairs = Similarity
-        .cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
+        .cosineNearDupPairs(emb, "vec_id", "embedding", 0.45,
+          blocks = AnnParams.bruteBlocks(n))
         .select(col("a_id"), col("b_id")).cache()
       val nExact = exactPairs.count()
       val sdNlist = AnnParams.semDedupNlist(n)

@@ -141,6 +141,29 @@ object AnnParams {
       .min(Int.MaxValue).toInt
   }
 
+  /** Block count for the exact blocked-grid paths
+    * ([[Similarity.bruteForceTopK]] / bruteForceTopKFor /
+    * cosineNearDupPairs): ⌈2n / targetRowsPerTask⌉ floored at 8 and
+    * capped at 1024. A block-pair group holds ≤ 2n/blocks vectors — the
+    * per-task memory bound — so a FIXED block count lets task memory
+    * grow linearly with the corpus (the recall-audit shape runs a query
+    * SAMPLE against ALL candidates, so the candidate side is
+    * corpus-sized even when the work is affordable). The default target
+    * of 262144 rows ≈ 128 MB of 64-dim doubles per task. Blocks affect
+    * only partitioning, never results, so deriving this needs no oracle
+    * re-measurement; the floor keeps small corpora at the historically
+    * tested task shape, and the cap (≈ 500k block-pair tasks) marks
+    * where O(n²) exact work has outgrown single-job affordability —
+    * shard or sample first past it.
+    */
+  def bruteBlocks(n: Long, targetRowsPerTask: Int = 262144): Int = {
+    requirePositive(n)
+    require(targetRowsPerTask >= 1,
+      s"targetRowsPerTask must be >= 1, got $targetRowsPerTask")
+    math.min(1024L,
+      math.max(8L, math.ceil(2.0 * n / targetRowsPerTask).toLong)).toInt
+  }
+
   /** Cluster count for SemDeDup ([[Similarity.semDedupPairs]]):
     * ⌈n / targetCellSize⌉, clamped to [1, [[MaxNlist]]]. SemDeDup's
     * whole scale trick is that clustering bounds the pair space at

@@ -53,8 +53,12 @@ object PipelineQueries {
     bfAnchorCache.getOrElseUpdate((System.identityHashCode(s), d), {
       val emb = Tables.embeddings(s, d)
       val sampleQ = Sampling.hashSample(emb, "vec_id", 0.1)
+      // blocks derived from the candidate-side cardinality (the audit
+      // shape's per-task memory bound — AnnParams.bruteBlocks scaladoc);
+      // identical results at any block count, so no oracle impact
       val bf = Similarity
-        .bruteForceTopKFor(sampleQ, emb, "vec_id", "embedding", k = 5)
+        .bruteForceTopKFor(sampleQ, emb, "vec_id", "embedding", k = 5,
+          blocks = AnnParams.bruteBlocks(emb.count()))
         .persist()
       bf.count()
       bf
@@ -255,10 +259,13 @@ object PipelineQueries {
     // for the ANN path) via the blocked block-pair grid — no driver
     // collect, O(n/blocks) memory per task. Double-precision left-to-right
     // folds — replicated op-for-op in the oracle SQL.
-    "q_cosine_topk" -> ((s, d) =>
-      Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
+    "q_cosine_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5,
+          blocks = AnnParams.bruteBlocks(emb.count()))
         .withColumn("sim", round(col("sim"), 6))
-        .orderBy("qid", "rank")),
+        .orderBy("qid", "rank")
+    }),
 
     // Hard-negative mining: per anchor, the 3 most-similar vectors with
     // a DIFFERENT label, from a deterministic 25% Knuth-hash candidate
@@ -421,10 +428,13 @@ object PipelineQueries {
     // provably degenerates (see Similarity.lshNearDupPairs scaladoc); the
     // LSH-bucketed variant covers real near-dup thresholds and is
     // property-tested on planted near-dups in PipelineSpec.
-    "q_embed_neardup" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.45)
+    "q_embed_neardup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45,
+          blocks = AnnParams.bruteBlocks(emb.count()))
         .withColumn("sim", round(col("sim"), 6))
-        .orderBy("a_id", "b_id")),
+        .orderBy("a_id", "b_id")
+    }),
 
     // Symmetric int8 quantization of the embedding column — the 4×
     // storage/bandwidth cut every billion-vector serving layer applies
@@ -497,7 +507,8 @@ object PipelineQueries {
     "q_semdedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val exact = Similarity
-        .cosineNearDupPairs(emb, "vec_id", "embedding", 0.45)
+        .cosineNearDupPairs(emb, "vec_id", "embedding", 0.45,
+          blocks = AnnParams.bruteBlocks(emb.count()))
         .select(col("a_id"), col("b_id"))
       val sem = Similarity
         .semDedupPairs(emb, "vec_id", "embedding", 0.45,

@@ -31,6 +31,8 @@ class AnnParamsSpec extends AnyFunSuite {
         s"flatCandK at $n1 vs $n2")
       assert(AnnParams.semDedupNlist(n1) <= AnnParams.semDedupNlist(n2),
         s"semDedupNlist at $n1 vs $n2")
+      assert(AnnParams.bruteBlocks(n1) <= AnnParams.bruteBlocks(n2),
+        s"bruteBlocks at $n1 vs $n2")
     case _ => ()
     }
   }
@@ -56,6 +58,14 @@ class AnnParamsSpec extends AnyFunSuite {
       AnnParams.nlist(1000000L))
     // candidate depth never shrinks below the requested k
     assert(AnnParams.candK(100, k = 200) === 200)
+    // exact blocked grid: the floor keeps the measured testdata scales
+    // at the historically tested 8-block shape (results are
+    // block-count-invariant, so no oracle depends on this), the rule
+    // bounds per-task rows at the 128 MB target, the cap marks where
+    // O(n²) exact work outgrew a single job
+    assert(AnnParams.bruteBlocks(2000) === 8)
+    assert(AnnParams.bruteBlocks(10000000) === 77)
+    assert(AnnParams.bruteBlocks(1000000000) === 1024)
     // semdedup: nlist ∝ n for a fixed cell size, clamped at the
     // driver-state ceiling
     assert(AnnParams.semDedupNlist(64) === 1)
