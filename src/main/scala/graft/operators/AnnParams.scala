@@ -157,7 +157,11 @@ object AnnParams {
     * shard or sample first past it.
     */
   def bruteBlocks(n: Long, targetRowsPerTask: Int = 262144): Int = {
-    requirePositive(n)
+    // n = 0 is allowed, unlike the training-dependent knobs: an empty
+    // corpus has a well-defined block count (the floor), and the exact
+    // paths' empty-in-empty-out contract (DegenerateInputsSpec) must
+    // survive a caller deriving blocks from count()
+    require(n >= 0, s"corpus cardinality must be non-negative, got $n")
     require(targetRowsPerTask >= 1,
       s"targetRowsPerTask must be >= 1, got $targetRowsPerTask")
     math.min(1024L,

@@ -67,13 +67,20 @@ object MultiModal {
     }
   }
 
-  /** End-to-end: documents → payload+meta → partition-parallel decode. */
-  def features(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+  /** documents → typed [[MediaRecord]] dataset (payload + meta attached,
+    * columns renamed to the case-class encoder's fields). ONE definition
+    * — the decode query, the plan spec, and [[features]] all consume
+    * this, so a field rename cannot strand a hand-rolled copy.
+    */
+  def media(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
     import spark.implicits._
-    val media = withPayload(docs).select(
+    withPayload(docs).select(
       col("doc_id").as("docId"), col("payload"), col("meta")).as[MediaRecord]
-    extractFeatures(spark, media)
   }
+
+  /** End-to-end: documents → payload+meta → partition-parallel decode. */
+  def features(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] =
+    extractFeatures(spark, media(spark, docs))
 
   case class Frame(docId: Long, frameIdx: Int, bytes: Array[Byte])
 

@@ -506,13 +506,14 @@ object PipelineQueries {
     // computed n_exact (7/14/144 — distinct at every verified sf).
     "q_semdedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
+      val n = emb.count()
       val exact = Similarity
         .cosineNearDupPairs(emb, "vec_id", "embedding", 0.45,
-          blocks = AnnParams.bruteBlocks(emb.count()))
+          blocks = AnnParams.bruteBlocks(n))
         .select(col("a_id"), col("b_id"))
       val sem = Similarity
         .semDedupPairs(emb, "vec_id", "embedding", 0.45,
-          nlist = AnnParams.semDedupNlist(emb.count()))
+          nlist = AnnParams.semDedupNlist(n))
         .select(col("a_id"), col("b_id"), lit(1).as("hit"))
       val nExact = sum(coalesce(col("ex"), lit(0)))
       val hits = sum(when(col("ex") === 1 && col("hit") === 1, 1).otherwise(0))
@@ -668,10 +669,7 @@ object PipelineQueries {
     // or a checksum-order change — q_multimodal_meta only pins the
     // payload/metadata plumbing.
     "q_multimodal_decode" -> ((s, d) => {
-      import s.implicits._
-      val media = MultiModal.withPayload(Tables.documents(s, d)).select(
-        col("doc_id").as("docId"), col("payload"), col("meta"))
-        .as[MultiModal.MediaRecord]
+      val media = MultiModal.media(s, Tables.documents(s, d))
       val feats = MultiModal.extractFeatures(s, media).toDF()
         .select(col("docId").as("doc_id"), col("width"), col("height"),
           col("checksum"))

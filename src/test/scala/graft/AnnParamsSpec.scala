@@ -66,6 +66,10 @@ class AnnParamsSpec extends AnyFunSuite {
     assert(AnnParams.bruteBlocks(2000) === 8)
     assert(AnnParams.bruteBlocks(10000000) === 77)
     assert(AnnParams.bruteBlocks(1000000000) === 1024)
+    // n = 0 is VALID here (unlike the training-dependent knobs): the
+    // exact paths' empty-in-empty-out contract must survive a caller
+    // deriving blocks from count()
+    assert(AnnParams.bruteBlocks(0) === 8)
     // semdedup: nlist ∝ n for a fixed cell size, clamped at the
     // driver-state ceiling
     assert(AnnParams.semDedupNlist(64) === 1)

@@ -432,12 +432,7 @@ class PlanSpec extends SparkSpec {
     // extra exchange beyond the frames groupBy + the final doc_id join.
     // The feature extraction itself is narrow: decode adds no shuffle.
     val docs = Tables.documents(spark, sf)
-    import spark.implicits._
-    val media = graft.operators.MultiModal.withPayload(docs).select(
-      org.apache.spark.sql.functions.col("doc_id").as("docId"),
-      org.apache.spark.sql.functions.col("payload"),
-      org.apache.spark.sql.functions.col("meta"))
-      .as[graft.operators.MultiModal.MediaRecord]
+    val media = graft.operators.MultiModal.media(spark, docs)
     val feats = graft.operators.MultiModal.extractFeatures(spark, media)
     val fp = feats.queryExecution.sparkPlan.toString
     assert(!fp.contains("Exchange"),
