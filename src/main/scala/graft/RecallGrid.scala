@@ -63,8 +63,11 @@ object RecallGrid {
         .cache()
       bf.count()
       // IVF-PQ: the derived point plus neighbors on each knob
+      // same ≥1 / ≥k guards as the ivf/pqflat sweeps: a tiny corpus can
+      // derive nprobe ≤ 2, and (nprobe-2, candK) would crash ivfPqSearch
       for ((np, ck) <- Seq((nprobe, candK), (nprobe - 2, candK), (nprobe, candK - 16),
-                           (nprobe + 2, candK), (nprobe, candK + 16)).distinct) {
+                           (nprobe + 2, candK), (nprobe, candK + 16)).distinct
+                         .filter { case (np, ck) => np >= 1 && ck >= 5 }) {
         val cand = Similarity
           .ivfPqSearch(emb, "vec_id", "embedding",
             sampleQ, "vec_id", "embedding", k = ck,

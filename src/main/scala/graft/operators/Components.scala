@@ -32,7 +32,10 @@ import org.apache.spark.storage.StorageLevel
   * doubles per round (the label set is referenced twice each iteration)
   * — `localCheckpoint` by default, or a reliable `checkpoint()` when
   * `graft.iter.checkpointDir` is set (executor-churn-safe for
-  * multi-hour cluster runs; see IterCkpt's scaladoc for the cost). The
+  * multi-hour cluster runs; see IterCkpt's scaladoc for the cost —
+  * including that in reliable mode the RETURNED labels stay persisted
+  * MEMORY_AND_DISK until the caller `IterCkpt.drop`s them or RDD GC
+  * runs; superseded rounds are dropped here, the final one can't be). The
   * convergence check rides the round's own materialization — no extra
   * pass. Driver state is two scalars (round counter, changed-count),
   * never vertex data.

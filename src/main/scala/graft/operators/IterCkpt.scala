@@ -34,7 +34,13 @@ import org.apache.spark.storage.StorageLevel
   * round is superseded (see its scaladoc); rounds never dropped (the
   * final labels) are left for the ContextCleaner
   * (`spark.cleaner.referenceTracking.cleanCheckpoints=true`, off by
-  * default) or a dir sweep.
+  * default) or a dir sweep. The FINAL round's MEMORY_AND_DISK blocks
+  * (|V| label rows) are likewise never freed by the operators — they
+  * cannot know when the caller has consumed the returned DataFrame —
+  * so a reliable-mode caller that is done with the result should call
+  * [[drop]] on it (frees blocks AND files) or leave it to RDD GC;
+  * repeated reliable-mode invocations in one long session otherwise
+  * accumulate one final-round block set each.
   */
 object IterCkpt {
   /** Session conf key: fault-tolerant checkpoint directory. Empty/unset

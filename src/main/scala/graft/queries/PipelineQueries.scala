@@ -949,7 +949,13 @@ object PipelineQueries {
          FROM n a JOIN n b ON a.vec_id + 1 = b.vec_id
          ORDER BY a_id""",
     // band/sound constants: measured contract projection (see the query
-    // comment for the measurements and the verified-sf restriction)
+    // comment for the measurements and the verified-sf restriction).
+    // MARGIN NOTE: the sf0.1 branch (count >= 100 → 0.2) sits only 0.015
+    // above its lower band edge (measured 0.215 = 31/144 — deterministic
+    // today: KMeans.lloyd seeds and tie-breaks are pinned), thinner than
+    // the ≥0.028 discipline the ANN bands carry. Any k-means seed or
+    // tie-break change MUST re-run RecallGrid and re-measure this band
+    // in the same commit — a 2-pair shift flips the floor() bucket.
     "q_semdedup" ->
       """WITH v AS (
            SELECT vec_id,
