@@ -111,7 +111,8 @@ object RecallGrid {
       val sdNlist = AnnParams.semDedupNlist(n)
       for (nl <- Seq(sdNlist, sdNlist / 2, sdNlist * 2).distinct.filter(_ >= 1)) {
         val sem = Similarity
-          .semDedupPairs(emb, "vec_id", "embedding", 0.45, nlist = nl)
+          .semDedupPairs(emb, "vec_id", "embedding", 0.45, nlist = nl,
+            corpusN = Some(n))
           .select(col("a_id"), col("b_id"), lit(1).as("hit"))
         val hits = exactPairs.join(sem, Seq("a_id", "b_id"), "left")
           .agg(sum(coalesce(col("hit"), lit(0)))).collect()(0).getLong(0)

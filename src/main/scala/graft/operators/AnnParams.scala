@@ -96,12 +96,92 @@ object AnnParams {
     */
   val MaxCandK = 65536
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def requirePositive(n: Long): Unit =
     require(n > 0, s"corpus cardinality must be positive, got $n")
 
-  /** Coarse-cell count: ⌈√n⌉ capped at [[MaxNlist]]. */
+  // -------------------------------------------------------------------
+  // Ceiling-bind messages. Each documented cap silently changes the
+  // operating REGIME when it binds (per-cell scan cost resumes growing
+  // with n; candidate recall on near-random data decays below the
+  // measured bands; SemDeDup's pair space turns quadratic again), so the
+  // derivation methods warn once per call when that happens. The
+  // conditions are pure `private[graft]` functions returning the message
+  // — the testable surface (the IterCkpt.dirMismatch precedent:
+  // AnnParamsSpec asserts each fires exactly past its boundary, never
+  // at it) — and the public methods just log them.
+  // -------------------------------------------------------------------
+
+  private[graft] def nlistClampMsg(n: Long): Option[String] = {
+    val want = math.ceil(math.sqrt(n.toDouble)).toLong
+    if (want > MaxNlist) Some(
+      s"AnnParams.nlist: ⌈√n⌉ = $want for n = $n exceeds MaxNlist = $MaxNlist " +
+        s"— cells now hold ~n/$MaxNlist vectors each, so per-probe scan cost " +
+        "resumes growing linearly with n (the √n regime ends here). Raise " +
+        "MaxNlist consciously (driver centroid state = nlist × dim doubles) " +
+        "or shard the corpus before indexing.")
+    else None
+  }
+
+  private[graft] def candKClampMsg(n: Long, probeFrac: Double,
+                                   candFrac: Double, which: String): Option[String] = {
+    val want = math.ceil(candFrac * probeFrac * n.toDouble).toLong
+    if (want > MaxCandK) Some(
+      s"AnnParams.$which: ∝n candidate depth $want for n = $n exceeds " +
+        s"MaxCandK = $MaxCandK — candidate recall on near-random data decays " +
+        "below the grid-measured bands past this point (a capped depth is a " +
+        "shrinking fraction of the scanned set). Raise MaxCandK consciously " +
+        "(per-task heap ≈ 16 B × candK per in-flight query) — real clustered " +
+        "corpora run far smaller γ·ρ and are unaffected.")
+    else None
+  }
+
+  private[graft] def semDedupClampMsg(n: Long, targetCellSize: Int): Option[String] = {
+    val want = math.ceil(n.toDouble / targetCellSize).toLong
+    if (want > MaxNlist) Some(
+      s"AnnParams.semDedupNlist: ⌈n/$targetCellSize⌉ = $want for n = $n exceeds " +
+        s"MaxNlist = $MaxNlist — per-cell size now grows as n/$MaxNlist, so the " +
+        "pair space degrades from the paper's linear n·cellSize bound toward " +
+        s"O(n²/$MaxNlist). Raise MaxNlist consciously (driver centroid state) " +
+        "or shard the corpus before deduping.")
+    else None
+  }
+
+  /** Random-co-cell baseline ≈ 1/nlist falls below this → the near-
+    * background guidance message fires (see [[semDedupLowBandMsg]]).
+    */
+  val SemDedupBackgroundBaseline = 0.1
+
+  /** Guidance for [[Similarity.semDedupPairs]] callers whose threshold
+    * sits near the corpus's BACKGROUND similarity (pairs not tightly
+    * clustered — the measured sf0.1 oracle regime, pair recall 0.215):
+    * for such pairs the two endpoints land in the same k-means cell
+    * roughly at random, so expected pair recall is bounded near the
+    * random co-cell baseline ≈ 1/nlist (balanced cells: Σ(|cell|/n)²).
+    * Once that baseline drops below [[SemDedupBackgroundBaseline]], the
+    * message states it and names the exhaustive alternative
+    * ([[Similarity.cosineNearDupPairs]]). Genuine near-duplicates
+    * (cos ≈ 0.95+) co-cluster by construction and are unaffected — this
+    * is informational guidance, not an error.
+    */
+  private[graft] def semDedupLowBandMsg(n: Long, nlist: Int): Option[String] =
+    if (nlist >= 1 && 1.0 / nlist < SemDedupBackgroundBaseline) Some(
+      f"semDedupPairs: with $nlist cells over $n vectors, the random " +
+        f"co-cell baseline is ~${1.0 / nlist}%.4f — if your similarity " +
+        "threshold sits near the corpus's background similarity (pairs " +
+        "NOT tightly clustered), expected pair recall is bounded near " +
+        "that baseline; use the exact cosineNearDupPairs for exhaustive " +
+        "recall in that regime. Tight near-duplicates co-cluster and " +
+        "are unaffected.")
+    else None
+
+  /** Coarse-cell count: ⌈√n⌉ capped at [[MaxNlist]] (warns when the cap
+    * binds — the regime change is silent otherwise).
+    */
   def nlist(n: Long): Int = {
     requirePositive(n)
+    nlistClampMsg(n).foreach(log.warn(_))
     math.min(MaxNlist.toLong,
       math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
   }
@@ -122,6 +202,7 @@ object AnnParams {
             candFrac: Double = CandFrac, floor: Int = CandFloor): Int = {
     requirePositive(n)
     require(k >= 1, s"k must be >= 1, got $k")
+    candKClampMsg(n, probeFrac, candFrac, "candK").foreach(log.warn(_))
     math.max(k.toLong,
       math.max(floor.toLong, math.ceil(candFrac * probeFrac * n.toDouble).toLong)
         .min(MaxCandK.toLong))
@@ -135,6 +216,7 @@ object AnnParams {
                 floor: Int = FlatCandFloor): Int = {
     requirePositive(n)
     require(k >= 1, s"k must be >= 1, got $k")
+    candKClampMsg(n, probeFrac = 1.0, candFrac, "flatCandK").foreach(log.warn(_))
     math.max(k.toLong,
       math.max(floor.toLong, math.ceil(candFrac * n.toDouble).toLong)
         .min(MaxCandK.toLong))
@@ -187,6 +269,7 @@ object AnnParams {
     requirePositive(n)
     require(targetCellSize >= 1,
       s"targetCellSize must be >= 1, got $targetCellSize")
+    semDedupClampMsg(n, targetCellSize).foreach(log.warn(_))
     math.min(MaxNlist.toLong,
       math.max(1L, math.ceil(n.toDouble / targetCellSize).toLong)).toInt
   }

@@ -30,6 +30,8 @@ import graft.plans.TopKPerKeyNode
   */
 object Similarity {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** All arithmetic in double: cast up front so Spark and any external
     * oracle evaluate the identical IEEE op sequence (left-to-right sum).
     *
@@ -551,10 +553,21 @@ object Similarity {
     * keep-rule on the pair graph — compose with
     * [[graft.operators.Components]] + anti-join like
     * q_neardup_survivors — and does not change which pairs exist.)
+    *
+    * `corpusN` (optional — callers deriving nlist via
+    * [[AnnParams.semDedupNlist]] already hold it): enables the
+    * near-background guidance log ([[AnnParams.semDedupLowBandMsg]]) —
+    * when the random co-cell baseline 1/nlist is low, a threshold near
+    * the corpus's background similarity yields pair recall bounded near
+    * that baseline, and the exhaustive [[cosineNearDupPairs]] is the
+    * right tool. Informational only; results are unaffected.
     */
   def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nlist: Int = 8,
-                    trainIters: Int = 3): DataFrame = {
+                    trainIters: Int = 3,
+                    corpusN: Option[Long] = None): DataFrame = {
+    corpusN.foreach(n =>
+      AnnParams.semDedupLowBandMsg(n, nlist).foreach(log.info(_)))
     val v = normed(df, idCol, vecCol)
     val seedVecs = v.orderBy("id").limit(nlist)
       .select("v").collect().map(_.getSeq[Double](0).toArray)

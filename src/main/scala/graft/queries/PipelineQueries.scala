@@ -513,7 +513,7 @@ object PipelineQueries {
         .select(col("a_id"), col("b_id"))
       val sem = Similarity
         .semDedupPairs(emb, "vec_id", "embedding", 0.45,
-          nlist = AnnParams.semDedupNlist(n))
+          nlist = AnnParams.semDedupNlist(n), corpusN = Some(n))
         .select(col("a_id"), col("b_id"), lit(1).as("hit"))
       val nExact = sum(coalesce(col("ex"), lit(0)))
       val hits = sum(when(col("ex") === 1 && col("hit") === 1, 1).otherwise(0))
@@ -680,6 +680,24 @@ object PipelineQueries {
           sum(length(col("bytes"))).as("frame_bytes"))
         .select(col("docId").as("doc_id"), col("n_frames"), col("frame_bytes"))
       feats.join(frames, "doc_id").orderBy("doc_id")
+    }),
+
+    // Multimodal RESIZE path through the correctness gate (the last
+    // family function that was spec-only): the stride-downsample stub
+    // (out[i] = payload[⌊i·L/T⌋], pass-through at L ≤ T — a real image
+    // resampler swaps in with the same narrow per-row contract) feeds
+    // the SAME decode used by q_multimodal_decode, so the checksum pins
+    // every resized byte and its order — a stride off-by-one, a
+    // truncation-vs-round slip, or a pass-through-branch break turns
+    // the row red. T = 96 exercises BOTH branches at every verified
+    // scale (45/34/436 of the docs are ≤ 96 bytes at sf0.001/0.01/0.1).
+    "q_multimodal_resize" -> ((s, d) => {
+      val resized = MultiModal.resize(s,
+        MultiModal.media(s, Tables.documents(s, d)), targetLen = 96)
+      MultiModal.extractFeatures(s, resized).toDF()
+        .select(col("docId").as("doc_id"), col("nBytes").as("n_bytes"),
+          col("width"), col("height"), col("checksum"))
+        .orderBy("doc_id")
     }),
   )
 
@@ -1147,5 +1165,36 @@ object PipelineQueries {
                 fs.n_frames, CAST(fs.frame_bytes AS BIGINT) AS frame_bytes
          FROM f JOIN fs ON f.doc_id = fs.doc_id
          ORDER BY f.doc_id""",
+    // stride-downsample from first principles: resized byte i (0-based)
+    // is source byte ⌊i·L/T⌋ at T = 96 (integer floor division on both
+    // engines — Scala Long division / DuckDB //), pass-through at
+    // L ≤ T; then the same width/height/rolling-131-HUGEINT checksum
+    // recomputation as q_multimodal_decode over the RESIZED bytes
+    "q_multimodal_resize" ->
+      """WITH b AS (
+           SELECT doc_id, octet_length(CAST(text AS BLOB)) AS L,
+                  list_transform(generate_series(1, len(text)),
+                    i -> CAST(ascii(text[i]) AS HUGEINT)) AS bytes
+           FROM documents),
+         r AS (
+           SELECT doc_id,
+                  CASE WHEN L <= 96 THEN bytes
+                       ELSE list_transform(generate_series(0, 95),
+                         i -> bytes[CAST(1 + (i * L) // 96 AS BIGINT)])
+                  END AS rb
+           FROM b),
+         f AS (
+           SELECT doc_id, len(rb) AS n_bytes,
+                  CAST(1 + (rb[1] % 128) AS INTEGER) AS width,
+                  CAST(1 + (CASE WHEN len(rb) > 1 THEN rb[2] % 128 ELSE 0 END)
+                       AS INTEGER) AS height,
+                  list_reduce(list_prepend(CAST(0 AS HUGEINT), rb),
+                    (a, c) -> (a * 131 + c) % 18446744073709551616) AS csu
+           FROM r)
+         SELECT doc_id, n_bytes, width, height,
+                CAST(CASE WHEN csu >= 9223372036854775808
+                     THEN csu - 18446744073709551616 ELSE csu END
+                     AS BIGINT) AS checksum
+         FROM f ORDER BY doc_id""",
   )
 }

@@ -82,6 +82,55 @@ class AnnParamsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AnnParams.semDedupNlist(100, targetCellSize = 0))
   }
 
+  test("ceiling-bind messages fire exactly past each documented cap, never at it") {
+    // MaxNlist = 65536 binds at ⌈√n⌉ > 65536, i.e. n > 65536²
+    val nlistEdge = 65536L * 65536L
+    assert(AnnParams.nlistClampMsg(nlistEdge).isEmpty)
+    assert(AnnParams.nlistClampMsg(nlistEdge + 1).nonEmpty)
+    assert(AnnParams.nlistClampMsg(2000).isEmpty)
+    // the message names the regime and the knob to raise
+    val m = AnnParams.nlistClampMsg(nlistEdge + 1).get
+    assert(m.contains("MaxNlist") && m.contains("linearly"))
+    // MaxCandK = 65536 binds at ⌈γ·ρ·n⌉ > 65536: at the oracle fractions
+    // γ·ρ = 0.0625, the boundary is n = 65536/0.0625 = 2^20 exactly
+    val candEdge = (AnnParams.MaxCandK / (AnnParams.CandFrac * AnnParams.ProbeFrac)).toLong
+    assert(AnnParams.candKClampMsg(candEdge, AnnParams.ProbeFrac,
+      AnnParams.CandFrac, "candK").isEmpty)
+    assert(AnnParams.candKClampMsg(candEdge + 16, AnnParams.ProbeFrac,
+      AnnParams.CandFrac, "candK").nonEmpty)
+    val mc = AnnParams.candKClampMsg(candEdge + 16, AnnParams.ProbeFrac,
+      AnnParams.CandFrac, "candK").get
+    assert(mc.contains("MaxCandK") && mc.contains("recall"))
+    // flat path: ρ ≡ 1, boundary at 65536/0.05
+    val flatEdge = (AnnParams.MaxCandK / AnnParams.FlatCandFrac).toLong
+    assert(AnnParams.candKClampMsg(flatEdge, 1.0,
+      AnnParams.FlatCandFrac, "flatCandK").isEmpty)
+    assert(AnnParams.candKClampMsg(flatEdge + 32, 1.0,
+      AnnParams.FlatCandFrac, "flatCandK").nonEmpty)
+    // semdedup: ⌈n/64⌉ > 65536 ⇔ n > 64·65536
+    val sdEdge = 64L * 65536L
+    assert(AnnParams.semDedupClampMsg(sdEdge, 64).isEmpty)
+    assert(AnnParams.semDedupClampMsg(sdEdge + 1, 64).nonEmpty)
+    assert(AnnParams.semDedupClampMsg(sdEdge + 1, 64).get.contains("n²"))
+    // the derivation methods still return the documented capped values
+    // when the message fires (warning, not a behavior change)
+    assert(AnnParams.nlist(nlistEdge + 1) === AnnParams.MaxNlist)
+    assert(AnnParams.candK(candEdge + 16, 5) === AnnParams.MaxCandK)
+    assert(AnnParams.semDedupNlist(sdEdge + 1) === AnnParams.MaxNlist)
+  }
+
+  test("semdedup near-background guidance fires when the co-cell baseline is low") {
+    // baseline 1/nlist: 8 cells (the 500-vector sfs) → 0.125, above the
+    // 0.1 bar → silent; 32 cells (sf0.1, the measured 0.215 low-band
+    // regime) → 0.031 → guidance fires and names the exhaustive tool
+    assert(AnnParams.semDedupLowBandMsg(500, 8).isEmpty)
+    val msg = AnnParams.semDedupLowBandMsg(2000, 32)
+    assert(msg.nonEmpty && msg.get.contains("cosineNearDupPairs"))
+    // boundary: 1/10 is NOT below the 0.1 bar; 1/11 is
+    assert(AnnParams.semDedupLowBandMsg(640, 10).isEmpty)
+    assert(AnnParams.semDedupLowBandMsg(704, 11).nonEmpty)
+  }
+
   test("derived values at the measured testdata scales match the grid-measured configuration") {
     // n = 500 (sf0.001 / sf0.01 embeddings) and n = 2000 (sf0.1): the
     // oracle CASE bands in PipelineQueries were measured at EXACTLY these
