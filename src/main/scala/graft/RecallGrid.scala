@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{AnnParams, Sampling, Similarity}
+import graft.operators.{AnnCalibrate, AnnParams, Sampling, Similarity}
 import graft.queries.PipelineQueries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -62,21 +62,26 @@ object RecallGrid {
           blocks = AnnParams.bruteBlocks(n))
         .cache()
       bf.count()
-      // IVF-PQ: the derived point plus neighbors on each knob
+      // IVF-PQ: the derived point plus neighbors on each knob — trained
+      // ONCE via the index/probe split (deterministic training means
+      // per-point retraining gave identical numbers, just slower)
       // same ≥1 / ≥k guards as the ivf/pqflat sweeps: a tiny corpus can
-      // derive nprobe ≤ 2, and (nprobe-2, candK) would crash ivfPqSearch
+      // derive nprobe ≤ 2, and (nprobe-2, candK) would crash the probe
+      val idx0 = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+        nlist = nlist, m = 8, codes = 64)
+      val idx = idx0.copy(encoded = idx0.encoded.persist())
+      idx.encoded.count()
       for ((np, ck) <- Seq((nprobe, candK), (nprobe - 2, candK), (nprobe, candK - 16),
                            (nprobe + 2, candK), (nprobe, candK + 16)).distinct
                          .filter { case (np, ck) => np >= 1 && ck >= 5 }) {
         val cand = Similarity
-          .ivfPqSearch(emb, "vec_id", "embedding",
-            sampleQ, "vec_id", "embedding", k = ck,
-            nlist = nlist, nprobe = np, m = 8, codes = 64)
+          .ivfPqProbe(idx, sampleQ, "vec_id", "embedding", k = ck, nprobe = np)
           .filter(col("qid") =!= col("id"))
         val mark = if (np == nprobe && ck == candK) " <== derived" else ""
         println(f"GRID ivfpq $d nlist=$nlist nprobe=$np candK=$ck " +
           f"recall=${candRecall(bf, emb, cand)}%.4f$mark")
       }
+      idx.encoded.unpersist()
       // flat PQ: derived depth plus neighbors
       val model = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, codes = 64)
       val encoded = Similarity.pqEncode(emb, "vec_id", "embedding", model)
@@ -122,6 +127,20 @@ object RecallGrid {
       }
       exactPairs.unpersist()
       bf.unpersist()
+      // Runtime-calibration cross-check (AnnCalibrate): the in-job
+      // calibration must land on operating points consistent with the
+      // grid above — AnnCalibrateSpec pins the sf0.001 result; these
+      // lines show all three scales whenever the grid is re-measured.
+      AnnCalibrate.calibrateIvfPq(emb, "vec_id", "embedding", recallTarget = 0.8) match {
+        case Some(c) => println(f"CALIB ivfpq $d target=0.8 rho=${c.rho} " +
+          f"gamma=${c.gamma} nprobe=${c.nprobe} candK=${c.candK} recall=${c.recall}%.4f")
+        case None => println(s"CALIB ivfpq $d target=0.8 unreachable at grid max")
+      }
+      AnnCalibrate.calibrateIvf(emb, "vec_id", "embedding", recallTarget = 0.8) match {
+        case Some(c) => println(f"CALIB ivf $d target=0.8 rho=${c.rho} " +
+          f"nprobe=${c.nprobe} recall=${c.recall}%.4f")
+        case None => println(s"CALIB ivf $d target=0.8 unreachable at grid max")
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Runtime recall calibration for the ANN probe fractions — the
+  * self-serve replacement for the one step of [[AnnParams]] that was
+  * still "measured offline by the builder": the scaling LAWS (nlist ∝
+  * √n, candidate depth ∝ the scanned set) hold on any corpus, but the
+  * probe fraction ρ and candidate fraction γ are properties of the DATA
+  * DISTRIBUTION (near-random corpora need ρ ≈ 0.5+; clustered real
+  * corpora run ρ ≈ 0.01–0.1 — AnnParams scaladoc), so a new corpus
+  * needs them measured on itself. This entry point runs that
+  * measurement in-job: draw a deterministic held-out query sample,
+  * anchor it with the exact blocked brute force
+  * ([[Similarity.bruteForceTopKFor]] — the same anchor shape the oracle
+  * queries use), train the index ONCE, then walk the (ρ, γ) grid
+  * LEXICOGRAPHICALLY (smallest ρ first, then smallest γ within it) and
+  * return the first operating point whose measured recall@k meets the
+  * caller's target. Lexicographic = the verdict's "smallest (ρ, γ)",
+  * and the right cost order at corpus scale: ρ sets the probed-cell
+  * scan volume (∝ ρ·n — the dominant term), γ only the re-rank depth.
+  * On a corpus where a deep γ at small ρ beats a shallow γ at the next
+  * ρ rung (the sf0.1 CALIB line: (0.5, γ=0.4) over (0.625, ·)), that
+  * trade is therefore deliberate.
+  *
+  * Opt-in and read-only: nothing here changes [[AnnParams]]' pinned
+  * defaults or any oracle band — a deployment calls this once per
+  * corpus (or per drift epoch) and passes the returned fractions to
+  * AnnParams' derivations thereafter. AnnCalibrateSpec pins that on THE
+  * ORACLE CORPUS the calibrated ρ lands within one grid step of the
+  * offline grid's 0.625 (and ρ_ivf of 0.46), so this path and the
+  * RecallGrid measurements can only drift together.
+  *
+  * Cost shape (all cluster work, driver state bounded): the anchor is
+  * the blocked exact grid over sampleFrac·n queries — the same audit
+  * cost the recall-contract oracles already pay; each grid point is one
+  * probe+re-rank job over the PERSISTED encoded corpus (the index is
+  * trained exactly once via [[Similarity.ivfPqIndex]]); ρ rungs whose
+  * deepest-γ recall misses the target are rejected after that single
+  * upper-bound measurement (candidate recall is monotone in γ at fixed
+  * ρ), so a failing rung costs one job, not |γ grid| jobs. Operating
+  * points that collapse to the same (nprobe, candK) — e.g. every γ
+  * under the small-corpus candidate floor — are measured once.
+  *
+  * The recall math ([[hitJoin]]/[[recallExpr]]/[[exactReRank]]) lives
+  * HERE, and the oracle queries (graft.queries.PipelineQueries) and the
+  * offline harness (graft.RecallGrid) delegate to it: one definition,
+  * so what calibration optimizes is the identical quantity the shipped
+  * recall contracts pin.
+  */
+object AnnCalibrate {
+
+  /** Grid defaults: ρ spans the clustered-real-corpus regime (0.05–0.2)
+    * through the near-random regime (0.5–1.0) with the offline-measured
+    * oracle point 0.625 as an interior rung; γ brackets the measured
+    * 0.10 by ×/÷2 steps. Callers with prior knowledge pass a tighter
+    * grid (each rung a failing ρ costs one upper-bound job).
+    */
+  val DefaultRhoGrid: Seq[Double] = Seq(0.05, 0.1, 0.2, 0.35, 0.5, 0.625, 0.75, 1.0)
+  val DefaultGammaGrid: Seq[Double] = Seq(0.025, 0.05, 0.1, 0.2, 0.4)
+
+  /** One measured IVF-PQ operating point: the fractions, the derived
+    * absolute knobs they produce at this corpus's cardinality, and the
+    * recall@k actually measured against the exact anchor.
+    */
+  case class IvfPqCalibration(rho: Double, gamma: Double, nlist: Int,
+                              nprobe: Int, candK: Int, recall: Double)
+
+  /** One measured plain-IVF operating point (exact scoring inside
+    * probed cells — cell recall is the only recall term, so there is no
+    * γ to calibrate).
+    */
+  case class IvfCalibration(rho: Double, nlist: Int, nprobe: Int,
+                            recall: Double)
+
+  // ---------------------------------------------------------------------
+  // The canonical recall math. ONE definition — the oracle queries and
+  // RecallGrid delegate here — because a second copy of this join is
+  // how calibration results silently diverge from what the shipped
+  // recall contracts measure.
+  // ---------------------------------------------------------------------
+
+  /** Left-join the exact anchor's (qid, nid) rows against an ANN
+    * result's hit markers; [[recallExpr]] aggregates the hit fraction.
+    */
+  private[graft] def hitJoin(bf: DataFrame, ann: DataFrame): DataFrame =
+    bf.join(ann.select(col("qid"), col("nid"), lit(1).as("hit")),
+      Seq("qid", "nid"), "left")
+
+  private[graft] def recallExpr: Column =
+    sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+
+  /** Un-bucketized recall@k of an ANN result vs the exact anchor. */
+  def recallOf(bf: DataFrame, ann: DataFrame): Double =
+    hitJoin(bf, ann).agg(recallExpr.as("r")).collect()(0).getDouble(0)
+
+  /** Exact cosine re-rank of an ANN candidate list: join both sides'
+    * raw vectors back on, score with the canonical cosine, keep the
+    * top-k per query (sim desc, nid tie-break). The PQ/IVF-PQ recall
+    * contracts measure CANDIDATE recall through exactly this re-rank.
+    */
+  private[graft] def exactReRank(emb: DataFrame, idCol: String,
+                                 vecCol: String, cand: DataFrame,
+                                 k: Int): DataFrame = {
+    val v = emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("emb"))
+    val scored = cand
+      .join(v.select(col("vid").as("q_vid"), col("emb").as("q_emb")),
+        col("qid") === col("q_vid"))
+      .join(v, col("id") === col("vid"))
+      .select(col("qid"), col("id").as("nid"),
+        Similarity.cosine(col("q_emb"), col("emb")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("qid", "nid")
+  }
+
+  /** Deterministic held-out query sample + persisted exact anchor —
+    * shared by both calibrations. Caller unpersists.
+    */
+  private def anchor(emb: DataFrame, idCol: String, vecCol: String,
+                     k: Int, sampleFrac: Double,
+                     n: Long): (DataFrame, DataFrame) = {
+    val queries = Sampling.hashSample(emb, idCol, sampleFrac)
+    val bf = Similarity
+      .bruteForceTopKFor(queries, emb, idCol, vecCol, k,
+        blocks = AnnParams.bruteBlocks(n))
+      .persist()
+    bf.count()
+    (queries, bf)
+  }
+
+  /** Keep the smallest fraction per distinct derived knob value,
+    * ascending — rungs that collapse to the same absolute operating
+    * point (ceil boundaries; the candidate floor at small n) are
+    * measured once, attributed to the cheapest fraction that reaches
+    * that point.
+    */
+  private def dedupeAscending[A](fracs: Seq[Double], knobOf: Double => A): Seq[(Double, A)] =
+    fracs.distinct.sorted.map(f => (f, knobOf(f)))
+      .groupBy(_._2).map { case (knob, fs) => (fs.map(_._1).min, knob) }
+      .toSeq.sortBy(_._1)
+
+  /** Calibrate (ρ, γ) for [[Similarity.ivfPqSearch]]: the smallest
+    * grid fractions whose measured candidate recall@k (after the exact
+    * re-rank — the same quantity q_ann_ivfpq's oracle band pins) meets
+    * `recallTarget` on this corpus. None when even (max ρ, max γ) in
+    * the grid misses the target — on near-random data past the
+    * [[AnnParams.MaxCandK]] regime that is the honest answer, not a
+    * reason to silently return the closest miss.
+    */
+  def calibrateIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+                     recallTarget: Double, k: Int = 5,
+                     sampleFrac: Double = 0.1,
+                     rhoGrid: Seq[Double] = DefaultRhoGrid,
+                     gammaGrid: Seq[Double] = DefaultGammaGrid,
+                     m: Int = 8, codes: Int = 64): Option[IvfPqCalibration] = {
+    require(recallTarget > 0 && recallTarget <= 1,
+      s"recall target must be in (0, 1], got $recallTarget")
+    require(rhoGrid.nonEmpty && gammaGrid.nonEmpty, "empty calibration grid")
+    val n = emb.count()
+    val nlist = AnnParams.nlist(n)
+    val (queries, bf) = anchor(emb, idCol, vecCol, k, sampleFrac, n)
+    val idx0 = Similarity.ivfPqIndex(emb, idCol, vecCol, nlist, m, codes)
+    val enc = idx0.encoded.persist()
+    enc.count()
+    val idx = idx0.copy(encoded = enc)
+    try {
+      def measure(rho: Double, gamma: Double, nprobe: Int, candK: Int): IvfPqCalibration = {
+        val cand = Similarity
+          .ivfPqProbe(idx, queries, idCol, vecCol, candK, nprobe)
+          .filter(col("qid") =!= col("id"))
+        IvfPqCalibration(rho, gamma, nlist, nprobe, candK,
+          recallOf(bf, exactReRank(emb, idCol, vecCol, cand, k)))
+      }
+      val rhos = dedupeAscending(rhoGrid, AnnParams.nprobe(n, _))
+      rhos.iterator.flatMap { case (rho, nprobe) =>
+        // candK depends on ρ too — dedupe the γ grid PER RUNG (the
+        // small-corpus floor collapses different γ sets at different ρ)
+        val gs = dedupeAscending(gammaGrid,
+          g => AnnParams.candK(n, k, probeFrac = rho, candFrac = g))
+        // upper bound first: candidate recall is monotone in depth at
+        // fixed ρ, so a rung whose deepest γ misses the target is
+        // rejected after ONE job
+        val top = measure(rho, gs.last._1, nprobe, gs.last._2)
+        if (top.recall < recallTarget) Iterator.empty
+        else gs.iterator
+          .map { case (g, ck) => if (ck == gs.last._2) top else measure(rho, g, nprobe, ck) }
+          .find(_.recall >= recallTarget).iterator
+      }.nextOption()
+    } finally {
+      bf.unpersist(blocking = false)
+      enc.unpersist(blocking = false)
+    }
+  }
+
+  /** Calibrate ρ for [[Similarity.ivfTopK]]: the smallest grid fraction
+    * whose measured recall@k meets `recallTarget`. Each rung re-calls
+    * ivfTopK (training is deterministic — identical centroids every
+    * call — so correctness is unaffected; the rung pays the Lloyd jobs
+    * again, acceptable for a ≤|grid|-point one-shot calibration).
+    */
+  def calibrateIvf(emb: DataFrame, idCol: String, vecCol: String,
+                   recallTarget: Double, k: Int = 5,
+                   sampleFrac: Double = 0.1,
+                   rhoGrid: Seq[Double] = DefaultRhoGrid): Option[IvfCalibration] = {
+    require(recallTarget > 0 && recallTarget <= 1,
+      s"recall target must be in (0, 1], got $recallTarget")
+    require(rhoGrid.nonEmpty, "empty calibration grid")
+    val n = emb.count()
+    val nlist = AnnParams.nlist(n)
+    val (_, bf) = anchor(emb, idCol, vecCol, k, sampleFrac, n)
+    val bound = (sampleFrac * 4294967296L).toLong
+    try {
+      dedupeAscending(rhoGrid, AnnParams.nprobe(n, _)).iterator
+        .map { case (rho, nprobe) =>
+          val ivf = Similarity.ivfTopK(emb, idCol, vecCol, k,
+            nlist = nlist, nprobe = nprobe,
+            queryPred = Some(id => Sampling.bucketOf(id) < lit(bound)))
+          IvfCalibration(rho, nlist, nprobe, recallOf(bf, ivf))
+        }
+        .find(_.recall >= recallTarget)
+    } finally bf.unpersist(blocking = false)
+  }
+}

@@ -769,7 +769,29 @@ object Similarity {
                   queries: DataFrame, qidCol: String, qvecCol: String,
                   k: Int, nlist: Int = 16, nprobe: Int = 8,
                   m: Int = 8, codes: Int = 64,
-                  sampleMod: Int = 4, trainIters: Int = 3): DataFrame = {
+                  sampleMod: Int = 4, trainIters: Int = 3): DataFrame =
+    ivfPqProbe(ivfPqIndex(df, idCol, vecCol, nlist, m, codes,
+      sampleMod, trainIters), queries, qidCol, qvecCol, k, nprobe)
+
+  /** A trained IVF-PQ index: the encoded corpus plus the fused
+    * coarse-centroid/codebook kernel the query side needs. TRAIN once,
+    * probe at many (nprobe, k) operating points — the split exists so
+    * [[AnnCalibrate]] (and [[graft.RecallGrid]]) can sweep operating
+    * points without retraining the quantizers per point (training is
+    * deterministic, so per-point retraining gives identical results —
+    * it just pays the Lloyd + pqTrain jobs again each time). `encoded`
+    * is a lazy plan like any DataFrame; a caller probing repeatedly
+    * should persist it.
+    */
+  case class IvfPqIndex(encoded: DataFrame,
+                        fused: graft.functions.IvfPqKernel, codes: Int)
+
+  /** TRAIN + INDEX halves of [[ivfPqSearch]] (identical plan shapes —
+    * the composed search is bit-identical to the previous monolith).
+    */
+  def ivfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int, m: Int = 8, codes: Int = 64,
+                 sampleMod: Int = 4, trainIters: Int = 3): IvfPqIndex = {
     val v = unitized(df, idCol, vecCol)
     // coarse quantizer: deterministic seeds + Lloyd, exactly as ivfTopK
     val train = v.filter(pmod(xxhash64(col("id")), lit(sampleMod)) === 0)
@@ -797,6 +819,13 @@ object Similarity {
       .select(col(idCol).as("id").cast("long"),
         graft.functions.PqOps.ivfEncode(asDouble(col(vecCol)), fused).as("cc"))
       .select(col("id"), col("cc.cell").as("cell"), col("cc.code").as("code"))
+    IvfPqIndex(encoded, fused, codes)
+  }
+
+  /** PROBE half of [[ivfPqSearch]] against a trained [[IvfPqIndex]]. */
+  def ivfPqProbe(index: IvfPqIndex, queries: DataFrame,
+                 qidCol: String, qvecCol: String,
+                 k: Int, nprobe: Int): DataFrame = {
     // Query side, fully IN the plan: per query row, the nprobe nearest
     // coarse cells and the flattened ADC table from the SAME fused
     // normalization (IvfPqProbe). One row per (query, probe); the table
@@ -805,13 +834,13 @@ object Similarity {
     // (qid, id, adist).
     val qside = queries
       .select(col(qidCol).cast("long").as("qid"),
-        graft.functions.PqOps.ivfProbe(asDouble(col(qvecCol)), fused, nprobe)
+        graft.functions.PqOps.ivfProbe(asDouble(col(qvecCol)), index.fused, nprobe)
           .as("tp"))
       .select(col("qid"), col("tp.tab").as("tab"),
         explode(col("tp.probes")).as("cell"))
-    val scored = encoded.join(qside, Seq("cell"))
+    val scored = index.encoded.join(qside, Seq("cell"))
       .select(col("qid"), col("id"),
-        AdcScore(col("code"), col("tab"), codes).as("adist"))
+        AdcScore(col("code"), col("tab"), index.codes).as("adist"))
     topK(scored, Seq(("adist", false), ("id", false)), k)
       .select(col("qid"), col("rank"), col("id"), col("adist"))
   }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnParams, Components, Dedup, MultiModal, Sampling, Similarity}
+import graft.operators.{AnnCalibrate, AnnParams, Components, Dedup, MultiModal, Sampling, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -89,39 +89,25 @@ object PipelineQueries {
         (recall >= 0.5).as("recall_ok"))
   }
 
-  /** The raw (un-bucketized) recall pieces [[recallContract]] aggregates:
-    * left-join the exact anchor's (qid, nid) rows against the ANN rows'
-    * hit markers, then the hit fraction. Shared with [[graft.RecallGrid]]
-    * so the harness that MEASURES the oracle bands computes the identical
-    * quantity the shipped queries pin — a second copy of this math is how
-    * bands silently drift from what the queries actually run.
+  /** The raw (un-bucketized) recall pieces [[recallContract]] aggregates.
+    * The ONE definition lives in [[graft.operators.AnnCalibrate]] (these
+    * are thin aliases kept for the existing call sites), so the oracle
+    * queries, [[graft.RecallGrid]]'s band measurements, AND runtime
+    * calibration all compute the identical quantity — a second copy of
+    * this math is how bands silently drift from what the queries run.
     */
   private[graft] def hitJoin(bf: DataFrame, ann: DataFrame): DataFrame =
-    bf.join(ann.select(col("qid"), col("nid"), lit(1).as("hit")),
-      Seq("qid", "nid"), "left")
-  private[graft] def recallExpr: Column =
-    sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))
+    AnnCalibrate.hitJoin(bf, ann)
+  private[graft] def recallExpr: Column = AnnCalibrate.recallExpr
 
-  /** Exact cosine re-rank of an ANN candidate list: join both sides'
-    * raw vectors back on, score with the canonical cosine, keep the
-    * top-k per query (sim desc, nid tie-break). ONE definition for the
-    * PQ and IVF-PQ queries — and for [[graft.RecallGrid]]'s band
-    * measurements — the comparator and tie rules must stay identical
-    * or their recall contracts silently diverge.
+  /** Exact cosine re-rank of an ANN candidate list — alias of the one
+    * definition in [[graft.operators.AnnCalibrate]] at this table's
+    * column names (see [[hitJoin]]'s note: queries, RecallGrid, and
+    * runtime calibration must share the comparator and tie rules or
+    * their recall contracts silently diverge).
     */
-  private[graft] def exactReRank(emb: DataFrame, cand: DataFrame, k: Int): DataFrame = {
-    val v = emb.select(col("vec_id").cast("long").as("vid"), col("embedding"))
-    val scored = cand
-      .join(v.select(col("vid").as("q_vid"), col("embedding").as("q_emb")),
-        col("qid") === col("q_vid"))
-      .join(v, col("id") === col("vid"))
-      .select(col("qid"), col("id").as("nid"),
-        Similarity.cosine(col("q_emb"), col("embedding")).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k).select("qid", "nid")
-  }
+  private[graft] def exactReRank(emb: DataFrame, cand: DataFrame, k: Int): DataFrame =
+    AnnCalibrate.exactReRank(emb, "vec_id", "embedding", cand, k)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup, hash-first: group on sha2-256 of the text, not the text
