@@ -19,6 +19,9 @@ package graft
   * @param loads  1-min system loadavg at each sweep boundary, warm-up
   *               sweeps included, plus one final end-of-run sample —
   *               `warmup + reps + 1` entries
+  * @param settleS seconds the run waited before its first sweep for the
+  *                box loadavg to fall below the settle threshold
+  *                (VERDICT r10 #3); 0 = the box was already quiet
   */
 final case class BenchInput(names: Seq[String],
                             times: Map[String, List[Double]],
@@ -26,7 +29,8 @@ final case class BenchInput(names: Seq[String],
                             reps: Int,
                             sfDir: String,
                             warmup: Int = 0,
-                            loads: Seq[Double] = Nil) {
+                            loads: Seq[Double] = Nil,
+                            settleS: Int = 0) {
   def timesOf(n: String): List[Double] = times.getOrElse(n, Nil)
 }
 
@@ -93,6 +97,10 @@ object BenchFormat {
         // replication discipline, readable from the artifact alone.
         (if (in.loads.isEmpty) ""
          else s""","loadavg":[${in.loads.map(v => f"$v%.1f").mkString(",")}]""") +
+        // settle wait (VERDICT r10 #3): only present when the run
+        // actually waited — ~12 chars, and its presence plus loadavg[0]
+        // says whether the wait worked or timed out into a busy box
+        (if (in.settleS > 0) s""","settle":${in.settleS}""" else "") +
         (if (walls.size >= 2 && walls.min > 0 &&
              (walls.max - walls.min) / walls.min > 0.05)
           s""","warn":"walls disagree >5%"""" else "")
@@ -223,6 +231,7 @@ object BenchFormat {
     // triage distinguish "the code moved" from "the box was busy"
     val loadPart = if (in.loads.isEmpty) ""
       else s""","loadavg":[${in.loads.map(v => f"$v%.1f").mkString(",")}]"""
-    s"""{"reps":${in.reps},"warmup":${in.warmup},"qunit":"cs","order":"sweep","sweep_wall_s":[${sweepWalls(in).map(v => f"$v%.2f").mkString(",")}]$loadPart,"queries":$qd$errPart,"sf":"${in.sfDir}"}"""
+    val settlePart = if (in.settleS > 0) s""","settle_s":${in.settleS}""" else ""
+    s"""{"reps":${in.reps},"warmup":${in.warmup},"qunit":"cs","order":"sweep","sweep_wall_s":[${sweepWalls(in).map(v => f"$v%.2f").mkString(",")}]$loadPart$settlePart,"queries":$qd$errPart,"sf":"${in.sfDir}"}"""
   }
 }

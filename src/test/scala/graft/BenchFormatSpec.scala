@@ -176,6 +176,23 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!parse(BenchFormat.metricsLine(corpus(4))).has("loadavg"))
   }
 
+  test("settle wait appears in both artifacts only when the run actually waited") {
+    // VERDICT r10 #3: the bench now waits (bounded) for the box to go
+    // quiet before its first sweep; the artifact records the wait so a
+    // timed-out settle into a busy box stays attributable from JSON
+    val waited = corpus(4).copy(settleS = 95)
+    assert(parse(BenchFormat.metricsLine(waited)).get("settle").asInt() === 95)
+    assert(parse(BenchFormat.detailLine(waited)).get("settle_s").asInt() === 95)
+    // quiet box (settleS = 0, the common case): no key, no bytes spent
+    assert(!parse(BenchFormat.metricsLine(corpus(4))).has("settle"))
+    assert(!parse(BenchFormat.detailLine(corpus(4))).has("settle_s"))
+    // survives tier compression under budget on a big corpus
+    val big = corpus(300).copy(settleS = 120)
+    val line = BenchFormat.metricsLine(big)
+    assert(parse(line).get("settle").asInt() === 120)
+    assert(line.length <= 1850)
+  }
+
   test("metrics line self-flags sweep walls that disagree >5%") {
     // VERDICT r9 #5: the 2.2%-replication close-out discipline lived in
     // commit messages; the artifact now says it itself. Agreeing walls
