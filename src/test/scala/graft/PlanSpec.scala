@@ -447,4 +447,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       p.take(1500))
   }
+
+  test("multimodal resize: still a shuffle-free narrow pipeline through the decode") {
+    // resize is a per-row map feeding the same mapPartitions decode —
+    // the composed resize→extractFeatures plan must stay exchange-free
+    // (the oracle row then only adds its output sort)
+    val media = graft.operators.MultiModal.media(spark, Tables.documents(spark, sf))
+    val resized = graft.operators.MultiModal.resize(spark, media, targetLen = 96)
+    val feats = graft.operators.MultiModal.extractFeatures(spark, resized)
+    val fp = feats.queryExecution.sparkPlan.toString
+    assert(!fp.contains("Exchange"),
+      s"resize→decode must be shuffle-free (narrow maps):\n${fp.take(1500)}")
+    val full = SparkEntry.queries("q_multimodal_resize")(spark, sf)
+    val p = full.queryExecution.sparkPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(1500))
+  }
 }
