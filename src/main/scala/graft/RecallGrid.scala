@@ -141,6 +141,17 @@ object RecallGrid {
           f"nprobe=${c.nprobe} recall=${c.recall}%.4f")
         case None => println(s"CALIB ivf $d target=0.8 unreachable at grid max")
       }
+      AnnCalibrate.calibrateFlatPq(emb, "vec_id", "embedding", recallTarget = 0.75) match {
+        case Some(c) => println(f"CALIB pqflat $d target=0.75 gamma=${c.gamma} " +
+          f"candK=${c.candK} recall=${c.recall}%.4f")
+        case None => println(s"CALIB pqflat $d target=0.75 unreachable at grid max")
+      }
+      AnnCalibrate.calibrateSemDedup(emb, "vec_id", "embedding", 0.45,
+          pairRecallTarget = 0.25) match {
+        case Some(c) => println(f"CALIB semdedup $d target=0.25 " +
+          f"cellSize=${c.targetCellSize} nlist=${c.nlist} pairRecall=${c.pairRecall}%.4f")
+        case None => println(s"CALIB semdedup $d target=0.25 unreachable at grid max")
+      }
     }
     spark.stop()
   }

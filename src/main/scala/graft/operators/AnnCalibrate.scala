@@ -195,6 +195,107 @@ object AnnCalibrate {
     }
   }
 
+  /** One measured flat-ADC operating point (the whole corpus is the
+    * scanned set — γflat is the only knob).
+    */
+  case class FlatPqCalibration(gamma: Double, candK: Int, recall: Double)
+
+  /** Calibrate γflat for flat ADC ([[Similarity.pqSearch]]): the
+    * smallest grid fraction whose measured candidate recall@k (after
+    * the exact re-rank — q_ann_pq's contract quantity) meets
+    * `recallTarget`. The codebooks train once; each rung is one
+    * probe+re-rank job over the persisted codes.
+    */
+  def calibrateFlatPq(emb: DataFrame, idCol: String, vecCol: String,
+                      recallTarget: Double, k: Int = 5,
+                      sampleFrac: Double = 0.1,
+                      gammaGrid: Seq[Double] = DefaultGammaGrid,
+                      m: Int = 8, codes: Int = 64): Option[FlatPqCalibration] = {
+    require(recallTarget > 0 && recallTarget <= 1,
+      s"recall target must be in (0, 1], got $recallTarget")
+    require(gammaGrid.nonEmpty, "empty calibration grid")
+    val n = emb.count()
+    val (queries, bf) = anchor(emb, idCol, vecCol, k, sampleFrac, n)
+    val model = Similarity.pqTrain(emb, idCol, vecCol, m, codes)
+    val enc = Similarity.pqEncode(emb, idCol, vecCol, model).persist()
+    enc.count()
+    try {
+      dedupeAscending(gammaGrid, g => AnnParams.flatCandK(n, k, candFrac = g))
+        .iterator
+        .map { case (g, ck) =>
+          val cand = Similarity.pqSearch(enc, model, queries, idCol, vecCol, ck)
+            .filter(col("qid") =!= col("id"))
+          FlatPqCalibration(g, ck,
+            recallOf(bf, exactReRank(emb, idCol, vecCol, cand, k)))
+        }
+        .find(_.recall >= recallTarget)
+    } finally {
+      bf.unpersist(blocking = false)
+      enc.unpersist(blocking = false)
+    }
+  }
+
+  /** One measured SemDeDup operating point: the target cell size, the
+    * nlist it derives at this cardinality, and the measured pair recall
+    * vs the exact threshold pairs.
+    */
+  case class SemDedupCalibration(targetCellSize: Int, nlist: Int,
+                                 pairRecall: Double)
+
+  /** Calibrate SemDeDup's target cell size: the SMALLEST grid cell size
+    * (= largest nlist = cheapest pair space, walked cheapest-first)
+    * whose within-cell pair recall vs the exact `threshold` pairs meets
+    * `pairRecallTarget`. Cell size is the one SemDeDup knob with
+    * offline-measured status ([[AnnParams.semDedupNlist]]'s default 64
+    * reproduces the measured oracle configuration): bigger cells catch
+    * more boundary-straddling pairs at |cell|² cost. The exact pair set
+    * (the O(n²) blocked path) computes once and anchors every rung —
+    * the same audit-affordability argument as the top-k anchor. A
+    * corpus with NO exact pairs at the threshold calibrates vacuously
+    * (recall 1.0 at the cheapest rung). On near-background corpora
+    * (see [[AnnParams.semDedupLowBandMsg]]) the target may be
+    * unreachable at every rung → None, which is the honest signal that
+    * [[Similarity.cosineNearDupPairs]] is the right tool there.
+    */
+  def calibrateSemDedup(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, pairRecallTarget: Double,
+                        cellSizeGrid: Seq[Int] = Seq(16, 32, 64, 128, 256))
+      : Option[SemDedupCalibration] = {
+    require(pairRecallTarget > 0 && pairRecallTarget <= 1,
+      s"pair recall target must be in (0, 1], got $pairRecallTarget")
+    require(cellSizeGrid.nonEmpty && cellSizeGrid.forall(_ >= 1),
+      "cell-size grid must be non-empty and positive")
+    val n = emb.count()
+    val exact = Similarity
+      .cosineNearDupPairs(emb, idCol, vecCol, threshold,
+        blocks = AnnParams.bruteBlocks(n))
+      .select(col("a_id"), col("b_id")).persist()
+    val nExact = exact.count()
+    try {
+      // dedupe rungs that derive the same nlist (identical results),
+      // attributing each to its smallest cell size
+      cellSizeGrid.distinct.sorted
+        .map(cs => (cs, AnnParams.semDedupNlist(n, cs)))
+        .groupBy(_._2).map { case (nl, xs) => (xs.map(_._1).min, nl) }
+        .toSeq.sortBy(_._1).iterator
+        .map { case (cs, nl) =>
+          val recall =
+            if (nExact == 0) 1.0
+            else {
+              val sem = Similarity
+                .semDedupPairs(emb, idCol, vecCol, threshold, nlist = nl,
+                  corpusN = Some(n))
+                .select(col("a_id"), col("b_id"), lit(1).as("hit"))
+              val hits = exact.join(sem, Seq("a_id", "b_id"), "left")
+                .agg(sum(coalesce(col("hit"), lit(0)))).collect()(0).getLong(0)
+              hits.toDouble / nExact
+            }
+          SemDedupCalibration(cs, nl, recall)
+        }
+        .find(_.pairRecall >= pairRecallTarget)
+    } finally exact.unpersist(blocking = false)
+  }
+
   /** Calibrate ρ for [[Similarity.ivfTopK]]: the smallest grid fraction
     * whose measured recall@k meets `recallTarget`. Each rung re-calls
     * ivfTopK (training is deterministic — identical centroids every

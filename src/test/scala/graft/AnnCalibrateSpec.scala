@@ -50,6 +50,54 @@ class AnnCalibrateSpec extends SparkSpec {
     assert(c.rho <= 0.5)
   }
 
+  test("flat-PQ calibration reproduces the offline FlatCandFrac depth") {
+    val c = AnnCalibrate
+      .calibrateFlatPq(emb, "vec_id", "embedding", recallTarget = 0.75)
+      .getOrElse(fail("target 0.75 must be reachable on the oracle corpus"))
+    // the offline depth (flatCandK = 50 at n = 500, where the measured
+    // grid reads 0.776) is exactly what the cheapest rung reaches: at
+    // this n every gamma <= 0.1 collapses to the 50-floor
+    assert(c.candK === AnnParams.FlatCandFloor)
+    assert(c.gamma === AnnCalibrate.DefaultGammaGrid.min)
+    assert(c.recall >= 0.75)
+    // a stiffer target must buy a deeper rung, not fail
+    val deep = AnnCalibrate
+      .calibrateFlatPq(emb, "vec_id", "embedding", recallTarget = 0.8)
+      .getOrElse(fail("0.8 must be reachable with a deeper candidate list"))
+    assert(deep.candK > c.candK && deep.recall >= 0.8)
+  }
+
+  test("semdedup calibration walks cell sizes cheapest-first and matches the grid") {
+    // grid-measured pair recall at n = 500 / threshold 0.45 (RecallGrid):
+    // nlist 16 -> 0.1429, 8 -> 0.2857, 4 -> 0.7143. Target 0.7 must
+    // walk past the cheap rungs and land on cellSize 128 (nlist 4);
+    // target 0.25 stops at the offline default 64 (nlist 8).
+    val c7 = AnnCalibrate
+      .calibrateSemDedup(emb, "vec_id", "embedding", 0.45, pairRecallTarget = 0.7)
+      .getOrElse(fail("0.7 must be reachable at cellSize 128 (measured 0.7143)"))
+    assert(c7.targetCellSize === 128 && c7.nlist === 4)
+    assert(c7.pairRecall >= 0.7)
+    // walk-past-the-cheap-rung behavior pinned on measured numbers:
+    // cellSize 32 (nlist 16, measured 0.1429) misses 0.25, cellSize 64
+    // (nlist 8, the offline default, measured 0.2857) meets it. (The
+    // full default grid's cheapest rung cellSize 16 ALSO happens to
+    // meet 0.25 on this 7-pair corpus — recall moves in 1/7 steps and
+    // is not monotone in cell count at this size, which is exactly why
+    // calibration measures instead of assuming.)
+    val c25 = AnnCalibrate
+      .calibrateSemDedup(emb, "vec_id", "embedding", 0.45,
+        pairRecallTarget = 0.25, cellSizeGrid = Seq(32, 64, 128))
+      .getOrElse(fail("0.25 must be reachable at the offline default cellSize 64"))
+    assert(c25.targetCellSize === 64 && c25.nlist === 8)
+    // a threshold with NO exact pairs calibrates vacuously at the
+    // cheapest rung (recall 1.0 of an empty set)
+    val none = AnnCalibrate
+      .calibrateSemDedup(emb, "vec_id", "embedding", threshold = 0.99,
+        pairRecallTarget = 0.9, cellSizeGrid = Seq(16, 64))
+      .getOrElse(fail("no exact pairs at 0.99 — must calibrate vacuously"))
+    assert(none.targetCellSize === 16 && none.pairRecall === 1.0)
+  }
+
   test("an unreachable target returns None, not the closest miss") {
     assert(AnnCalibrate.calibrateIvfPq(emb, "vec_id", "embedding",
       recallTarget = 0.99, rhoGrid = Seq(0.2), gammaGrid = Seq(0.025)).isEmpty)
