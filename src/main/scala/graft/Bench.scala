@@ -94,8 +94,12 @@ object Bench {
       .flatMap(_.toIntOption).getOrElse(120)
     val settle0 = System.nanoTime()
     while (settleMax > 0 && osBean.getSystemLoadAverage >= settleLoad &&
-           (System.nanoTime() - settle0) / 1e9 < settleMax)
-      Thread.sleep(5000)
+           (System.nanoTime() - settle0) / 1e9 < settleMax) {
+      // sleep only to the deadline: a fixed quantum could overshoot the
+      // documented settleMax cap by up to 5 s
+      val remainMs = settleMax * 1000L - (System.nanoTime() - settle0) / 1000000L
+      Thread.sleep(math.max(1L, math.min(5000L, remainMs)))
+    }
     val settledS = math.round((System.nanoTime() - settle0) / 1e9).toInt
     for (sweep <- -warm until reps) {
       loads += osBean.getSystemLoadAverage

@@ -67,10 +67,10 @@ object RecallGrid {
       // per-point retraining gave identical numbers, just slower)
       // same ≥1 / ≥k guards as the ivf/pqflat sweeps: a tiny corpus can
       // derive nprobe ≤ 2, and (nprobe-2, candK) would crash the probe
-      val idx0 = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+      val idx = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
         nlist = nlist, m = 8, codes = 64)
-      val idx = idx0.copy(encoded = idx0.encoded.persist())
-      idx.encoded.count()
+      // persist() mutates in place and returns the same Dataset
+      idx.encoded.persist().count()
       for ((np, ck) <- Seq((nprobe, candK), (nprobe - 2, candK), (nprobe, candK - 16),
                            (nprobe + 2, candK), (nprobe, candK + 16)).distinct
                          .filter { case (np, ck) => np >= 1 && ck >= 5 }) {
@@ -100,8 +100,7 @@ object RecallGrid {
       for (np <- Seq(ivfNprobe, ivfNprobe - 2, ivfNprobe + 2).distinct.filter(_ >= 1)) {
         val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
             k = 5, nlist = nlist, nprobe = np,
-            queryPred = Some(id =>
-              Sampling.bucketOf(id) < lit((0.1 * 4294967296L).toLong)))
+            queryPred = Some(Sampling.samplePred(0.1)))
         val mark = if (np == ivfNprobe) " <== derived" else ""
         println(f"GRID ivf $d nlist=$nlist nprobe=$np " +
           f"recall=${topKRecall(bf, ivf)}%.4f$mark")
@@ -125,33 +124,41 @@ object RecallGrid {
         println(f"GRID semdedup $d nlist=$nl nExact=$nExact " +
           f"pairRecall=${hits.toDouble / nExact}%.4f$mark")
       }
-      exactPairs.unpersist()
-      bf.unpersist()
       // Runtime-calibration cross-check (AnnCalibrate): the in-job
       // calibration must land on operating points consistent with the
       // grid above — AnnCalibrateSpec pins the sf0.001 result; these
       // lines show all three scales whenever the grid is re-measured.
-      AnnCalibrate.calibrateIvfPq(emb, "vec_id", "embedding", recallTarget = 0.8) match {
+      // The anchors this harness ALREADY computed (bf, exactPairs) are
+      // passed in rather than letting each calibrate rebuild them —
+      // the exact grids are the dominant cost at a larger sf.
+      val tkAnchor = Some(AnnCalibrate.TopKAnchor(sampleQ, bf, n, 5, 0.1))
+      val prAnchor = Some(AnnCalibrate.PairAnchor(exactPairs, nExact, n, 0.45))
+      AnnCalibrate.calibrateIvfPq(emb, "vec_id", "embedding", recallTarget = 0.8,
+          anchor = tkAnchor) match {
         case Some(c) => println(f"CALIB ivfpq $d target=0.8 rho=${c.rho} " +
           f"gamma=${c.gamma} nprobe=${c.nprobe} candK=${c.candK} recall=${c.recall}%.4f")
         case None => println(s"CALIB ivfpq $d target=0.8 unreachable at grid max")
       }
-      AnnCalibrate.calibrateIvf(emb, "vec_id", "embedding", recallTarget = 0.8) match {
+      AnnCalibrate.calibrateIvf(emb, "vec_id", "embedding", recallTarget = 0.8,
+          anchor = tkAnchor) match {
         case Some(c) => println(f"CALIB ivf $d target=0.8 rho=${c.rho} " +
           f"nprobe=${c.nprobe} recall=${c.recall}%.4f")
         case None => println(s"CALIB ivf $d target=0.8 unreachable at grid max")
       }
-      AnnCalibrate.calibrateFlatPq(emb, "vec_id", "embedding", recallTarget = 0.75) match {
+      AnnCalibrate.calibrateFlatPq(emb, "vec_id", "embedding", recallTarget = 0.75,
+          anchor = tkAnchor) match {
         case Some(c) => println(f"CALIB pqflat $d target=0.75 gamma=${c.gamma} " +
           f"candK=${c.candK} recall=${c.recall}%.4f")
         case None => println(s"CALIB pqflat $d target=0.75 unreachable at grid max")
       }
       AnnCalibrate.calibrateSemDedup(emb, "vec_id", "embedding", 0.45,
-          pairRecallTarget = 0.25) match {
+          pairRecallTarget = 0.25, anchor = prAnchor) match {
         case Some(c) => println(f"CALIB semdedup $d target=0.25 " +
           f"cellSize=${c.targetCellSize} nlist=${c.nlist} pairRecall=${c.pairRecall}%.4f")
         case None => println(s"CALIB semdedup $d target=0.25 unreachable at grid max")
       }
+      exactPairs.unpersist()
+      bf.unpersist()
     }
     spark.stop()
   }

@@ -116,28 +116,54 @@ object AnnCalibrate {
       .filter(col("rk") <= k).select("qid", "nid")
   }
 
-  /** Deterministic held-out query sample + persisted exact anchor —
-    * shared by both calibrations. Caller unpersists.
+  /** A reusable top-k calibration anchor: the deterministic held-out
+    * query sample, its PERSISTED exact brute-force top-k, and the
+    * corpus cardinality — plus the (k, sampleFrac) it was built at, so
+    * a calibrate call can loudly reject an anchor that measures a
+    * different contract. Build once with [[anchorFor]] when calibrating
+    * several families in one job (the anchor is the dominant shared
+    * cost — graft.RecallGrid reuses the one it already computed); each
+    * calibrate* self-computes when not given one. Self-computed anchors
+    * are unpersisted internally; a caller-provided anchor stays the
+    * caller's to free.
     */
-  private def anchor(emb: DataFrame, idCol: String, vecCol: String,
-                     k: Int, sampleFrac: Double,
-                     n: Long): (DataFrame, DataFrame) = {
+  case class TopKAnchor(queries: DataFrame, bf: DataFrame, n: Long,
+                        k: Int, sampleFrac: Double)
+
+  /** Build (and persist) a [[TopKAnchor]]. */
+  def anchorFor(emb: DataFrame, idCol: String, vecCol: String,
+                k: Int = 5, sampleFrac: Double = 0.1): TopKAnchor = {
+    val n = emb.count()
     val queries = Sampling.hashSample(emb, idCol, sampleFrac)
     val bf = Similarity
       .bruteForceTopKFor(queries, emb, idCol, vecCol, k,
         blocks = AnnParams.bruteBlocks(n))
       .persist()
     bf.count()
-    (queries, bf)
+    TopKAnchor(queries, bf, n, k, sampleFrac)
   }
+
+  private def resolveAnchor(anchor: Option[TopKAnchor], emb: DataFrame,
+                            idCol: String, vecCol: String, k: Int,
+                            sampleFrac: Double): (TopKAnchor, Boolean) =
+    anchor match {
+      case Some(a) =>
+        require(a.k == k && a.sampleFrac == sampleFrac,
+          s"anchor built at (k=${a.k}, sampleFrac=${a.sampleFrac}) cannot " +
+            s"measure a (k=$k, sampleFrac=$sampleFrac) calibration")
+        (a, false)
+      case None => (anchorFor(emb, idCol, vecCol, k, sampleFrac), true)
+    }
 
   /** Keep the smallest fraction per distinct derived knob value,
     * ascending — rungs that collapse to the same absolute operating
     * point (ceil boundaries; the candidate floor at small n) are
     * measured once, attributed to the cheapest fraction that reaches
-    * that point.
+    * that point. Generic in the rung type (Double fractions; Int cell
+    * sizes) so the attribute-to-cheapest rule has one definition.
     */
-  private def dedupeAscending[A](fracs: Seq[Double], knobOf: Double => A): Seq[(Double, A)] =
+  private def dedupeAscending[F, A](fracs: Seq[F], knobOf: F => A)
+                                   (implicit ord: Ordering[F]): Seq[(F, A)] =
     fracs.distinct.sorted.map(f => (f, knobOf(f)))
       .groupBy(_._2).map { case (knob, fs) => (fs.map(_._1).min, knob) }
       .toSeq.sortBy(_._1)
@@ -155,17 +181,17 @@ object AnnCalibrate {
                      sampleFrac: Double = 0.1,
                      rhoGrid: Seq[Double] = DefaultRhoGrid,
                      gammaGrid: Seq[Double] = DefaultGammaGrid,
-                     m: Int = 8, codes: Int = 64): Option[IvfPqCalibration] = {
+                     m: Int = 8, codes: Int = 64,
+                     anchor: Option[TopKAnchor] = None): Option[IvfPqCalibration] = {
     require(recallTarget > 0 && recallTarget <= 1,
       s"recall target must be in (0, 1], got $recallTarget")
     require(rhoGrid.nonEmpty && gammaGrid.nonEmpty, "empty calibration grid")
-    val n = emb.count()
+    val (a, ownAnchor) = resolveAnchor(anchor, emb, idCol, vecCol, k, sampleFrac)
+    val (queries, bf, n) = (a.queries, a.bf, a.n)
     val nlist = AnnParams.nlist(n)
-    val (queries, bf) = anchor(emb, idCol, vecCol, k, sampleFrac, n)
-    val idx0 = Similarity.ivfPqIndex(emb, idCol, vecCol, nlist, m, codes)
-    val enc = idx0.encoded.persist()
-    enc.count()
-    val idx = idx0.copy(encoded = enc)
+    // persist() mutates in place and returns the same Dataset — no copy
+    val idx = Similarity.ivfPqIndex(emb, idCol, vecCol, nlist, m, codes)
+    idx.encoded.persist().count()
     try {
       def measure(rho: Double, gamma: Double, nprobe: Int, candK: Int): IvfPqCalibration = {
         val cand = Similarity
@@ -174,12 +200,12 @@ object AnnCalibrate {
         IvfPqCalibration(rho, gamma, nlist, nprobe, candK,
           recallOf(bf, exactReRank(emb, idCol, vecCol, cand, k)))
       }
-      val rhos = dedupeAscending(rhoGrid, AnnParams.nprobe(n, _))
+      val rhos = dedupeAscending(rhoGrid, (r: Double) => AnnParams.nprobe(n, r))
       rhos.iterator.flatMap { case (rho, nprobe) =>
         // candK depends on ρ too — dedupe the γ grid PER RUNG (the
         // small-corpus floor collapses different γ sets at different ρ)
         val gs = dedupeAscending(gammaGrid,
-          g => AnnParams.candK(n, k, probeFrac = rho, candFrac = g))
+          (g: Double) => AnnParams.candK(n, k, probeFrac = rho, candFrac = g))
         // upper bound first: candidate recall is monotone in depth at
         // fixed ρ, so a rung whose deepest γ misses the target is
         // rejected after ONE job
@@ -190,8 +216,8 @@ object AnnCalibrate {
           .find(_.recall >= recallTarget).iterator
       }.nextOption()
     } finally {
-      bf.unpersist(blocking = false)
-      enc.unpersist(blocking = false)
+      if (ownAnchor) bf.unpersist(blocking = false)
+      idx.encoded.unpersist(blocking = false)
     }
   }
 
@@ -210,17 +236,18 @@ object AnnCalibrate {
                       recallTarget: Double, k: Int = 5,
                       sampleFrac: Double = 0.1,
                       gammaGrid: Seq[Double] = DefaultGammaGrid,
-                      m: Int = 8, codes: Int = 64): Option[FlatPqCalibration] = {
+                      m: Int = 8, codes: Int = 64,
+                      anchor: Option[TopKAnchor] = None): Option[FlatPqCalibration] = {
     require(recallTarget > 0 && recallTarget <= 1,
       s"recall target must be in (0, 1], got $recallTarget")
     require(gammaGrid.nonEmpty, "empty calibration grid")
-    val n = emb.count()
-    val (queries, bf) = anchor(emb, idCol, vecCol, k, sampleFrac, n)
+    val (a, ownAnchor) = resolveAnchor(anchor, emb, idCol, vecCol, k, sampleFrac)
+    val (queries, bf, n) = (a.queries, a.bf, a.n)
     val model = Similarity.pqTrain(emb, idCol, vecCol, m, codes)
     val enc = Similarity.pqEncode(emb, idCol, vecCol, model).persist()
     enc.count()
     try {
-      dedupeAscending(gammaGrid, g => AnnParams.flatCandK(n, k, candFrac = g))
+      dedupeAscending(gammaGrid, (g: Double) => AnnParams.flatCandK(n, k, candFrac = g))
         .iterator
         .map { case (g, ck) =>
           val cand = Similarity.pqSearch(enc, model, queries, idCol, vecCol, ck)
@@ -230,7 +257,7 @@ object AnnCalibrate {
         }
         .find(_.recall >= recallTarget)
     } finally {
-      bf.unpersist(blocking = false)
+      if (ownAnchor) bf.unpersist(blocking = false)
       enc.unpersist(blocking = false)
     }
   }
@@ -257,27 +284,44 @@ object AnnCalibrate {
     * unreachable at every rung → None, which is the honest signal that
     * [[Similarity.cosineNearDupPairs]] is the right tool there.
     */
-  def calibrateSemDedup(emb: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, pairRecallTarget: Double,
-                        cellSizeGrid: Seq[Int] = Seq(16, 32, 64, 128, 256))
-      : Option[SemDedupCalibration] = {
-    require(pairRecallTarget > 0 && pairRecallTarget <= 1,
-      s"pair recall target must be in (0, 1], got $pairRecallTarget")
-    require(cellSizeGrid.nonEmpty && cellSizeGrid.forall(_ >= 1),
-      "cell-size grid must be non-empty and positive")
+  /** A reusable exact-pair anchor for [[calibrateSemDedup]]: the
+    * PERSISTED threshold pairs, their count, the corpus cardinality,
+    * and the threshold they were computed at (loudly checked). Same
+    * ownership rule as [[TopKAnchor]].
+    */
+  case class PairAnchor(exactPairs: DataFrame, nExact: Long, n: Long,
+                        threshold: Double)
+
+  /** Build (and persist) a [[PairAnchor]]. */
+  def pairAnchorFor(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double): PairAnchor = {
     val n = emb.count()
     val exact = Similarity
       .cosineNearDupPairs(emb, idCol, vecCol, threshold,
         blocks = AnnParams.bruteBlocks(n))
       .select(col("a_id"), col("b_id")).persist()
-    val nExact = exact.count()
+    PairAnchor(exact, exact.count(), n, threshold)
+  }
+
+  def calibrateSemDedup(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, pairRecallTarget: Double,
+                        cellSizeGrid: Seq[Int] = Seq(16, 32, 64, 128, 256),
+                        anchor: Option[PairAnchor] = None)
+      : Option[SemDedupCalibration] = {
+    require(pairRecallTarget > 0 && pairRecallTarget <= 1,
+      s"pair recall target must be in (0, 1], got $pairRecallTarget")
+    require(cellSizeGrid.nonEmpty && cellSizeGrid.forall(_ >= 1),
+      "cell-size grid must be non-empty and positive")
+    anchor.foreach(a => require(a.threshold == threshold,
+      s"anchor built at threshold ${a.threshold} cannot measure $threshold"))
+    val ownAnchor = anchor.isEmpty
+    val a = anchor.getOrElse(pairAnchorFor(emb, idCol, vecCol, threshold))
+    val (exact, nExact, n) = (a.exactPairs, a.nExact, a.n)
     try {
       // dedupe rungs that derive the same nlist (identical results),
       // attributing each to its smallest cell size
-      cellSizeGrid.distinct.sorted
-        .map(cs => (cs, AnnParams.semDedupNlist(n, cs)))
-        .groupBy(_._2).map { case (nl, xs) => (xs.map(_._1).min, nl) }
-        .toSeq.sortBy(_._1).iterator
+      dedupeAscending(cellSizeGrid, (cs: Int) => AnnParams.semDedupNlist(n, cs))
+        .iterator
         .map { case (cs, nl) =>
           val recall =
             if (nExact == 0) 1.0
@@ -293,7 +337,7 @@ object AnnCalibrate {
           SemDedupCalibration(cs, nl, recall)
         }
         .find(_.pairRecall >= pairRecallTarget)
-    } finally exact.unpersist(blocking = false)
+    } finally if (ownAnchor) exact.unpersist(blocking = false)
   }
 
   /** Calibrate ρ for [[Similarity.ivfTopK]]: the smallest grid fraction
@@ -305,23 +349,26 @@ object AnnCalibrate {
   def calibrateIvf(emb: DataFrame, idCol: String, vecCol: String,
                    recallTarget: Double, k: Int = 5,
                    sampleFrac: Double = 0.1,
-                   rhoGrid: Seq[Double] = DefaultRhoGrid): Option[IvfCalibration] = {
+                   rhoGrid: Seq[Double] = DefaultRhoGrid,
+                   anchor: Option[TopKAnchor] = None): Option[IvfCalibration] = {
     require(recallTarget > 0 && recallTarget <= 1,
       s"recall target must be in (0, 1], got $recallTarget")
     require(rhoGrid.nonEmpty, "empty calibration grid")
-    val n = emb.count()
+    val (a, ownAnchor) = resolveAnchor(anchor, emb, idCol, vecCol, k, sampleFrac)
+    val (bf, n) = (a.bf, a.n)
     val nlist = AnnParams.nlist(n)
-    val (_, bf) = anchor(emb, idCol, vecCol, k, sampleFrac, n)
-    val bound = (sampleFrac * 4294967296L).toLong
     try {
-      dedupeAscending(rhoGrid, AnnParams.nprobe(n, _)).iterator
+      dedupeAscending(rhoGrid, (r: Double) => AnnParams.nprobe(n, r)).iterator
         .map { case (rho, nprobe) =>
+          // the SAME keep-decision as the anchor's hashSample
+          // (Sampling.samplePred — one definition, applied as the
+          // query-side predicate so unsampled queries never score)
           val ivf = Similarity.ivfTopK(emb, idCol, vecCol, k,
             nlist = nlist, nprobe = nprobe,
-            queryPred = Some(id => Sampling.bucketOf(id) < lit(bound)))
+            queryPred = Some(Sampling.samplePred(sampleFrac)))
           IvfCalibration(rho, nlist, nprobe, recallOf(bf, ivf))
         }
         .find(_.recall >= recallTarget)
-    } finally bf.unpersist(blocking = false)
+    } finally if (ownAnchor) bf.unpersist(blocking = false)
   }
 }

@@ -80,13 +80,24 @@ object Sampling {
       lit(M))
   }
 
+  /** The [[hashSample]] keep-decision as a key-column predicate — the
+    * ONE definition of `bucket < fraction·2^32`, exposed so call sites
+    * that must apply the SAME sample on a different side of a plan
+    * (the ANN queries' `queryPred`, calibration's query restriction)
+    * share it instead of re-deriving the bound inline: a future bound
+    * or seeding revision that misses a hand-rolled copy would silently
+    * desynchronize a sample from its anchor.
+    */
+  def samplePred(fraction: Double, seed: Long = 0L): Column => Column =
+    key => bucketOf(key, seed) < lit((fraction * M).toLong)
+
   /** Deterministic Bernoulli-style sample: keeps a row iff its key's
-    * bucket falls under `fraction`. Same key → same decision, on every
-    * run, every engine, every retry.
+    * bucket falls under `fraction` ([[samplePred]]). Same key → same
+    * decision, on every run, every engine, every retry.
     */
   def hashSample(df: DataFrame, keyCol: String, fraction: Double,
                  seed: Long = 0L): DataFrame =
-    df.filter(bucketOf(col(keyCol), seed) < lit((fraction * M).toLong))
+    df.filter(samplePred(fraction, seed)(col(keyCol)))
 
   /** Deterministic WEIGHTED Bernoulli sample: row i is kept with
     * probability `weight_i` (clamped to [0,1]) — quality-weighted corpus

@@ -307,8 +307,7 @@ object PipelineQueries {
       // the per-query top-k exchange
       val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
           k = 5, dim = 64, tables = 16, bitsPerTable = 6,
-          queryPred = Some(id =>
-            Sampling.bucketOf(id) < lit((0.1 * 4294967296L).toLong)))
+          queryPred = Some(Sampling.samplePred(0.1)))
       val bf = bfAnchor(s, d)
       recallContract(bf, lsh)
     }),
@@ -336,8 +335,7 @@ object PipelineQueries {
       val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
           k = 5, nlist = AnnParams.nlist(n),
           nprobe = AnnParams.nprobe(n, AnnParams.IvfProbeFrac),
-          queryPred = Some(id =>
-            Sampling.bucketOf(id) < lit((0.1 * 4294967296L).toLong)))
+          queryPred = Some(Sampling.samplePred(0.1)))
       val bf = bfAnchor(s, d)
       recallContract(bf, ivf)
     }),
@@ -1140,7 +1138,8 @@ object PipelineQueries {
            FROM documents),
          f AS (
            SELECT doc_id, L,
-                  CAST(1 + (bytes[1] % 128) AS INTEGER) AS width,
+                  CAST(1 + (CASE WHEN L > 0 THEN bytes[1] % 128 ELSE 0 END)
+                       AS INTEGER) AS width,
                   CAST(1 + (CASE WHEN L > 1 THEN bytes[2] % 128 ELSE 0 END)
                        AS INTEGER) AS height,
                   list_reduce(list_prepend(CAST(0 AS HUGEINT), bytes),
@@ -1185,7 +1184,8 @@ object PipelineQueries {
            FROM b),
          f AS (
            SELECT doc_id, len(rb) AS n_bytes,
-                  CAST(1 + (rb[1] % 128) AS INTEGER) AS width,
+                  CAST(1 + (CASE WHEN len(rb) > 0 THEN rb[1] % 128 ELSE 0 END)
+                       AS INTEGER) AS width,
                   CAST(1 + (CASE WHEN len(rb) > 1 THEN rb[2] % 128 ELSE 0 END)
                        AS INTEGER) AS height,
                   list_reduce(list_prepend(CAST(0 AS HUGEINT), rb),
