@@ -98,6 +98,42 @@ class AnnCalibrateSpec extends SparkSpec {
     assert(none.targetCellSize === 16 && none.pairRecall === 1.0)
   }
 
+  test("a provided anchor reproduces the self-computed calibration and stays caller-owned") {
+    // same measurement, anchor computed once by the caller: the result
+    // must be identical to the self-computed path (the ivf pin above),
+    // and the anchor must come back still persisted — it is the
+    // caller's to free, not the calibration's
+    val a = AnnCalibrate.anchorFor(emb, "vec_id", "embedding")
+    try {
+      val c = AnnCalibrate
+        .calibrateIvf(emb, "vec_id", "embedding", recallTarget = 0.8,
+          anchor = Some(a))
+        .getOrElse(fail("anchored calibration must reach 0.8 like the self-computed one"))
+      assert(c.rho === 0.35 && c.nprobe === AnnParams.nprobe(500, 0.35))
+      assert(a.bf.storageLevel.useMemory,
+        "calibration must not unpersist a caller-provided anchor")
+      // an anchor measuring a different contract is rejected loudly,
+      // before any job runs
+      intercept[IllegalArgumentException](
+        AnnCalibrate.calibrateIvfPq(emb, "vec_id", "embedding",
+          recallTarget = 0.8, k = 3, anchor = Some(a)))
+    } finally a.bf.unpersist(blocking = false)
+    val p = AnnCalibrate.pairAnchorFor(emb, "vec_id", "embedding", 0.45)
+    try {
+      val c25 = AnnCalibrate
+        .calibrateSemDedup(emb, "vec_id", "embedding", 0.45,
+          pairRecallTarget = 0.25, cellSizeGrid = Seq(32, 64, 128),
+          anchor = Some(p))
+        .getOrElse(fail("anchored semdedup calibration must reach 0.25 at cellSize 64"))
+      assert(c25.targetCellSize === 64 && c25.nlist === 8)
+      assert(p.exactPairs.storageLevel.useMemory,
+        "calibration must not unpersist a caller-provided pair anchor")
+      intercept[IllegalArgumentException](
+        AnnCalibrate.calibrateSemDedup(emb, "vec_id", "embedding", 0.5,
+          pairRecallTarget = 0.25, anchor = Some(p)))
+    } finally p.exactPairs.unpersist(blocking = false)
+  }
+
   test("an unreachable target returns None, not the closest miss") {
     assert(AnnCalibrate.calibrateIvfPq(emb, "vec_id", "embedding",
       recallTarget = 0.99, rhoGrid = Seq(0.2), gammaGrid = Seq(0.025)).isEmpty)

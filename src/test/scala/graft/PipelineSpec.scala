@@ -262,6 +262,11 @@ class PipelineSpec extends SparkSpec {
     val s2 = Sampling.hashSample(docs.repartition(7), "doc_id", 0.25)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(s1 === s2 && s1.nonEmpty && s1.size < n)
+    // samplePred applied on another side of a plan selects exactly the
+    // hashSample keep-set (the one-definition contract its scaladoc pins)
+    val sp = docs.filter(Sampling.samplePred(0.25)(col("doc_id")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sp === s1)
     // different seeds give (near-)independent samples
     val s3 = Sampling.hashSample(docs, "doc_id", 0.25, seed = 99)
       .select("doc_id").collect().map(_.getLong(0)).toSet
