@@ -48,6 +48,23 @@ import org.apache.spark.sql.functions._
   * offline harness (graft.RecallGrid) delegate to it: one definition,
   * so what calibration optimizes is the identical quantity the shipped
   * recall contracts pin.
+  *
+  * At 100 TB the anchor itself is the limit: the exact grid is
+  * O(sampleFrac·n²) and no deployment brute-forces a 10^11-row corpus,
+  * even sampled. The scale path is to calibrate on a hash-sampled
+  * SUB-CORPUS (`Sampling.hashSample(emb, id, corpusFrac)` passed as
+  * `emb`) and carry the returned FRACTIONS to the full corpus — ρ and γ
+  * are corpus-property fractions by design (the same reason AnnParams'
+  * derivations transfer across the sf grid), while every absolute knob
+  * (nlist, nprobe, candK) re-derives from the full n at query time.
+  * AnnCalibrateSpec pins the transfer on the oracle corpus: a
+  * half-corpus calibration reproduces ρ_ivf exactly and lands ρ_ivfpq
+  * one knob step below the full-corpus value (a smaller corpus is
+  * slightly easier, so budget one knob step of margin when transferring
+  * — the same headroom the offline 0.625 carries over the calibrated
+  * 0.5). The sub-corpus must still cover the PQ codebook: below
+  * 64 vectors per subspace seed, pqTrain rejects the sample loudly
+  * rather than returning an undertrained quantizer.
   */
 object AnnCalibrate {
 

@@ -134,6 +134,33 @@ class AnnCalibrateSpec extends SparkSpec {
     } finally p.exactPairs.unpersist(blocking = false)
   }
 
+  test("sub-corpus calibration transfers: fractions within one knob step of full-corpus") {
+    // THE 100 TB path (AnnCalibrate scaladoc): calibrate on a
+    // hash-sampled sub-corpus, carry the FRACTIONS to the full corpus
+    // where AnnParams re-derives the absolute knobs from the real n.
+    // Pinned on the oracle corpus at corpusFrac = 0.5 (n = 250):
+    val sub = operators.Sampling.hashSample(emb, "vec_id", 0.5)
+    val ivf = AnnCalibrate
+      .calibrateIvf(sub, "vec_id", "embedding", recallTarget = 0.8)
+      .getOrElse(fail("0.8 must be reachable on the half corpus"))
+    assert(ivf.rho === 0.35, "half-corpus rho_ivf must reproduce the full-corpus 0.35")
+    val pq = AnnCalibrate
+      .calibrateIvfPq(sub, "vec_id", "embedding", recallTarget = 0.8)
+      .getOrElse(fail("0.8 must be reachable on the half corpus"))
+    // one knob step below the full-corpus 0.5 — a smaller corpus is
+    // slightly easier; the scaladoc's transfer-margin guidance exists
+    // because of exactly this measurement
+    val grid = AnnCalibrate.DefaultRhoGrid
+    assert(math.abs(grid.indexOf(pq.rho) - grid.indexOf(0.5)) <= 1,
+      s"half-corpus rho ${pq.rho} not within one knob step of the full-corpus 0.5")
+    assert(pq.rho === 0.35 && pq.recall >= 0.8)
+    // below the PQ codebook minimum the sample is rejected loudly, not
+    // calibrated on an undertrained quantizer
+    val tiny = operators.Sampling.hashSample(emb, "vec_id", 0.25) // n = 126 < 4*64
+    intercept[IllegalArgumentException](
+      AnnCalibrate.calibrateIvfPq(tiny, "vec_id", "embedding", recallTarget = 0.8))
+  }
+
   test("an unreachable target returns None, not the closest miss") {
     assert(AnnCalibrate.calibrateIvfPq(emb, "vec_id", "embedding",
       recallTarget = 0.99, rhoGrid = Seq(0.2), gammaGrid = Seq(0.025)).isEmpty)
