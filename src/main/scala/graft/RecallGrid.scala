@@ -94,17 +94,21 @@ object RecallGrid {
           f"recall=${candRecall(bf, emb, cand)}%.4f$mark")
       }
       // plain IVF (exact scoring inside probed cells — cell recall only):
-      // derived point plus probe neighbors. ivfTopK emits its own exact
-      // top-5, so recall is measured on its rows directly.
+      // derived point plus probe neighbors, trained ONCE via the
+      // ivfIndex/ivfProbe split (same rationale as the ivfpq sweep).
+      // ivfProbe emits its own exact top-5, so recall is measured on
+      // its rows directly.
       val ivfNprobe = AnnParams.nprobe(n, AnnParams.IvfProbeFrac)
+      val ivfIdx = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist)
+      ivfIdx.assigned.persist().count()
       for (np <- Seq(ivfNprobe, ivfNprobe - 2, ivfNprobe + 2).distinct.filter(_ >= 1)) {
-        val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
-            k = 5, nlist = nlist, nprobe = np,
+        val ivf = Similarity.ivfProbe(ivfIdx, k = 5, nprobe = np,
             queryPred = Some(Sampling.samplePred(0.1)))
         val mark = if (np == ivfNprobe) " <== derived" else ""
         println(f"GRID ivf $d nlist=$nlist nprobe=$np " +
           f"recall=${topKRecall(bf, ivf)}%.4f$mark")
       }
+      ivfIdx.assigned.unpersist()
       // SemDeDup pair recall vs the exact 0.45-threshold pairs, at the
       // cell-size-derived nlist plus neighbors
       val exactPairs = Similarity

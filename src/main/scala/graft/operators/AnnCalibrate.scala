@@ -358,10 +358,11 @@ object AnnCalibrate {
   }
 
   /** Calibrate ρ for [[Similarity.ivfTopK]]: the smallest grid fraction
-    * whose measured recall@k meets `recallTarget`. Each rung re-calls
-    * ivfTopK (training is deterministic — identical centroids every
-    * call — so correctness is unaffected; the rung pays the Lloyd jobs
-    * again, acceptable for a ≤|grid|-point one-shot calibration).
+    * whose measured recall@k meets `recallTarget`. The index trains
+    * ONCE ([[Similarity.ivfIndex]] — the same train/probe split as
+    * IVF-PQ, plan-identical to per-rung ivfTopK calls since training is
+    * deterministic); each rung is one probe job over the persisted
+    * cell-assigned corpus.
     */
   def calibrateIvf(emb: DataFrame, idCol: String, vecCol: String,
                    recallTarget: Double, k: Int = 5,
@@ -374,18 +375,22 @@ object AnnCalibrate {
     val (a, ownAnchor) = resolveAnchor(anchor, emb, idCol, vecCol, k, sampleFrac)
     val (bf, n) = (a.bf, a.n)
     val nlist = AnnParams.nlist(n)
+    val idx = Similarity.ivfIndex(emb, idCol, vecCol, nlist)
+    idx.assigned.persist().count()
     try {
       dedupeAscending(rhoGrid, (r: Double) => AnnParams.nprobe(n, r)).iterator
         .map { case (rho, nprobe) =>
           // the SAME keep-decision as the anchor's hashSample
           // (Sampling.samplePred — one definition, applied as the
           // query-side predicate so unsampled queries never score)
-          val ivf = Similarity.ivfTopK(emb, idCol, vecCol, k,
-            nlist = nlist, nprobe = nprobe,
+          val ivf = Similarity.ivfProbe(idx, k, nprobe,
             queryPred = Some(Sampling.samplePred(sampleFrac)))
           IvfCalibration(rho, nlist, nprobe, recallOf(bf, ivf))
         }
         .find(_.recall >= recallTarget)
-    } finally if (ownAnchor) bf.unpersist(blocking = false)
+    } finally {
+      if (ownAnchor) bf.unpersist(blocking = false)
+      idx.assigned.unpersist(blocking = false)
+    }
   }
 }

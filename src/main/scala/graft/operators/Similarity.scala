@@ -453,7 +453,29 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, k: Int,
               nlist: Int = 16, nprobe: Int = 4, sampleMod: Int = 4,
               trainIters: Int = 3,
-              queryPred: Option[Column => Column] = None): DataFrame = {
+              queryPred: Option[Column => Column] = None): DataFrame =
+    ivfProbe(ivfIndex(df, idCol, vecCol, nlist, sampleMod, trainIters),
+      k, nprobe, queryPred)
+
+  /** A trained plain-IVF index: the cell-assigned normalized corpus
+    * (`assigned`), the normalized corpus itself (`corpus` — the probe
+    * side draws its queries from it, self-kNN style), and the centroid
+    * kernel. TRAIN once, probe at many (k, nprobe) operating points —
+    * the same split (and motivation) as [[IvfPqIndex]]: without it,
+    * [[AnnCalibrate.calibrateIvf]] re-paid the Lloyd jobs on every ρ
+    * rung for identical centroids (training is deterministic). Both
+    * DataFrames are lazy plans; a caller probing repeatedly should
+    * persist `assigned`.
+    */
+  case class IvfIndex(assigned: DataFrame, corpus: DataFrame,
+                      kernel: graft.functions.NearestCellsKernel)
+
+  /** TRAIN + INDEX halves of [[ivfTopK]] (the composed search is
+    * plan-identical to the previous monolith).
+    */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
+               nlist: Int, sampleMod: Int = 4,
+               trainIters: Int = 3): IvfIndex = {
     val v = normed(df, idCol, vecCol)
     // deterministic hash-sample for training (xxhash64, never rand() —
     // speculative-execution-safe, same discipline as Skew salting)
@@ -464,7 +486,7 @@ object Similarity {
     // must not silently train fewer than nlist cells (quietly breaking
     // the index's recall/cost parameters) or die inside KMeans.lloyd
     require(seedVecs.length == nlist,
-      s"ivfTopK: training sample has only ${seedVecs.length} vectors for " +
+      s"ivfIndex: training sample has only ${seedVecs.length} vectors for " +
         s"nlist=$nlist cells (empty or undersized corpus/sample) — " +
         "lower nlist or sampleMod")
     val centroids = KMeans.lloyd(train.select("id", "v"), "v", seedVecs,
@@ -479,14 +501,21 @@ object Similarity {
     val data = v.select(col("id").as("nid"), col("v").as("nv"),
       col("nrm").as("nnrm"),
       graft.functions.NearestCells.cell(col("v"), cells).as("cell"))
+    IvfIndex(data, v, cells)
+  }
+
+  /** PROBE half of [[ivfTopK]] against a trained [[IvfIndex]]. */
+  def ivfProbe(index: IvfIndex, k: Int, nprobe: Int,
+               queryPred: Option[Column => Column] = None): DataFrame = {
     // same queryPred contract as lshTopK: restrict the query side
     // before probing — post-filter-equivalent output, 1/10th the scoring
-    val qv = queryPred.map(p => v.filter(p(col("id")))).getOrElse(v)
+    val qv = queryPred.map(p => index.corpus.filter(p(col("id"))))
+      .getOrElse(index.corpus)
     val queries = qv.select(col("id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"),
-        explode(graft.functions.NearestCells.probes(col("v"), cells, nprobe))
-          .as("cell"))
-    val scored = queries.join(data, Seq("cell"))
+        explode(graft.functions.NearestCells.probes(col("v"), index.kernel,
+          nprobe)).as("cell"))
+    val scored = queries.join(index.assigned, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         simCol(col("qv"), col("nv"), col("qnrm"), col("nnrm")).as("sim"))

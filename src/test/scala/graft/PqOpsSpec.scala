@@ -147,6 +147,27 @@ class PqOpsSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("ivfIndex + ivfProbe composition is row-identical to ivfTopK") {
+    // the train/probe split exists so calibration sweeps nprobe without
+    // re-paying Lloyd; the composed path must stay THE ivfTopK — same
+    // rows, same sims, with and without a query-side predicate
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    val emb = (0L until 60L)
+      .map(i => (i, Seq.fill(8)(rng.nextDouble().toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = S.ivfIndex(emb, "vec_id", "embedding", nlist = 4)
+    for (pred <- Seq(None, Some(graft.operators.Sampling.samplePred(0.5)))) {
+      val mono = S.ivfTopK(emb, "vec_id", "embedding", k = 3,
+        nlist = 4, nprobe = 2, queryPred = pred)
+        .orderBy("qid", "rank").collect().toSeq
+      val split = S.ivfProbe(idx, k = 3, nprobe = 2, queryPred = pred)
+        .orderBy("qid", "rank").collect().toSeq
+      assert(mono.nonEmpty && mono == split,
+        s"split path diverged from ivfTopK (pred=${pred.isDefined})")
+    }
+  }
+
   test("null vector elements fail loudly in every native kernel entry") {
     // ArrayData.toDoubleArray on UnsafeArrayData ignores the null
     // bitmap — without the Vec.dense guard a null element silently
