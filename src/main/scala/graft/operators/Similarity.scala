@@ -504,13 +504,35 @@ object Similarity {
     IvfIndex(data, v, cells)
   }
 
-  /** PROBE half of [[ivfTopK]] against a trained [[IvfIndex]]. */
+  /** PROBE half of [[ivfTopK]] against a trained [[IvfIndex]]:
+    * self-kNN — the corpus queries itself.
+    */
   def ivfProbe(index: IvfIndex, k: Int, nprobe: Int,
                queryPred: Option[Column => Column] = None): DataFrame = {
     // same queryPred contract as lshTopK: restrict the query side
     // before probing — post-filter-equivalent output, 1/10th the scoring
     val qv = queryPred.map(p => index.corpus.filter(p(col("id"))))
       .getOrElse(index.corpus)
+    ivfProbeNormed(index, qv, k, nprobe)
+  }
+
+  /** PROBE a trained [[IvfIndex]] with an EXTERNAL query set — the
+    * serving shape ([[ivfPqProbe]]'s contract brought to plain IVF):
+    * queries need not be corpus rows; they are normalized by the same
+    * [[normed]] pipeline and candidates come from the same cell
+    * equi-join. Self-exclusion is id-keyed exactly as in
+    * [[bruteForceTopKFor]] (a candidate carrying the query's own id
+    * never scores), so at nprobe = nlist the result is ROW-IDENTICAL
+    * to the exact brute force — the exactness contract PqOpsSpec pins.
+    */
+  def ivfProbeFor(index: IvfIndex, queries: DataFrame,
+                  qidCol: String, qvecCol: String,
+                  k: Int, nprobe: Int): DataFrame =
+    ivfProbeNormed(index, normed(queries, qidCol, qvecCol), k, nprobe)
+
+  /** Shared probe core over a pre-normalized (id, v, nrm) query frame. */
+  private def ivfProbeNormed(index: IvfIndex, qv: DataFrame,
+                             k: Int, nprobe: Int): DataFrame = {
     val queries = qv.select(col("id").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"),
         explode(graft.functions.NearestCells.probes(col("v"), index.kernel,

@@ -168,6 +168,27 @@ class PqOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfProbeFor at full probe is row-identical to the exact brute force") {
+    // the external-queries serving path: probing every cell scans every
+    // candidate, so the ONLY differences from bruteForceTopKFor could be
+    // normalization, scoring, self-exclusion, or tie-breaks — all four
+    // are contracted identical, so the rows must match bit-for-bit
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    val emb = (0L until 60L)
+      .map(i => (i, Seq.fill(8)(rng.nextDouble().toFloat)))
+      .toDF("vec_id", "embedding")
+    val ext = (100L until 110L)
+      .map(i => (i, Seq.fill(8)(rng.nextDouble().toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = S.ivfIndex(emb, "vec_id", "embedding", nlist = 4)
+    val ivf = S.ivfProbeFor(idx, ext, "vec_id", "embedding", k = 3, nprobe = 4)
+      .orderBy("qid", "rank").collect().toSeq
+    val bf = S.bruteForceTopKFor(ext, emb, "vec_id", "embedding", k = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(ivf.nonEmpty && ivf == bf)
+  }
+
   test("null vector elements fail loudly in every native kernel entry") {
     // ArrayData.toDoubleArray on UnsafeArrayData ignores the null
     // bitmap — without the Vec.dense guard a null element silently
