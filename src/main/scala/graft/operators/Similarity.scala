@@ -361,26 +361,74 @@ object Similarity {
               dim: Int, tables: Int = 8, bitsPerTable: Int = 8,
               seed: Long = 42L,
               queryPred: Option[Column => Column] = None): DataFrame = {
-    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
-      .withColumn("bks", hyperplaneBuckets(col("v"), dim, tables, bitsPerTable, seed))
-    val banded = v.select(col("id"),
-      posexplode(col("bks")).as(Seq("tbl", "bk")))
+    val idx = lshIndex(df, idCol, vecCol, dim, tables, bitsPerTable, seed)
     // queryPred restricts WHICH ids act as queries — applied BEFORE the
     // bucket join, because per-query results are independent: filtering
     // the query side first yields exactly the rows a post-filter on qid
     // would keep, without scoring (and per-query-top-k-shuffling) the
     // discarded 90% of queries first
-    val qBanded = queryPred.map(p => banded.filter(p(col("id")))).getOrElse(banded)
-    val cands = qBanded.as("l").join(banded.as("r"),
+    val qBanded = queryPred.map(p => idx.banded.filter(p(col("id"))))
+      .getOrElse(idx.banded)
+    lshProbeBanded(idx, qBanded, idx.slim, k)
+  }
+
+  /** A bucketed LSH index: the (id, table, bucket) band rows and the
+    * (id, v, nrm) corpus vectors, plus the hyperplane configuration —
+    * LSH is data-OBLIVIOUS (the hyperplanes are fixed by (dim, tables,
+    * bitsPerTable, seed), nothing trains), so the index is just the
+    * banded corpus, and any external query buckets itself with the
+    * same seeded kernel. Both DataFrames are lazy plans; persist
+    * `banded` when probing repeatedly.
+    */
+  case class LshIndex(banded: DataFrame, slim: DataFrame, dim: Int,
+                      tables: Int, bitsPerTable: Int, seed: Long)
+
+  /** INDEX half of [[lshTopK]] (the composed search is plan-identical
+    * to the previous monolith).
+    */
+  def lshIndex(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               tables: Int = 8, bitsPerTable: Int = 8,
+               seed: Long = 42L): LshIndex = {
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("bks", hyperplaneBuckets(col("v"), dim, tables, bitsPerTable, seed))
+    val banded = v.select(col("id"),
+      posexplode(col("bks")).as(Seq("tbl", "bk")))
+    LshIndex(banded, v.select(col("id"), col("v"), col("nrm")),
+      dim, tables, bitsPerTable, seed)
+  }
+
+  /** PROBE a bucketed [[LshIndex]] with an EXTERNAL query set — the
+    * serving shape, completing LSH's parity with [[ivfProbeFor]] /
+    * [[ivfPqProbe]] / [[pqSearch]]: queries bucket through the same
+    * seeded hyperplane kernel, candidates come from the same
+    * (table, bucket) equi-join, self-exclusion is id-keyed. With the
+    * corpus itself as the query set this is row-identical to
+    * [[lshTopK]] (PqOpsSpec pins it).
+    */
+  def lshProbeFor(index: LshIndex, queries: DataFrame,
+                  qidCol: String, qvecCol: String, k: Int): DataFrame = {
+    val qv = queries
+      .select(col(qidCol).as("id"), asDouble(col(qvecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("bks", hyperplaneBuckets(col("v"), index.dim,
+        index.tables, index.bitsPerTable, index.seed))
+    lshProbeBanded(index,
+      qv.select(col("id"), posexplode(col("bks")).as(Seq("tbl", "bk"))),
+      qv.select(col("id"), col("v"), col("nrm")), k)
+  }
+
+  /** Shared probe core over pre-banded queries and their vectors. */
+  private def lshProbeBanded(index: LshIndex, qBanded: DataFrame,
+                             qSlim: DataFrame, k: Int): DataFrame = {
+    val cands = qBanded.as("l").join(index.banded.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.bk") === col("r.bk") &&
           col("l.id") =!= col("r.id"))
       .select(col("l.id").as("qid"), col("r.id").as("nid"))
       .distinct()
-    val slim = v.select(col("id"), col("v"), col("nrm"))
     val scored = cands
-      .join(slim.as("q"), col("qid") === col("q.id")).drop("id")
-      .join(slim.as("c"), col("nid") === col("c.id")).drop("id")
+      .join(qSlim.as("q"), col("qid") === col("q.id")).drop("id")
+      .join(index.slim.as("c"), col("nid") === col("c.id")).drop("id")
       .select(col("qid"), col("nid"),
         simCol(col("q.v"), col("c.v"), col("q.nrm"), col("c.nrm")).as("sim"))
     topK(scored, Seq(("sim", true), ("nid", false)), k)

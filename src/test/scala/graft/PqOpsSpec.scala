@@ -189,6 +189,24 @@ class PqOpsSpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf == bf)
   }
 
+  test("lshIndex + lshProbeFor with the corpus as queries equals lshTopK") {
+    // LSH is data-oblivious: the index is just the banded corpus, so an
+    // external probe that buckets its queries through the same seeded
+    // kernel must reproduce the self-kNN path exactly when handed the
+    // corpus itself
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    val emb = (0L until 60L)
+      .map(i => (i, Seq.fill(8)(rng.nextDouble().toFloat)))
+      .toDF("vec_id", "embedding")
+    val idx = S.lshIndex(emb, "vec_id", "embedding", dim = 8)
+    val ext = S.lshProbeFor(idx, emb, "vec_id", "embedding", k = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    val self = S.lshTopK(emb, "vec_id", "embedding", k = 3, dim = 8)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(self.nonEmpty && ext == self)
+  }
+
   test("null vector elements fail loudly in every native kernel entry") {
     // ArrayData.toDoubleArray on UnsafeArrayData ignores the null
     // bitmap — without the Vec.dense guard a null element silently
