@@ -116,14 +116,22 @@ object AnnCalibrate {
     * raw vectors back on, score with the canonical cosine, keep the
     * top-k per query (sim desc, nid tie-break). The PQ/IVF-PQ recall
     * contracts measure CANDIDATE recall through exactly this re-rank.
+    *
+    * `querySrc` (optional): where the QUERY vectors live. Default —
+    * the corpus itself (self-kNN, every shipped oracle). An anchor
+    * over an EXTERNAL query workload passes its own query frame
+    * (same idCol/vecCol columns), since external qids are not corpus
+    * rows and a corpus lookup would silently drop them.
     */
   private[graft] def exactReRank(emb: DataFrame, idCol: String,
                                  vecCol: String, cand: DataFrame,
-                                 k: Int): DataFrame = {
+                                 k: Int,
+                                 querySrc: Option[DataFrame] = None): DataFrame = {
     val v = emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("emb"))
+    val qv = querySrc.getOrElse(emb)
+      .select(col(idCol).cast("long").as("q_vid"), col(vecCol).as("q_emb"))
     val scored = cand
-      .join(v.select(col("vid").as("q_vid"), col("emb").as("q_emb")),
-        col("qid") === col("q_vid"))
+      .join(qv, col("qid") === col("q_vid"))
       .join(v, col("id") === col("vid"))
       .select(col("qid"), col("id").as("nid"),
         Similarity.cosine(col("q_emb"), col("emb")).as("sim"))
@@ -143,6 +151,16 @@ object AnnCalibrate {
     * calibrate* self-computes when not given one. Self-computed anchors
     * are unpersisted internally; a caller-provided anchor stays the
     * caller's to free.
+    *
+    * The query rows need NOT be corpus rows: an anchor over an EXTERNAL
+    * query workload — `queries` = the workload frame (carrying the same
+    * idCol/vecCol columns), `bf` = `bruteForceTopKFor(workload, corpus,
+    * …)`, `n` = the CORPUS cardinality — calibrates the serving path.
+    * Every calibrate* probes AND re-ranks the anchor's own query rows
+    * (never a re-derived corpus sample, which would share no qids with
+    * an external anchor and silently measure recall 0); `sampleFrac` is
+    * then just the contract tag to repeat in the calibrate call.
+    * AnnCalibrateSpec pins the external path at its exactness points.
     */
   case class TopKAnchor(queries: DataFrame, bf: DataFrame, n: Long,
                         k: Int, sampleFrac: Double)
@@ -215,7 +233,8 @@ object AnnCalibrate {
           .ivfPqProbe(idx, queries, idCol, vecCol, candK, nprobe)
           .filter(col("qid") =!= col("id"))
         IvfPqCalibration(rho, gamma, nlist, nprobe, candK,
-          recallOf(bf, exactReRank(emb, idCol, vecCol, cand, k)))
+          recallOf(bf, exactReRank(emb, idCol, vecCol, cand, k,
+            querySrc = Some(queries))))
       }
       val rhos = dedupeAscending(rhoGrid, (r: Double) => AnnParams.nprobe(n, r))
       rhos.iterator.flatMap { case (rho, nprobe) =>
@@ -270,7 +289,8 @@ object AnnCalibrate {
           val cand = Similarity.pqSearch(enc, model, queries, idCol, vecCol, ck)
             .filter(col("qid") =!= col("id"))
           FlatPqCalibration(g, ck,
-            recallOf(bf, exactReRank(emb, idCol, vecCol, cand, k)))
+            recallOf(bf, exactReRank(emb, idCol, vecCol, cand, k,
+              querySrc = Some(queries))))
         }
         .find(_.recall >= recallTarget)
     } finally {
@@ -380,11 +400,14 @@ object AnnCalibrate {
     try {
       dedupeAscending(rhoGrid, (r: Double) => AnnParams.nprobe(n, r)).iterator
         .map { case (rho, nprobe) =>
-          // the SAME keep-decision as the anchor's hashSample
-          // (Sampling.samplePred — one definition, applied as the
-          // query-side predicate so unsampled queries never score)
-          val ivf = Similarity.ivfProbe(idx, k, nprobe,
-            queryPred = Some(Sampling.samplePred(sampleFrac)))
+          // probe the ANCHOR'S query rows (ivfProbeFor), exactly as the
+          // ivfpq/flat-PQ calibrations do — a queryPred re-derivation of
+          // the sample would silently measure the WRONG query set when a
+          // caller passes an anchor built over an external workload
+          // (zero qid overlap → recall 0 → None). For the self-sampled
+          // default the rows are the same corpus sample either way.
+          val ivf = Similarity.ivfProbeFor(idx, a.queries, idCol, vecCol,
+            k, nprobe)
           IvfCalibration(rho, nlist, nprobe, recallOf(bf, ivf))
         }
         .find(_.recall >= recallTarget)

@@ -161,6 +161,37 @@ class AnnCalibrateSpec extends SparkSpec {
       AnnCalibrate.calibrateIvfPq(tiny, "vec_id", "embedding", recallTarget = 0.8))
   }
 
+  test("an anchor over an EXTERNAL query workload calibrates the serving path") {
+    // qids disjoint from the corpus: shift a 50-query sample out of the
+    // id space. Both probe paths must measure THE ANCHOR'S queries — a
+    // re-derived corpus sample would share no qids with the anchor and
+    // read recall 0 everywhere. Exactness points make the pins sharp:
+    // plain IVF at rho = 1.0 probes every cell (exact), and IVF-PQ at
+    // (rho, gamma) = (1, 1) has candK = n (the candidate set is the
+    // whole corpus, the exact re-rank IS the brute force), so both must
+    // return recall exactly 1.0.
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.Similarity
+    val workload = emb.filter(col("vec_id") < 50)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val n = emb.count()
+    val bf = S.bruteForceTopKFor(workload, emb, "vec_id", "embedding",
+      k = 5, blocks = AnnParams.bruteBlocks(n)).persist()
+    val a = AnnCalibrate.TopKAnchor(workload, bf, n, 5, 0.1)
+    try {
+      val ivf = AnnCalibrate
+        .calibrateIvf(emb, "vec_id", "embedding", recallTarget = 1.0,
+          rhoGrid = Seq(1.0), anchor = Some(a))
+        .getOrElse(fail("full probe on an external workload must be exact"))
+      assert(ivf.recall === 1.0)
+      val pq = AnnCalibrate
+        .calibrateIvfPq(emb, "vec_id", "embedding", recallTarget = 1.0,
+          rhoGrid = Seq(1.0), gammaGrid = Seq(1.0), anchor = Some(a))
+        .getOrElse(fail("full-depth IVF-PQ on an external workload must be exact"))
+      assert(pq.recall === 1.0)
+    } finally bf.unpersist(blocking = false)
+  }
+
   test("an unreachable target returns None, not the closest miss") {
     assert(AnnCalibrate.calibrateIvfPq(emb, "vec_id", "embedding",
       recallTarget = 0.99, rhoGrid = Seq(0.2), gammaGrid = Seq(0.025)).isEmpty)
