@@ -340,6 +340,31 @@ object PipelineQueries {
       recallContract(bf, ivf)
     }),
 
+    // External-workload ANN serving (the production shape: queries are
+    // NOT corpus rows — Similarity.ivfProbeFor over a trained
+    // IvfIndex). Probed at FULL width (nprobe = nlist), so the result
+    // is EXACT by construction (every cell is scanned; PqOpsSpec pins
+    // full-probe ≡ brute force bit-for-bit) — which converts this row
+    // from a recall band into a deterministic cross-engine HASH of the
+    // whole serving plumbing: external-id normalization, cell
+    // equi-join, id-keyed self-exclusion, (sim desc, nid) tie-breaks,
+    // rank emission. The approximate operating points of the SAME path
+    // are gated by the recall-contract rows; the workload here is a
+    // modulo sample (not hashSample) because the oracle must replicate
+    // it in SQL, and its ids shift out of the corpus id space so no
+    // self-exclusion fires on either engine.
+    "q_ann_serve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val nlist = AnnParams.nlist(embCount(s, d))
+      val workload = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist)
+      Similarity.ivfProbeFor(idx, workload, "vec_id", "embedding",
+          k = 5, nprobe = nlist)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rank")
+    }),
+
     // PQ-ANN (the memory-scale third architecture: 8-byte product-
     // quantization codes + ADC scoring + EXACT re-rank of the candidate
     // list — Similarity.pqTrain/pqEncode/pqSearch). The query
@@ -860,6 +885,33 @@ object PipelineQueries {
                       i -> q.v[i] * c.v[i])), (a,b) -> a+b)
                   / (q.nrm * c.nrm) AS sim
            FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT qid, nid, sim,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY sim DESC, nid) AS rank
+           FROM pairs)
+         SELECT qid, rank, nid, round(sim, 6) AS sim
+         FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "q_ann_serve" ->
+      """WITH v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, v,
+                  sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm
+           FROM v),
+         w AS (
+           SELECT vec_id + 100000 AS qid, v, nrm
+           FROM n WHERE vec_id % 10 = 0),
+         pairs AS (
+           SELECT q.qid, c.vec_id AS nid,
+                  list_reduce(list_prepend(0.0,
+                    list_transform(generate_series(1, len(q.v)),
+                      i -> q.v[i] * c.v[i])), (a,b) -> a+b)
+                  / (q.nrm * c.nrm) AS sim
+           FROM w q CROSS JOIN n c),
          ranked AS (
            SELECT qid, nid, sim,
                   row_number() OVER (PARTITION BY qid
