@@ -171,6 +171,21 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(graft.operators.Graph.pageRankScores(emptyDocs, n = 5).count() === 0)
   }
 
+  test("external-query probes: empty workload in, empty result out") {
+    // the serving path's Tuesday case: an index exists, this batch of
+    // queries happens to be empty — total, never an error
+    import spark.implicits._
+    val corpus = (0L until 64L)
+      .map(i => (i, Seq.tabulate(8)(j => (i * 8 + j) / 512.0)))
+      .toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfIndex(corpus, "vec_id", "embedding", nlist = 2)
+    assert(Similarity.ivfProbeFor(ivf, emptyEmb, "vec_id", "embedding",
+      k = 3, nprobe = 2).count() === 0)
+    val lsh = Similarity.lshIndex(corpus, "vec_id", "embedding", dim = 8)
+    assert(Similarity.lshProbeFor(lsh, emptyEmb, "vec_id", "embedding",
+      k = 3).count() === 0)
+  }
+
   test("training operators refuse an empty corpus with a pointed message") {
     // IVF / SemDeDup / PQ must learn centroids or codebooks; empty
     // training data has no answer — the failure must say WHAT is empty,

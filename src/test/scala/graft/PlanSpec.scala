@@ -397,11 +397,20 @@ class PlanSpec extends SparkSpec {
         emb, "vec_id", "embedding", 0.45, nlist = 4),
       "lsh" -> graft.operators.Similarity.lshTopK(
         emb, "vec_id", "embedding", k = 5, dim = 64,
-        tables = 4, bitsPerTable = 4))
+        tables = 4, bitsPerTable = 4),
+      "serve" -> graft.operators.Similarity.ivfProbeFor(
+        graft.operators.Similarity.ivfIndex(
+          emb, "vec_id", "embedding", nlist = 4),
+        queries, "vec_id", "embedding", k = 5, nprobe = 2))
     for ((name, df) <- plans) {
       val p = df.queryExecution.sparkPlan.toString
       assert(!p.contains("ScalaUDF"),
         s"$name plan reintroduced a Scala UDF:\n${p.take(1500)}")
+      // the external-query serving path must stay a cell EQUI-join —
+      // a cartesian here would still produce the right rows while
+      // scanning every (query, vector) pair at any probe width
+      if (name == "serve")
+        assert(!p.contains("CartesianProduct"), p.take(1500))
     }
   }
 
