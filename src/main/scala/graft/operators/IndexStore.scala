@@ -27,6 +27,16 @@ import graft.functions.{IvfPqKernel, NearestCellsKernel, PqKernel}
   * and the load re-buckets in one scan — the same O(n) cost as
   * reading a pre-banded table, without storing `tables` band rows
   * per vector.
+  *
+  * Storage note: the IVF/LSH frames carry the ENGINE-FACING double
+  * vectors (what `normed`/`lshIndex` produced), so a float-sourced
+  * corpus stores at 2× its raw width. Narrowing back to float on save
+  * would be exact only when the source really was float — the index
+  * does not retain the source schema, and silently halving the
+  * precision of a genuinely-double corpus is the wrong default — so
+  * the doubles persist as-is; size-sensitive deployments should store
+  * the IVF-PQ index instead (its n-proportional part is (id, cell,
+  * 8-byte code) — no raw vectors at all, which is the point of PQ).
   */
 object IndexStore {
 
