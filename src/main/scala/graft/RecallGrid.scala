@@ -93,6 +93,18 @@ object RecallGrid {
         println(f"GRID pqflat $d candK=$ck " +
           f"recall=${candRecall(bf, emb, cand)}%.4f$mark")
       }
+      // LSH at the fraction-derived bits (AnnParams.lshBits) plus
+      // depth neighbors — data-oblivious, so each point is just a
+      // re-bucket + probe (no training to share)
+      val lshB = AnnParams.lshBits(n)
+      for (b <- Seq(lshB, lshB - 1, lshB + 1).distinct.filter(_ >= 1)) {
+        val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", k = 5,
+          dim = 64, tables = AnnParams.LshTables, bitsPerTable = b,
+          queryPred = Some(Sampling.samplePred(0.1)))
+        val mark = if (b == lshB) " <== derived" else ""
+        println(f"GRID lsh $d tables=${AnnParams.LshTables} bits=$b " +
+          f"recall=${topKRecall(bf, lsh)}%.4f$mark")
+      }
       // plain IVF (exact scoring inside probed cells — cell recall only):
       // derived point plus probe neighbors, trained ONCE via the
       // ivfIndex/ivfProbe split (same rationale as the ivfpq sweep).
@@ -108,6 +120,22 @@ object RecallGrid {
         println(f"GRID ivf $d nlist=$nlist nprobe=$np " +
           f"recall=${topKRecall(bf, ivf)}%.4f$mark")
       }
+      // external-workload serving at the derived approximate point
+      // (q_ann_serve_approx): the shifted modulo-10 workload probed
+      // against the SAME trained index, anchored by the exact brute
+      // force over the workload itself
+      val workload = PipelineQueries.serveWorkload(emb)
+      val sbf = Similarity.bruteForceTopKFor(workload, emb, "vec_id",
+        "embedding", k = 5, blocks = AnnParams.bruteBlocks(n)).cache()
+      sbf.count()
+      for (np <- Seq(ivfNprobe, ivfNprobe - 2, ivfNprobe + 2).distinct.filter(_ >= 1)) {
+        val ann = Similarity.ivfProbeFor(ivfIdx, workload, "vec_id",
+          "embedding", k = 5, nprobe = np)
+        val mark = if (np == ivfNprobe) " <== derived" else ""
+        println(f"GRID serve $d nlist=$nlist nprobe=$np " +
+          f"recall=${topKRecall(sbf, ann)}%.4f$mark")
+      }
+      sbf.unpersist()
       ivfIdx.assigned.unpersist()
       // SemDeDup pair recall vs the exact 0.45-threshold pairs, at the
       // cell-size-derived nlist plus neighbors
@@ -148,6 +176,12 @@ object RecallGrid {
         case Some(c) => println(f"CALIB ivf $d target=0.8 rho=${c.rho} " +
           f"nprobe=${c.nprobe} recall=${c.recall}%.4f")
         case None => println(s"CALIB ivf $d target=0.8 unreachable at grid max")
+      }
+      AnnCalibrate.calibrateLsh(emb, "vec_id", "embedding", recallTarget = 0.5,
+          anchor = tkAnchor) match {
+        case Some(c) => println(f"CALIB lsh $d target=0.5 frac=${c.candFrac} " +
+          f"tables=${c.tables} bits=${c.bits} recall=${c.recall}%.4f")
+        case None => println(s"CALIB lsh $d target=0.5 unreachable at grid max")
       }
       AnnCalibrate.calibrateFlatPq(emb, "vec_id", "embedding", recallTarget = 0.75,
           anchor = tkAnchor) match {

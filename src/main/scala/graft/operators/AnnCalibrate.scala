@@ -203,6 +203,22 @@ object AnnCalibrate {
       .groupBy(_._2).map { case (knob, fs) => (fs.map(_._1).min, knob) }
       .toSeq.sortBy(_._1)
 
+  /** The deduped ρ walk for [[calibrateIvfPq]]: ascending, keeping the
+    * smallest ρ per distinct (nprobe, deepest-derived-candK) PAIR — not
+    * per nprobe alone, because candK depends on ρ itself: when two ρs
+    * ceil-collapse to the same nprobe (small n), the larger ρ still
+    * derives a deeper γ grid, and deduping on nprobe alone would skip a
+    * same-probe-cost operating point that meets the target, returning a
+    * costlier rung (or None) against the documented smallest-(ρ, γ)
+    * contract. Rungs identical on BOTH derived knobs measure once.
+    */
+  private[graft] def ivfPqRhoRungs(n: Long, k: Int, rhoGrid: Seq[Double],
+                                   gammaGrid: Seq[Double]): Seq[(Double, Int)] =
+    dedupeAscending(rhoGrid, (r: Double) =>
+      (AnnParams.nprobe(n, r),
+        AnnParams.candK(n, k, probeFrac = r, candFrac = gammaGrid.max)))
+      .map { case (rho, (nprobe, _)) => (rho, nprobe) }
+
   /** Calibrate (ρ, γ) for [[Similarity.ivfPqSearch]]: the smallest
     * grid fractions whose measured candidate recall@k (after the exact
     * re-rank — the same quantity q_ann_ivfpq's oracle band pins) meets
@@ -236,7 +252,7 @@ object AnnCalibrate {
           recallOf(bf, exactReRank(emb, idCol, vecCol, cand, k,
             querySrc = Some(queries))))
       }
-      val rhos = dedupeAscending(rhoGrid, (r: Double) => AnnParams.nprobe(n, r))
+      val rhos = ivfPqRhoRungs(n, k, rhoGrid, gammaGrid)
       rhos.iterator.flatMap { case (rho, nprobe) =>
         // candK depends on ρ too — dedupe the γ grid PER RUNG (the
         // small-corpus floor collapses different γ sets at different ρ)
@@ -255,6 +271,68 @@ object AnnCalibrate {
       if (ownAnchor) bf.unpersist(blocking = false)
       idx.encoded.unpersist(blocking = false)
     }
+  }
+
+  /** One measured LSH operating point: the target candidate fraction,
+    * the bits-per-table it derives at this corpus's cardinality, and
+    * the recall@k measured against the exact anchor.
+    */
+  case class LshCalibration(candFrac: Double, tables: Int, bits: Int,
+                            recall: Double)
+
+  /** Candidate-fraction grid for [[calibrateLsh]]: brackets the
+    * grid-measured oracle point 0.5 from the cheap side (real
+    * clustered corpora prune far harder) up to the no-pruning rung.
+    * At [[AnnParams.LshTables]] = 16 these derive 9/8/7/6/5/4 bits.
+    */
+  val DefaultLshFracGrid: Seq[Double] = Seq(0.05, 0.1, 0.2, 0.25, 0.5, 1.0)
+
+  /** Calibrate the LSH candidate fraction ([[Similarity.lshTopK]]):
+    * the smallest grid fraction whose measured recall@k meets
+    * `recallTarget` — the completion of the family walk, landing the
+    * last ANN architecture on the same measure-don't-assume footing as
+    * ρ/γ. Each rung re-buckets the corpus at its derived bits (LSH has
+    * no training to reuse across depths: the hyperplane matrix is a
+    * pure function of (dim, tables, bits, seed), and different bits
+    * draw different planes — one narrow kernel pass per rung, the
+    * cheap half; the bucket join's cost is what the fraction governs,
+    * which is exactly why the walk goes cheapest-fraction-first).
+    * Unlike the γ walks there is no one-job upper-bound rejection:
+    * recall across bits depths is not formally monotone (the plane
+    * sets differ), so every rung is measured on its own.
+    */
+  def calibrateLsh(emb: DataFrame, idCol: String, vecCol: String,
+                   recallTarget: Double, k: Int = 5,
+                   sampleFrac: Double = 0.1,
+                   tables: Int = AnnParams.LshTables,
+                   fracGrid: Seq[Double] = DefaultLshFracGrid,
+                   seed: Long = 42L, knownDim: Option[Int] = None,
+                   anchor: Option[TopKAnchor] = None): Option[LshCalibration] = {
+    require(recallTarget > 0 && recallTarget <= 1,
+      s"recall target must be in (0, 1], got $recallTarget")
+    require(fracGrid.nonEmpty, "empty calibration grid")
+    val (a, ownAnchor) = resolveAnchor(anchor, emb, idCol, vecCol, k, sampleFrac)
+    // same dimensionality probe as pqTrain; ragged corpora still fail
+    // loudly in the hyperplane kernel
+    val dim = knownDim.getOrElse(
+      emb.select(size(col(vecCol))).head().getInt(0))
+    try {
+      dedupeAscending(fracGrid,
+          (f: Double) => AnnParams.lshBits(a.n, tables, f))
+        .iterator
+        .map { case (f, bits) =>
+          val idx = Similarity.lshIndex(emb, idCol, vecCol, dim, tables,
+            bits, seed)
+          // probe the ANCHOR'S query rows (the external-workload
+          // contract every calibrate* shares); self-exclusion is
+          // id-keyed, so a self-sampled anchor measures the same
+          // quantity as lshTopK with a queryPred (PqOpsSpec pins the
+          // two row-identical)
+          val ann = Similarity.lshProbeFor(idx, a.queries, idCol, vecCol, k)
+          LshCalibration(f, tables, bits, recallOf(a.bf, ann))
+        }
+        .find(_.recall >= recallTarget)
+    } finally if (ownAnchor) a.bf.unpersist(blocking = false)
   }
 
   /** One measured flat-ADC operating point (the whole corpus is the

@@ -79,6 +79,29 @@ object AnnParams {
     */
   val IvfProbeFrac = 0.46
 
+  /** Grid-measured LSH operating point for the near-random oracle
+    * corpus ([[Similarity.lshTopK]]): the table count and the target
+    * candidate FRACTION the hash space is sized for (see [[lshBits]] —
+    * at these values the rule derives the 5-bit tables the bands were
+    * measured at: recall@5 0.768/0.768/0.771 across the three testdata
+    * scales, ONE constant 0.7 band with ≥0.068 edge margin everywhere;
+    * the near-identical recall at n = 500 and n = 2000 is the
+    * fraction-invariance the rule exists for — the one-bit-deeper
+    * 0.25-fraction point measures 0.616/0.628/0.597, brushing a band
+    * edge at 0.003, and is what [[AnnCalibrate.calibrateLsh]] finds
+    * when a caller only needs the 0.5 floor). The fraction, not any
+    * bucket count, is the caller-owned cost/recall knob — the same
+    * contract as [[ProbeFrac]]: near-random data needs a coarse 0.5
+    * (hyperplane signs barely separate what isn't clustered);
+    * genuinely clustered corpora run far smaller fractions at the
+    * same recall.
+    */
+  val LshTables = 16
+  val LshCandFrac = 0.5
+
+  /** Bits-per-table ceiling: buckets pack into one long per table. */
+  val MaxLshBits = 62
+
   val MaxNlist = 65536
 
   /** Candidate-depth ceiling. The ∝n depth rule is the honest cost of
@@ -148,6 +171,20 @@ object AnnParams {
     else None
   }
 
+  private[graft] def lshClampMsg(n: Long, tables: Int,
+                                 targetCandFrac: Double): Option[String] = {
+    val want = lshBitsUnclamped(tables, targetCandFrac)
+    val occupancy = occupancyBits(n)
+    if (want > occupancy) Some(
+      s"AnnParams.lshBits: the fraction-derived depth $want bits exceeds the " +
+        s"occupancy bound ⌈log2(n)⌉ = $occupancy at n = $n — deeper tables " +
+        "shatter buckets below unit occupancy (pure recall loss, no further " +
+        "pruning), so the bound wins. Expected candidate fraction is " +
+        s"~$tables/2^$occupancy instead of the requested $targetCandFrac; " +
+        "at this corpus size consider the exact blocked paths instead.")
+    else None
+  }
+
   /** Random-co-cell baseline ≈ 1/nlist falls below this → the near-
     * background guidance message fires (see [[semDedupLowBandMsg]]).
     */
@@ -175,6 +212,61 @@ object AnnParams {
         "recall in that regime. Tight near-duplicates co-cluster and " +
         "are unaffected.")
     else None
+
+  // the 1e-9 guards exact powers of two from FP noise in log2 (e.g.
+  // log2(64) evaluating to 6.000000000000001 and ceiling to 7) — the
+  // same edge-guard recallContract's band bucketization uses
+  private def ceilLog2(x: Double): Long =
+    math.ceil(math.log(x) / math.log(2.0) - 1e-9).toLong
+
+  private def lshBitsUnclamped(tables: Int, targetCandFrac: Double): Int =
+    math.max(1L, ceilLog2(tables / targetCandFrac))
+      .min(MaxLshBits.toLong).toInt
+
+  private def occupancyBits(n: Long): Int =
+    math.max(1L, ceilLog2(n.toDouble)).min(MaxLshBits.toLong).toInt
+
+  /** Bits per LSH table ([[Similarity.lshTopK]] / lshIndex): the depth
+    * at which the hash space prunes candidates to a target FRACTION of
+    * the corpus — the rule that replaces the last fixed ANN constant
+    * (a hard-coded bitsPerTable is a FIXED 2^bits-bucket space per
+    * table; its per-pair collision probability is a constant, so the
+    * caller has no fraction-denominated knob and no derivation tying
+    * the operating point to a measurable invariant — the same defect
+    * class as the pre-derivation fixed nlist/candK).
+    *
+    * Derivation: under the idealized uniform-bucket model a random
+    * pair collides in one table w.p. 2^-bits, so the expected
+    * per-query candidate fraction across tables is ≤ tables·2^-bits
+    * (union bound). Setting that equal to the target fraction gives
+    * bits = ⌈log2(tables / targetCandFrac)⌉ — the candidate FRACTION,
+    * not count, is the invariant, exactly as candK derives from γ:
+    * holding the fraction fixed keeps recall constant as n grows,
+    * at the honest linear per-query cost every constant-recall
+    * architecture pays on near-random data (the IVF ρ contract). On
+    * real sign-LSH the per-bit agreement probability exceeds 1/2 for
+    * correlated data, so the REALIZED fraction is larger than the
+    * target — the target is the model-denominated knob whose realized
+    * value [[AnnCalibrate.calibrateLsh]] measures (the grid-measured
+    * default [[LshCandFrac]] = 0.5 at [[LshTables]] = 16 derives the
+    * 5-bit tables whose bands the q_ann_lsh oracle pins — the model
+    * happens to be honest on this near-orthogonal corpus).
+    *
+    * The n-derived bound: bits beyond ⌈log2(n)⌉ drop expected bucket
+    * occupancy below one vector — every further bit is pure recall
+    * loss with no pruning left to buy — so the occupancy bound wins
+    * (warning when it binds; monotone non-decreasing in n, so a
+    * growing corpus can only deepen its tables, never coarsen them).
+    */
+  def lshBits(n: Long, tables: Int = LshTables,
+              targetCandFrac: Double = LshCandFrac): Int = {
+    requirePositive(n)
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    require(targetCandFrac > 0 && targetCandFrac <= 1,
+      s"target candidate fraction must be in (0, 1], got $targetCandFrac")
+    lshClampMsg(n, tables, targetCandFrac).foreach(log.warn(_))
+    math.min(lshBitsUnclamped(tables, targetCandFrac), occupancyBits(n))
+  }
 
   /** Coarse-cell count: ⌈√n⌉ capped at [[MaxNlist]] (warns when the cap
     * binds — the regime change is silent otherwise).

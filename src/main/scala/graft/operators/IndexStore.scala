@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{IvfPqKernel, NearestCellsKernel, PqKernel}
 
@@ -13,13 +13,20 @@ import graft.functions.{IvfPqKernel, NearestCellsKernel, PqKernel}
   * untenable at corpus scale — so each index family splits into its
   * n-PROPORTIONAL part (the encoded/assigned corpus: ordinary parquet,
   * written cluster-parallel and partitionable like any table) and its
-  * DRIVER-SIZED quantizer state (nlist×dim centroids + m×codes×subDim
-  * codebooks, stored as one small parquet row of arrays).
+  * DRIVER-SIZED quantizer state. The quantizer is CHUNKED — one parquet
+  * row per centroid / codeword plus one small config row — never one
+  * row of nlist×dim flattened doubles: at the MaxNlist cap with
+  * realistic dims a single flat row is hundreds of MB, which is
+  * exactly where parquet row-group and driver single-row limits live.
+  * The load still collects driver-sized state (centroids ARE driver
+  * state, the canonical k-means exception), but no single row grows
+  * with nlist×dim, and every load re-checks completeness loudly
+  * (exact row count, no duplicate or out-of-range ids, exact dim).
   *
   * Doubles round-trip parquet bit-exactly (IEEE bits are stored, not
   * decimal renderings), so a LOADED index probes bit-identically to
   * the index that was saved — IndexStoreSpec pins the round-trip for
-  * all three families by comparing probe rows.
+  * all four families by comparing probe rows.
   *
   * LSH stores no quantizer at all: it is data-oblivious (the
   * hyperplanes are a pure function of (dim, tables, bitsPerTable,
@@ -35,42 +42,97 @@ import graft.functions.{IvfPqKernel, NearestCellsKernel, PqKernel}
   * does not retain the source schema, and silently halving the
   * precision of a genuinely-double corpus is the wrong default — so
   * the doubles persist as-is; size-sensitive deployments should store
-  * the IVF-PQ index instead (its n-proportional part is (id, cell,
-  * 8-byte code) — no raw vectors at all, which is the point of PQ).
+  * the PQ-coded families instead (their n-proportional part is
+  * (id, [cell,] code) — no raw vectors at all, which is the point
+  * of PQ).
   */
 object IndexStore {
+
+  // --------------------------------------------------------- chunk codecs
+
+  /** Write a centroid-major flat matrix as one row per centroid. */
+  private def saveChunked(spark: SparkSession, flat: Array[Double],
+                          dim: Int, path: String): Unit = {
+    import spark.implicits._
+    val rows = flat.length / dim
+    (0 until rows)
+      .map(c => (c, flat.slice(c * dim, (c + 1) * dim).toSeq))
+      .toDF("cid", "centroid")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Reassemble a chunked matrix, loudly checking completeness: exact
+    * row count, ids exactly 0 until expected (no duplicates, no gaps),
+    * every chunk exactly dim wide — a partial or doubled write must
+    * fail here, never probe with a wrong quantizer.
+    */
+  private def loadChunked(spark: SparkSession, path: String,
+                          expected: Int, dim: Int): Array[Double] = {
+    val rows = spark.read.parquet(path).collect()
+    require(rows.length == expected,
+      s"$path must hold exactly $expected centroid rows, found ${rows.length}")
+    val flat = new Array[Double](expected * dim)
+    val seen = new Array[Boolean](expected)
+    rows.foreach { r =>
+      val c = r.getInt(r.fieldIndex("cid"))
+      require(c >= 0 && c < expected && !seen(c),
+        s"$path: duplicate or out-of-range centroid id $c")
+      seen(c) = true
+      val v = r.getSeq[Double](r.fieldIndex("centroid"))
+      require(v.length == dim,
+        s"$path: centroid $c has ${v.length} components, expected $dim")
+      v.copyToArray(flat, c * dim)
+    }
+    flat
+  }
+
+  private def oneRow(spark: SparkSession, path: String): Row =
+    spark.read.parquet(path).collect() match {
+      case Array(row) => row
+      case rows => throw new IllegalArgumentException(
+        s"$path must hold exactly one configuration row, found ${rows.length}")
+    }
+
+  /** PQ codebooks chunk as one row per (subspace, code) under the
+    * composite id mi·codes + code — same completeness contract.
+    */
+  private def savePqBooks(spark: SparkSession, pq: PqKernel,
+                          path: String): Unit =
+    saveChunked(spark, pq.flat, pq.subDim, path)
+
+  private def loadPqKernel(spark: SparkSession, path: String,
+                           m: Int, subDim: Int, nCodes: Int): PqKernel =
+    new PqKernel(loadChunked(spark, path, m * nCodes, subDim),
+      m, subDim, nCodes)
 
   // ---------------------------------------------------------------- IVF-PQ
 
   /** Persist a trained [[Similarity.IvfPqIndex]] under `path`
-    * (`path/encoded` = the PQ-encoded corpus; `path/model` = one row
-    * of quantizer arrays).
+    * (`path/encoded` = the PQ-encoded corpus; `path/cells` /
+    * `path/codebook` = the chunked quantizers; `path/model` = one
+    * small config row).
     */
   def saveIvfPq(index: Similarity.IvfPqIndex, path: String): Unit = {
     val spark = index.encoded.sparkSession
     import spark.implicits._
     index.encoded.write.mode("overwrite").parquet(s"$path/encoded")
-    Seq((index.fused.cells.flat.toSeq, index.fused.cells.dim,
-        index.fused.pq.flat.toSeq, index.fused.pq.m,
-        index.fused.pq.subDim, index.fused.pq.nCodes, index.codes))
-      .toDF("cells_flat", "cells_dim", "pq_flat", "pq_m", "pq_subdim",
-        "pq_ncodes", "codes")
+    val (cells, pq) = (index.fused.cells, index.fused.pq)
+    saveChunked(spark, cells.flat, cells.dim, s"$path/cells")
+    savePqBooks(spark, pq, s"$path/codebook")
+    Seq((cells.flat.length / cells.dim, cells.dim, pq.m, pq.subDim,
+        pq.nCodes, index.codes))
+      .toDF("nlist", "cells_dim", "pq_m", "pq_subdim", "pq_ncodes", "codes")
       .write.mode("overwrite").parquet(s"$path/model")
   }
 
   def loadIvfPq(spark: SparkSession, path: String): Similarity.IvfPqIndex = {
-    val m = spark.read.parquet(s"$path/model").collect() match {
-      case Array(row) => row
-      case rows => throw new IllegalArgumentException(
-        s"$path/model must hold exactly one quantizer row, found ${rows.length}")
-    }
+    val m = oneRow(spark, s"$path/model")
+    val dim = m.getInt(m.fieldIndex("cells_dim"))
     val cells = new NearestCellsKernel(
-      m.getSeq[Double](m.fieldIndex("cells_flat")).toArray,
-      m.getInt(m.fieldIndex("cells_dim")))
-    val pq = new PqKernel(
-      m.getSeq[Double](m.fieldIndex("pq_flat")).toArray,
-      m.getInt(m.fieldIndex("pq_m")),
-      m.getInt(m.fieldIndex("pq_subdim")),
+      loadChunked(spark, s"$path/cells",
+        m.getInt(m.fieldIndex("nlist")), dim), dim)
+    val pq = loadPqKernel(spark, s"$path/codebook",
+      m.getInt(m.fieldIndex("pq_m")), m.getInt(m.fieldIndex("pq_subdim")),
       m.getInt(m.fieldIndex("pq_ncodes")))
     Similarity.IvfPqIndex(spark.read.parquet(s"$path/encoded"),
       new IvfPqKernel(cells, pq), m.getInt(m.fieldIndex("codes")))
@@ -80,32 +142,63 @@ object IndexStore {
 
   /** Persist a trained [[Similarity.IvfIndex]] under `path`
     * (`path/assigned` = the cell-assigned normalized corpus;
-    * `path/model` = one row of centroid state). The normalized corpus
-    * itself is NOT stored twice: `assigned` carries (nid, nv, nnrm,
-    * cell) and the self-kNN query side reconstructs from it by rename.
+    * `path/cells` = the chunked centroid state; `path/model` = one
+    * config row). The normalized corpus itself is NOT stored twice:
+    * `assigned` carries (nid, nv, nnrm, cell) and the self-kNN query
+    * side reconstructs from it by rename.
     */
   def saveIvf(index: Similarity.IvfIndex, path: String): Unit = {
     val spark = index.assigned.sparkSession
     import spark.implicits._
     index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
-    Seq((index.kernel.flat.toSeq, index.kernel.dim))
-      .toDF("cells_flat", "cells_dim")
+    saveChunked(spark, index.kernel.flat, index.kernel.dim, s"$path/cells")
+    Seq((index.kernel.flat.length / index.kernel.dim, index.kernel.dim))
+      .toDF("nlist", "cells_dim")
       .write.mode("overwrite").parquet(s"$path/model")
   }
 
   def loadIvf(spark: SparkSession, path: String): Similarity.IvfIndex = {
-    val m = spark.read.parquet(s"$path/model").collect() match {
-      case Array(row) => row
-      case rows => throw new IllegalArgumentException(
-        s"$path/model must hold exactly one centroid row, found ${rows.length}")
-    }
+    val m = oneRow(spark, s"$path/model")
+    val dim = m.getInt(m.fieldIndex("cells_dim"))
     val assigned = spark.read.parquet(s"$path/assigned")
     val corpus = assigned.select(col("nid").as("id"), col("nv").as("v"),
       col("nnrm").as("nrm"))
     Similarity.IvfIndex(assigned, corpus,
       new NearestCellsKernel(
-        m.getSeq[Double](m.fieldIndex("cells_flat")).toArray,
-        m.getInt(m.fieldIndex("cells_dim"))))
+        loadChunked(spark, s"$path/cells",
+          m.getInt(m.fieldIndex("nlist")), dim), dim))
+  }
+
+  // ---------------------------------------------------------------- flat PQ
+
+  /** Persist a flat-ADC index — the encoded corpus plus its
+    * [[Similarity.PQModel]] — under `path` (`path/encoded`,
+    * `path/codebook`, `path/model`). The one family that previously
+    * retrained per serving job; [[Similarity.pqSearch]] takes the
+    * loaded pair directly.
+    */
+  def savePq(encoded: DataFrame, model: Similarity.PQModel,
+             path: String): Unit = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    encoded.write.mode("overwrite").parquet(s"$path/encoded")
+    savePqBooks(spark, graft.functions.PqOps.kernel(model.codebooks),
+      s"$path/codebook")
+    Seq((model.m, model.subDim, model.codebooks(0).length))
+      .toDF("pq_m", "pq_subdim", "pq_ncodes")
+      .write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  def loadPq(spark: SparkSession,
+             path: String): (DataFrame, Similarity.PQModel) = {
+    val m = oneRow(spark, s"$path/model")
+    val (pm, subDim, nCodes) = (m.getInt(m.fieldIndex("pq_m")),
+      m.getInt(m.fieldIndex("pq_subdim")), m.getInt(m.fieldIndex("pq_ncodes")))
+    val flat = loadChunked(spark, s"$path/codebook", pm * nCodes, subDim)
+    val books = Array.tabulate(pm, nCodes)((mi, c) =>
+      flat.slice((mi * nCodes + c) * subDim, (mi * nCodes + c + 1) * subDim))
+    (spark.read.parquet(s"$path/encoded"),
+      Similarity.PQModel(pm, subDim, books))
   }
 
   // ------------------------------------------------------------------ LSH
@@ -126,11 +219,7 @@ object IndexStore {
   }
 
   def loadLsh(spark: SparkSession, path: String): Similarity.LshIndex = {
-    val m = spark.read.parquet(s"$path/model").collect() match {
-      case Array(row) => row
-      case rows => throw new IllegalArgumentException(
-        s"$path/model must hold exactly one configuration row, found ${rows.length}")
-    }
+    val m = oneRow(spark, s"$path/model")
     Similarity.lshIndex(spark.read.parquet(s"$path/corpus"), "id", "v",
       dim = m.getInt(m.fieldIndex("dim")),
       tables = m.getInt(m.fieldIndex("tables")),

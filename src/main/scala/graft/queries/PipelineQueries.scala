@@ -55,16 +55,35 @@ object PipelineQueries {
     * removing one count job from each of the six n-derived queries
     * after the first.
     */
-  private val embCountCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Long]
-  private def embCount(s: SparkSession, d: String): Long =
-    embCountCache.getOrElseUpdate((System.identityHashCode(s), d),
-      Tables.embeddings(s, d).count())
+  /** Per-session memo keyed on the SESSION OBJECT itself (a weak map —
+    * identity semantics without pinning closed sessions in memory, and
+    * without the identity-HASH collision a hashCode key admits: two
+    * sessions in one JVM can share a hash and would then share a
+    * cache slot). Caveat both caches inherit: regenerating the data
+    * under the same sfDir within one session serves the stale memo —
+    * the deal every memo makes; use a fresh session per data epoch.
+    */
+  private final class PerSession[V] {
+    private val m = new java.util.WeakHashMap[
+      SparkSession, scala.collection.concurrent.TrieMap[String, V]]
+    def get(s: SparkSession, d: String)(compute: => V): V =
+      m.synchronized {
+        var inner = m.get(s)
+        if (inner == null) {
+          inner = scala.collection.concurrent.TrieMap.empty[String, V]
+          m.put(s, inner)
+        }
+        inner
+      }.getOrElseUpdate(d, compute)
+  }
 
-  private val bfAnchorCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val embCountCache = new PerSession[Long]
+  private def embCount(s: SparkSession, d: String): Long =
+    embCountCache.get(s, d)(Tables.embeddings(s, d).count())
+
+  private val bfAnchorCache = new PerSession[DataFrame]
   private def bfAnchor(s: SparkSession, d: String): DataFrame =
-    bfAnchorCache.getOrElseUpdate((System.identityHashCode(s), d), {
+    bfAnchorCache.get(s, d) {
       val emb = Tables.embeddings(s, d)
       val sampleQ = Sampling.hashSample(emb, "vec_id", 0.1)
       // blocks derived from the candidate-side cardinality (the audit
@@ -76,7 +95,22 @@ object PipelineQueries {
         .persist()
       bf.count()
       bf
-    })
+    }
+
+  /** The shared external serving workload for the q_ann_serve* rows:
+    * every 10th corpus vector with its id shifted out of the corpus id
+    * space by max(vec_id)+1. The shift is derived IN-PLAN (the
+    * broadcast-1-row scalar-join pattern) so qid/corpus-id
+    * disjointness holds at ANY scale — a fixed shift constant
+    * silently collides with the corpus id space the first time a
+    * scale's ids outgrow it, firing Spark's id-keyed self-exclusion
+    * on pairs the oracle keeps. Modulo-sampled (not hashSample)
+    * because the DuckDB oracle replicates the same rows in SQL.
+    */
+  private[graft] def serveWorkload(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 10 === 0)
+      .crossJoin(broadcast(emb.agg((max(col("vec_id")) + 1L).as("shift"))))
+      .select((col("vec_id") + col("shift")).as("vec_id"), col("embedding"))
 
   /** Shared recall-contract projection for the ANN rows: recall@5 of the
     * ANN result vs the exact brute-force anchor on the sampled queries,
@@ -287,12 +321,24 @@ object PipelineQueries {
     // expected constants. recall_band = recall@5 bucketized to 0.1, so
     // the hash pins the ACHIEVED band, not just a boolean: any parameter
     // or code drift that moves recall across a 0.1 boundary turns the row
-    // red. Parameters (16 tables × 6 bits: these near-random embeddings —
-    // max pairwise cos ≈ 0.51 — need coarse buckets) were grid-measured:
-    // recall@5 = 0.616 at sf0.001 / 0.628 at sf0.01 → band 0.6, and
-    // band 0.5 at sf0.1 (2000 vectors) — all above the 0.5 floor, with
-    // a candidate set ≈25% of the corpus; the oracle CASEs the expected
-    // band on corpus cardinality.
+    // red. The operating point derives from corpus cardinality like
+    // every other ANN knob (AnnParams.lshBits): bits =
+    // ⌈log2(tables/frac)⌉ sizes the hash space so the expected
+    // candidate FRACTION — not any bucket count — is the invariant,
+    // under an ⌈log2(n)⌉ occupancy bound. At the grid-measured point
+    // (LshTables = 16, LshCandFrac = 0.5: these near-random
+    // embeddings — max pairwise cos ≈ 0.51 — need coarse buckets) the
+    // rule derives 5-bit tables at every tested cardinality, the
+    // configuration the bands were measured at: recall@5 = 0.768 at
+    // sf0.001 / 0.768 at sf0.01 / 0.771 at sf0.1 — ONE constant 0.7
+    // band with ≥0.068 edge margin at every scale, and the
+    // near-identical recall at n = 500 and n = 2000 is the
+    // fraction-invariance the derivation exists for (the one-bit-
+    // deeper 0.25-fraction point reads 0.616/0.628/0.597 — a 0.003
+    // band-edge brush at sf0.1 — and is what calibrateLsh returns
+    // when the caller only needs the 0.5 floor). Re-measure with
+    // RecallGrid before touching AnnParams.lshBits or the
+    // hyperplane kernel.
     // Recall is audited on a DETERMINISTIC 10% query sample
     // (Sampling.hashSample) — the 100 TB shape: the exact anchor is
     // affordable for a sample of queries against ALL candidates, never
@@ -305,8 +351,10 @@ object PipelineQueries {
       // per-query results are independent, so the rows are identical,
       // but the discarded 90% of queries never pay candidate scoring or
       // the per-query top-k exchange
+      val n = embCount(s, d)
       val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
-          k = 5, dim = 64, tables = 16, bitsPerTable = 6,
+          k = 5, dim = 64, tables = AnnParams.LshTables,
+          bitsPerTable = AnnParams.lshBits(n),
           queryPred = Some(Sampling.samplePred(0.1)))
       val bf = bfAnchor(s, d)
       recallContract(bf, lsh)
@@ -351,18 +399,53 @@ object PipelineQueries {
     // rank emission. The approximate operating points of the SAME path
     // are gated by the recall-contract rows; the workload here is a
     // modulo sample (not hashSample) because the oracle must replicate
-    // it in SQL, and its ids shift out of the corpus id space so no
-    // self-exclusion fires on either engine.
+    // it in SQL, and its ids shift out of the corpus id space — BY
+    // max(vec_id)+1, derived in-plan on both engines (a fixed shift
+    // constant silently collides with the corpus id space the first
+    // time a scale's ids outgrow it, firing Spark's id-keyed
+    // self-exclusion while the oracle keeps the pair), via the
+    // broadcast-1-row scalar-join pattern — so no self-exclusion
+    // fires on either engine at ANY scale.
     "q_ann_serve" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val nlist = AnnParams.nlist(embCount(s, d))
-      val workload = emb.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist)
-      Similarity.ivfProbeFor(idx, workload, "vec_id", "embedding",
+      Similarity.ivfProbeFor(idx, serveWorkload(emb), "vec_id", "embedding",
           k = 5, nprobe = nlist)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rank")
+    }),
+
+    // External-workload serving at the APPROXIMATE operating point —
+    // the regime a deployment actually runs (q_ann_serve gates the
+    // serving plumbing exactly at full probe width; this row gates the
+    // same path at the DERIVED (nlist, nprobe) the q_ann_ivf fraction
+    // produces, under the recall-contract oracle). The anchor is the
+    // exact brute force over the SAME external workload
+    // (bruteForceTopKFor — each shifted query's nearest corpus row is
+    // its own unshifted copy at cos 1.0, found whenever its home cell
+    // is probed, which is probe rank 1 by construction; the remaining
+    // ranks measure ordinary cell recall). Grid-measured recall@5 at
+    // the derived points (RecallGrid GRID serve lines): 0.896 at
+    // sf0.001 / 0.884 at sf0.01 / 0.895 at sf0.1 — one constant 0.8
+    // band. sf0.001/sf0.1 sit 0.004-0.005 under the UPPER band edge;
+    // that distance binds only under deliberate code change (these
+    // measurements replicate bit-identically run-over-run — keyed
+    // workload, deterministic training, fixed IEEE fold order — and
+    // any ANN change already mandates a RecallGrid re-measure with
+    // lockstep band moves), and an upward flip is the contract
+    // WORKING: the hash pins the achieved band in both directions.
+    "q_ann_serve_approx" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = embCount(s, d)
+      val workload = serveWorkload(emb)
+      val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",
+        AnnParams.nlist(n))
+      val ann = Similarity.ivfProbeFor(idx, workload, "vec_id", "embedding",
+        k = 5, nprobe = AnnParams.nprobe(n, AnnParams.IvfProbeFrac))
+      val bf = Similarity.bruteForceTopKFor(workload, emb, "vec_id",
+        "embedding", k = 5, blocks = AnnParams.bruteBlocks(n))
+      recallContract(bf, ann)
     }),
 
     // PQ-ANN (the memory-scale third architecture: 8-byte product-
@@ -848,8 +931,7 @@ object PipelineQueries {
     // and the ≥0.5 floor.
     "q_ann_lsh" ->
       """SELECT count(*) AS n_queries,
-                CAST(CASE WHEN (SELECT count(*) FROM embeddings) >= 2000
-                     THEN 0.5 ELSE 0.6 END AS DOUBLE) AS recall_band,
+                CAST(0.7 AS DOUBLE) AS recall_band,
                 true AS recall_ok FROM embeddings
          WHERE (CAST(vec_id AS HUGEINT) * 2654435761) % 4294967296 < 429496729""",
     "q_ann_ivf" ->
@@ -892,6 +974,11 @@ object PipelineQueries {
            FROM pairs)
          SELECT qid, rank, nid, round(sim, 6) AS sim
          FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "q_ann_serve_approx" ->
+      """SELECT count(*) AS n_queries,
+                CAST(0.8 AS DOUBLE) AS recall_band,
+                true AS recall_ok FROM embeddings
+         WHERE vec_id % 10 = 0""",
     "q_ann_serve" ->
       """WITH v AS (
            SELECT vec_id,
@@ -903,7 +990,8 @@ object PipelineQueries {
                     list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm
            FROM v),
          w AS (
-           SELECT vec_id + 100000 AS qid, v, nrm
+           SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS qid,
+                  v, nrm
            FROM n WHERE vec_id % 10 = 0),
          pairs AS (
            SELECT q.qid, c.vec_id AS nid,

@@ -192,6 +192,79 @@ class AnnCalibrateSpec extends SparkSpec {
     } finally bf.unpersist(blocking = false)
   }
 
+  test("lsh calibration walks fractions cheapest-first and brackets the default") {
+    // grid-measured at n = 500 (RecallGrid): bits 6 (frac 0.25) reads
+    // 0.616, bits 5 (frac 0.5, the shipped LshCandFrac default) reads
+    // 0.768. A caller needing only the 0.5 floor gets the CHEAPER
+    // 0.25-fraction point — one bit deeper than the default, half the
+    // expected candidates; the default's own 0.7-band regime needs the
+    // full 0.5 fraction. Both pins move only with RecallGrid.
+    val cheap = AnnCalibrate
+      .calibrateLsh(emb, "vec_id", "embedding", recallTarget = 0.5)
+      .getOrElse(fail("target 0.5 must be reachable on the oracle corpus"))
+    assert(cheap.candFrac === 0.25 && cheap.bits === 6)
+    assert(cheap.recall === 0.616)
+    val deep = AnnCalibrate
+      .calibrateLsh(emb, "vec_id", "embedding", recallTarget = 0.7)
+      .getOrElse(fail("target 0.7 must be reachable at the shipped default"))
+    assert(deep.candFrac === AnnParams.LshCandFrac && deep.bits === 5)
+    assert(deep.recall === 0.768)
+    assert(deep.bits === AnnParams.lshBits(500),
+      "the 0.7-target rung must be the operating point q_ann_lsh ships")
+  }
+
+  test("rho rungs dedupe by (nprobe, deepest candK), never by nprobe alone") {
+    // n = 500 → nlist 23: rho 0.5 and 0.52 both ceil to nprobe 12, but
+    // their deepest gamma = 0.4 depths differ (100 vs 104) — deduping
+    // on nprobe alone would silently drop the deeper same-probe-cost
+    // rung (the smallest-(rho, gamma) contract violation)
+    val kept = AnnCalibrate.ivfPqRhoRungs(500L, 5,
+      rhoGrid = Seq(0.5, 0.52), gammaGrid = Seq(0.4))
+    assert(kept === Seq((0.5, 12), (0.52, 12)))
+    // when BOTH derived knobs collapse (every depth under the
+    // small-corpus floor), identical-cost rungs measure once,
+    // attributed to the cheapest fraction
+    val collapsed = AnnCalibrate.ivfPqRhoRungs(500L, 5,
+      rhoGrid = Seq(0.5, 0.52), gammaGrid = Seq(0.025))
+    assert(collapsed === Seq((0.5, 12)))
+  }
+
+  test("calibrated fractions fed back through AnnParams reproduce the target end-to-end") {
+    // THE deployment contract: calibrate once, then derive every
+    // absolute knob from the returned fractions via AnnParams at query
+    // time. The derivations must agree with what calibration measured,
+    // and a probe run at the derived point must meet the target ON THE
+    // SAME anchor — each half was pinned separately before; this is
+    // the composed guarantee a serving deployment actually relies on.
+    import org.apache.spark.sql.functions._
+    val S = graft.operators.Similarity
+    val a = AnnCalibrate.anchorFor(emb, "vec_id", "embedding")
+    try {
+      val c = AnnCalibrate
+        .calibrateIvfPq(emb, "vec_id", "embedding", recallTarget = 0.8,
+          anchor = Some(a))
+        .getOrElse(fail("target 0.8 must be reachable on the oracle corpus"))
+      // the fractions re-derive exactly the knobs calibration measured
+      assert(AnnParams.nprobe(a.n, c.rho) === c.nprobe)
+      assert(AnnParams.candK(a.n, 5, probeFrac = c.rho, candFrac = c.gamma)
+        === c.candK)
+      // ...and an independently trained probe at that derived point
+      // meets the target on the same anchor (deterministic training:
+      // this is the exact serving configuration)
+      val idx = S.ivfPqIndex(emb, "vec_id", "embedding",
+        AnnParams.nlist(a.n), m = 8, codes = 64)
+      val cand = S.ivfPqProbe(idx, a.queries, "vec_id", "embedding",
+          AnnParams.candK(a.n, 5, probeFrac = c.rho, candFrac = c.gamma),
+          AnnParams.nprobe(a.n, c.rho))
+        .filter(col("qid") =!= col("id"))
+      val r = AnnCalibrate.recallOf(a.bf,
+        AnnCalibrate.exactReRank(emb, "vec_id", "embedding", cand, 5,
+          querySrc = Some(a.queries)))
+      assert(r === c.recall, "the derived point must replay the measured recall")
+      assert(r >= 0.8)
+    } finally a.bf.unpersist(blocking = false)
+  }
+
   test("an unreachable target returns None, not the closest miss") {
     assert(AnnCalibrate.calibrateIvfPq(emb, "vec_id", "embedding",
       recallTarget = 0.99, rhoGrid = Seq(0.2), gammaGrid = Seq(0.025)).isEmpty)

@@ -33,8 +33,43 @@ class AnnParamsSpec extends AnyFunSuite {
         s"semDedupNlist at $n1 vs $n2")
       assert(AnnParams.bruteBlocks(n1) <= AnnParams.bruteBlocks(n2),
         s"bruteBlocks at $n1 vs $n2")
+      assert(AnnParams.lshBits(n1) <= AnnParams.lshBits(n2),
+        s"lshBits at $n1 vs $n2")
     case _ => ()
     }
+  }
+
+  test("lshBits derives the hash depth from the target candidate fraction") {
+    // the grid-measured operating point (tables = 16, frac = 0.5)
+    // derives exactly the 5-bit tables the q_ann_lsh bands were
+    // measured at, at every tested cardinality — rule and bands pinned
+    // together, the same contract as the (nlist, nprobe, candK) pins
+    assert(AnnParams.lshBits(500) === 5)
+    assert(AnnParams.lshBits(2000) === 5)
+    assert(AnnParams.lshBits(100000000000L) === 5)
+    // fraction-denominated: halving the target fraction buys one bit
+    assert(AnnParams.lshBits(2000, 16, 0.25) === 6)
+    assert(AnnParams.lshBits(2000, 16, 1.0) === 4)
+    // more tables at a fixed fraction need a finer space per table
+    assert(AnnParams.lshBits(2000, 32, 0.5) === 6)
+    // exact power-of-two ratios sit ON the boundary, not past it (the
+    // FP log2 guard: 16/0.25 = 64 must read as 6 bits, never 7)
+    assert(AnnParams.lshBits(1L << 40, 8, 0.125) === 6)
+    // occupancy bound: bits beyond ⌈log2(n)⌉ shatter buckets below one
+    // vector each — the n-derived clamp wins on tiny corpora
+    assert(AnnParams.lshBits(8, 16, 0.25) === 3)
+    assert(AnnParams.lshBits(1) === 1)
+    // ...and the clamp message fires exactly when the bound binds
+    assert(AnnParams.lshClampMsg(8, 16, 0.25).nonEmpty)
+    assert(AnnParams.lshClampMsg(64, 16, 0.25).isEmpty)
+    assert(AnnParams.lshClampMsg(500, 16, 0.25).isEmpty)
+    // degenerate inputs are loud
+    intercept[IllegalArgumentException](AnnParams.lshBits(0))
+    intercept[IllegalArgumentException](AnnParams.lshBits(100, tables = 0))
+    intercept[IllegalArgumentException](
+      AnnParams.lshBits(100, targetCandFrac = 0.0))
+    intercept[IllegalArgumentException](
+      AnnParams.lshBits(100, targetCandFrac = 1.5))
   }
 
   test("clamps and floors bind where documented") {

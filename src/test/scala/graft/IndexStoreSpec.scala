@@ -75,6 +75,30 @@ class IndexStoreSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("flat-PQ index round-trips: loaded (encoded, model) probe rows == original") {
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 4, codes = 16)
+    val encoded = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+    val p = freshDir("idx-pq")
+    IndexStore.savePq(encoded, model, p)
+    val (encL, modelL) = IndexStore.loadPq(spark, p)
+    // the codebooks themselves round-trip bit-exactly...
+    assert(modelL.m == model.m && modelL.subDim == model.subDim)
+    assert(modelL.codebooks.flatten.flatten.toSeq ==
+      model.codebooks.flatten.flatten.toSeq)
+    // ...and so do the probe rows, for both query shapes
+    val a = Similarity.pqSearch(encoded, model, ext, "vec_id", "embedding",
+        k = 5).orderBy("qid", "rank").collect().toSeq
+    val b = Similarity.pqSearch(encL, modelL, ext, "vec_id", "embedding",
+        k = 5).orderBy("qid", "rank").collect().toSeq
+    assert(a.nonEmpty && a == b)
+    val c = Similarity.pqSearch(encoded, model, emb, "vec_id", "embedding",
+        k = 5).orderBy("qid", "rank").collect().toSeq
+    val d = Similarity.pqSearch(encL, modelL, emb, "vec_id", "embedding",
+        k = 5).orderBy("qid", "rank").collect().toSeq
+    assert(c.nonEmpty && c == d)
+  }
+
   test("a corrupted model dir fails loudly, not with a wrong index") {
     import spark.implicits._
     val p = freshDir("idx-bad")
@@ -82,5 +106,46 @@ class IndexStoreSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$p/model")
     val e = intercept[IllegalArgumentException](IndexStore.loadLsh(spark, p))
     assert(e.getMessage.contains("exactly one"))
+  }
+
+  test("a corrupted centroid chunk fails loudly: missing, duplicated, or ragged rows") {
+    import org.apache.spark.sql.functions.{col, expr, when}
+    val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 8)
+    val p = freshDir("idx-chunk")
+    IndexStore.saveIvf(idx, p)
+    val good = spark.read.parquet(s"$p/cells")
+    // a lost row (partial write) can never load as a smaller quantizer
+    good.filter(col("cid") =!= 3).write.mode("overwrite")
+      .parquet(s"$p-missing/cells")
+    spark.read.parquet(s"$p/model").write.mode("overwrite")
+      .parquet(s"$p-missing/model")
+    spark.read.parquet(s"$p/assigned").write.mode("overwrite")
+      .parquet(s"$p-missing/assigned")
+    val miss = intercept[IllegalArgumentException](
+      IndexStore.loadIvf(spark, s"$p-missing"))
+    assert(miss.getMessage.contains("exactly 8"))
+    // a doubled write (same count, duplicate ids) is caught by the id
+    // check, not silently resolved by picking one of the copies
+    good.filter(col("cid") < 4)
+      .union(good.filter(col("cid") < 4))
+      .write.mode("overwrite").parquet(s"$p-dup/cells")
+    spark.read.parquet(s"$p/model").write.mode("overwrite")
+      .parquet(s"$p-dup/model")
+    spark.read.parquet(s"$p/assigned").write.mode("overwrite")
+      .parquet(s"$p-dup/assigned")
+    val dup = intercept[IllegalArgumentException](
+      IndexStore.loadIvf(spark, s"$p-dup"))
+    assert(dup.getMessage.contains("duplicate or out-of-range"))
+    // a ragged centroid (wrong dim) is caught per chunk
+    good.select(col("cid"), when(col("cid") === 2,
+        expr("slice(centroid, 1, 5)")).otherwise(col("centroid")).as("centroid"))
+      .write.mode("overwrite").parquet(s"$p-ragged/cells")
+    spark.read.parquet(s"$p/model").write.mode("overwrite")
+      .parquet(s"$p-ragged/model")
+    spark.read.parquet(s"$p/assigned").write.mode("overwrite")
+      .parquet(s"$p-ragged/assigned")
+    val rag = intercept[IllegalArgumentException](
+      IndexStore.loadIvf(spark, s"$p-ragged"))
+    assert(rag.getMessage.contains("components"))
   }
 }
