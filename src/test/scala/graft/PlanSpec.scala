@@ -412,6 +412,19 @@ class PlanSpec extends SparkSpec {
       if (name == "serve")
         assert(!p.contains("CartesianProduct"), p.take(1500))
     }
+    // the shipped serving ROWS carry one more plan ingredient the
+    // operator-level pins above don't see: the workload id shift is
+    // derived in-plan from max(vec_id)+1 via a broadcast ONE-ROW
+    // scalar join — that must stay a BroadcastNestedLoopJoin of a
+    // 1-row aggregate, never widen into a cartesian, and the whole
+    // row must stay UDF-free
+    for (q <- Seq("q_ann_serve", "q_ann_serve_approx")) {
+      val p = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1500)}")
+      assert(!p.contains("ScalaUDF"), s"$q:\n${p.take(1500)}")
+      assert(p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(1500)}")
+    }
   }
 
   test("flat-ADC pqSearch keeps its query side broadcast (bounded-batch contract)") {
