@@ -289,5 +289,10 @@ class AnnCalibrateSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       AnnCalibrate.calibrateIvf(emb, "vec_id", "embedding", recallTarget = 0.8,
         rhoGrid = Seq.empty))
+    intercept[IllegalArgumentException](
+      AnnCalibrate.calibrateLsh(emb, "vec_id", "embedding", recallTarget = 0.0))
+    intercept[IllegalArgumentException](
+      AnnCalibrate.calibrateLsh(emb, "vec_id", "embedding", recallTarget = 0.8,
+        fracGrid = Seq.empty))
   }
 }
