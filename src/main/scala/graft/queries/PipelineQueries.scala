@@ -55,13 +55,19 @@ object PipelineQueries {
     * removing one count job from each of the six n-derived queries
     * after the first.
     */
-  /** Per-session memo keyed on the SESSION OBJECT itself (a weak map —
-    * identity semantics without pinning closed sessions in memory, and
-    * without the identity-HASH collision a hashCode key admits: two
-    * sessions in one JVM can share a hash and would then share a
-    * cache slot). Caveat both caches inherit: regenerating the data
-    * under the same sfDir within one session serves the stale memo —
-    * the deal every memo makes; use a fresh session per data epoch.
+  /** Per-session memo keyed on the SESSION OBJECT itself (identity
+    * semantics without the identity-HASH collision a hashCode key
+    * admits: two sessions in one JVM can share a hash and would then
+    * share a cache slot — the correctness point of this shape). The
+    * weak keys additionally let a closed session's entry be collected
+    * where the VALUE doesn't itself reference the session: that holds
+    * for embCount's Longs, while bfAnchor's DataFrames pin their
+    * session through the plan (the standard WeakHashMap value→key
+    * caveat) — for that cache the weak map buys only the collision
+    * fix, same retention as any DataFrame memo. Caveat both caches
+    * inherit: regenerating the data under the same sfDir within one
+    * session serves the stale memo — the deal every memo makes; use a
+    * fresh session per data epoch.
     */
   private final class PerSession[V] {
     private val m = new java.util.WeakHashMap[
