@@ -311,11 +311,14 @@ object AnnCalibrate {
     require(recallTarget > 0 && recallTarget <= 1,
       s"recall target must be in (0, 1], got $recallTarget")
     require(fracGrid.nonEmpty, "empty calibration grid")
-    val (a, ownAnchor) = resolveAnchor(anchor, emb, idCol, vecCol, k, sampleFrac)
     // same dimensionality probe as pqTrain; ragged corpora still fail
-    // loudly in the hyperplane kernel
+    // loudly in the hyperplane kernel. Probed BEFORE the anchor: a
+    // degenerate corpus must fail here cheaply, never after paying
+    // (and then leaking — the probe would sit outside the try that
+    // unpersists it) the exact brute-force anchor
     val dim = knownDim.getOrElse(
       emb.select(size(col(vecCol))).head().getInt(0))
+    val (a, ownAnchor) = resolveAnchor(anchor, emb, idCol, vecCol, k, sampleFrac)
     try {
       dedupeAscending(fracGrid,
           (f: Double) => AnnParams.lshBits(a.n, tables, f))
