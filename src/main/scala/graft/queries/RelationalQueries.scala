@@ -149,18 +149,25 @@ object RelationalQueries {
     // "source" (corrections + late-arriving inserts) is derived
     // deterministically from the target so the oracle replays it
     // exactly. At scale this is ONE shuffle on the merge key for each
-    // side — same cost as the join it is.
+    // side — same cost as the join it is. The insert keys shift out of
+    // the live key space by max(o_orderkey)+1, derived in-plan on both
+    // engines (the serveWorkload rule: a fixed shift constant silently
+    // turns "inserts" back into updates at the first scale whose keys
+    // outgrow it — parity would hold, but the scenario wouldn't).
     "q_merge_upsert" -> ((s, d) => {
       val target = Tables.orders(s, d)
         .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"),
           col("o_orderstatus").as("status"))
+      val shift = Tables.orders(s, d)
+        .agg((max(col("o_orderkey")) + 1L).as("shift"))
       val source = Tables.orders(s, d)
         .filter(col("o_orderkey") % 100 === 0)
         .select(col("o_orderkey").as("k"),
           (col("o_totalprice") + 1000).as("price"), lit("U").as("status"))
         .unionAll(
           Tables.orders(s, d).filter(col("o_orderkey") % 97 === 0)
-            .select((col("o_orderkey") + 10000000L).as("k"),
+            .crossJoin(broadcast(shift))
+            .select((col("o_orderkey") + col("shift")).as("k"),
               col("o_totalprice").as("price"), lit("I").as("status")))
       target.as("t").join(source.as("s"), Seq("k"), "full")
         .select(col("k"),
@@ -275,7 +282,8 @@ object RelationalQueries {
                   'U' AS status
            FROM orders WHERE o_orderkey % 100 = 0
            UNION ALL
-           SELECT o_orderkey + 10000000 AS k, o_totalprice AS price,
+           SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders)
+                    AS k, o_totalprice AS price,
                   'I' AS status
            FROM orders WHERE o_orderkey % 97 = 0)
          SELECT coalesce(t.k, s.k) AS k,
