@@ -249,8 +249,13 @@ object AnnParams {
     * target — the target is the model-denominated knob whose realized
     * value [[AnnCalibrate.calibrateLsh]] measures (the grid-measured
     * default [[LshCandFrac]] = 0.5 at [[LshTables]] = 16 derives the
-    * 5-bit tables whose bands the q_ann_lsh oracle pins — the model
-    * happens to be honest on this near-orthogonal corpus).
+    * 5-bit tables whose bands the q_ann_lsh oracle pins — measured
+    * realized fractions on the oracle corpus: 0.405 at n = 500 and
+    * 0.403 at n = 2000 against the 0.5 model, so on this
+    * near-orthogonal corpus the model is honest and slightly
+    * conservative (the union bound overcounts table overlap), and
+    * the n-invariance of the realized fraction is the rule's claim
+    * measured directly, not inferred from recall stability).
     *
     * The n-derived bound: bits beyond ⌈log2(n)⌉ drop expected bucket
     * occupancy below one vector — every further bit is pure recall
