@@ -204,19 +204,23 @@ object AnnCalibrate {
       .toSeq.sortBy(_._1)
 
   /** The deduped ρ walk for [[calibrateIvfPq]]: ascending, keeping the
-    * smallest ρ per distinct (nprobe, deepest-derived-candK) PAIR — not
+    * smallest ρ per distinct (nprobe, FULL per-γ candK vector) key — not
     * per nprobe alone, because candK depends on ρ itself: when two ρs
-    * ceil-collapse to the same nprobe (small n), the larger ρ still
-    * derives a deeper γ grid, and deduping on nprobe alone would skip a
+    * ceil-collapse to the same nprobe (small n), the larger ρ can still
+    * derive a deeper γ grid, and deduping on nprobe alone would skip a
     * same-probe-cost operating point that meets the target, returning a
     * costlier rung (or None) against the documented smallest-(ρ, γ)
-    * contract. Rungs identical on BOTH derived knobs measure once.
+    * contract. The key is the WHOLE per-γ depth vector, not just the
+    * deepest entry: two ρs equal at γmax can still ceil-wobble apart at
+    * an intermediate γ, and dropping that rung would return a one-
+    * candidate-deeper γ label than the true cheapest point. Rungs
+    * identical on EVERY derived knob measure once.
     */
   private[graft] def ivfPqRhoRungs(n: Long, k: Int, rhoGrid: Seq[Double],
                                    gammaGrid: Seq[Double]): Seq[(Double, Int)] =
     dedupeAscending(rhoGrid, (r: Double) =>
       (AnnParams.nprobe(n, r),
-        AnnParams.candK(n, k, probeFrac = r, candFrac = gammaGrid.max)))
+        gammaGrid.map(g => AnnParams.candK(n, k, probeFrac = r, candFrac = g))))
       .map { case (rho, (nprobe, _)) => (rho, nprobe) }
 
   /** Calibrate (ρ, γ) for [[Similarity.ivfPqSearch]]: the smallest
@@ -315,9 +319,20 @@ object AnnCalibrate {
     // loudly in the hyperplane kernel. Probed BEFORE the anchor: a
     // degenerate corpus must fail here cheaply, never after paying
     // (and then leaking — the probe would sit outside the try that
-    // unpersists it) the exact brute-force anchor
-    val dim = knownDim.getOrElse(
-      emb.select(size(col(vecCol))).head().getInt(0))
+    // unpersists it) the exact brute-force anchor. The degenerate
+    // shapes carry the contract message, not a library exception: an
+    // empty corpus would otherwise die in head()'s NoSuchElement, and
+    // a null/empty first vector would surface later as a negative
+    // array size inside the hyperplane kernel.
+    val dim = knownDim.getOrElse {
+      val probe = emb.select(size(col(vecCol))).take(1)
+      require(probe.nonEmpty,
+        "calibrateLsh: corpus is empty — nothing to calibrate against")
+      require(!probe(0).isNullAt(0) && probe(0).getInt(0) > 0,
+        s"calibrateLsh: first $vecCol row is null or empty — the corpus " +
+          "must carry fixed-width non-null vectors")
+      probe(0).getInt(0)
+    }
     val (a, ownAnchor) = resolveAnchor(anchor, emb, idCol, vecCol, k, sampleFrac)
     try {
       dedupeAscending(fracGrid,

@@ -171,6 +171,18 @@ object AnnParams {
     else None
   }
 
+  private[graft] def maxLshBitsClampMsg(tables: Int,
+                                        targetCandFrac: Double): Option[String] = {
+    val want = math.max(1L, ceilLog2(tables / targetCandFrac))
+    if (want > MaxLshBits) Some(
+      s"AnnParams.lshBits: the fraction-derived depth $want bits exceeds " +
+        s"MaxLshBits = $MaxLshBits (table signatures pack into one long) — " +
+        s"the realized candidate fraction will be ~$tables/2^$MaxLshBits, not " +
+        s"the requested $targetCandFrac. A fraction this small is below 1/n " +
+        "for any physical corpus; request a coarser target fraction.")
+    else None
+  }
+
   private[graft] def lshClampMsg(n: Long, tables: Int,
                                  targetCandFrac: Double): Option[String] = {
     val want = lshBitsUnclamped(tables, targetCandFrac)
@@ -219,6 +231,10 @@ object AnnParams {
   private def ceilLog2(x: Double): Long =
     math.ceil(math.log(x) / math.log(2.0) - 1e-9).toLong
 
+  // the MaxLshBits ceiling warns when it binds ([[maxLshBitsClampMsg]],
+  // fired from lshBits) — every other cap in this file does, and a
+  // silently clamped extreme tables/targetCandFrac request would
+  // otherwise degrade with no signal
   private def lshBitsUnclamped(tables: Int, targetCandFrac: Double): Int =
     math.max(1L, ceilLog2(tables / targetCandFrac))
       .min(MaxLshBits.toLong).toInt
@@ -269,6 +285,7 @@ object AnnParams {
     require(tables >= 1, s"tables must be >= 1, got $tables")
     require(targetCandFrac > 0 && targetCandFrac <= 1,
       s"target candidate fraction must be in (0, 1], got $targetCandFrac")
+    maxLshBitsClampMsg(tables, targetCandFrac).foreach(log.warn(_))
     lshClampMsg(n, tables, targetCandFrac).foreach(log.warn(_))
     math.min(lshBitsUnclamped(tables, targetCandFrac), occupancyBits(n))
   }

@@ -86,12 +86,33 @@ object IndexStore {
     flat
   }
 
-  private def oneRow(spark: SparkSession, path: String): Row =
-    spark.read.parquet(path).collect() match {
-      case Array(row) => row
+  /** On-disk layout version, stamped into every config row. Bumped when
+    * the layout changes shape (v2 = the chunked-quantizer layout; v1 was
+    * the single-flat-row form), so a load of an index saved by another
+    * layout fails with an explicit "resave" message instead of a bare
+    * fieldIndex/ClassCast error from deep inside Spark's Row.
+    */
+  private[graft] val FormatVersion = 2
+
+  private def withVersion(df: DataFrame): DataFrame =
+    df.withColumn("format_version", lit(FormatVersion))
+
+  private def oneRow(spark: SparkSession, path: String): Row = {
+    val row = spark.read.parquet(path).collect() match {
+      case Array(r) => r
       case rows => throw new IllegalArgumentException(
         s"$path must hold exactly one configuration row, found ${rows.length}")
     }
+    require(row.schema.fieldNames.contains("format_version"),
+      s"$path carries no format_version column — this index was saved by " +
+        "a pre-chunked (v1) layout this build no longer reads; resave it " +
+        "with the current save* method")
+    val v = row.getInt(row.fieldIndex("format_version"))
+    require(v == FormatVersion,
+      s"$path is format version $v, this build reads $FormatVersion — " +
+        "resave the index with the current save* method")
+    row
+  }
 
   /** PQ codebooks chunk as one row per (subspace, code) under the
     * composite id mi·codes + code — same completeness contract.
@@ -119,9 +140,9 @@ object IndexStore {
     val (cells, pq) = (index.fused.cells, index.fused.pq)
     saveChunked(spark, cells.flat, cells.dim, s"$path/cells")
     savePqBooks(spark, pq, s"$path/codebook")
-    Seq((cells.flat.length / cells.dim, cells.dim, pq.m, pq.subDim,
-        pq.nCodes, index.codes))
-      .toDF("nlist", "cells_dim", "pq_m", "pq_subdim", "pq_ncodes", "codes")
+    withVersion(Seq((cells.flat.length / cells.dim, cells.dim, pq.m,
+        pq.subDim, pq.nCodes, index.codes))
+      .toDF("nlist", "cells_dim", "pq_m", "pq_subdim", "pq_ncodes", "codes"))
       .write.mode("overwrite").parquet(s"$path/model")
   }
 
@@ -152,8 +173,9 @@ object IndexStore {
     import spark.implicits._
     index.assigned.write.mode("overwrite").parquet(s"$path/assigned")
     saveChunked(spark, index.kernel.flat, index.kernel.dim, s"$path/cells")
-    Seq((index.kernel.flat.length / index.kernel.dim, index.kernel.dim))
-      .toDF("nlist", "cells_dim")
+    withVersion(Seq((index.kernel.flat.length / index.kernel.dim,
+        index.kernel.dim))
+      .toDF("nlist", "cells_dim"))
       .write.mode("overwrite").parquet(s"$path/model")
   }
 
@@ -184,8 +206,8 @@ object IndexStore {
     encoded.write.mode("overwrite").parquet(s"$path/encoded")
     savePqBooks(spark, graft.functions.PqOps.kernel(model.codebooks),
       s"$path/codebook")
-    Seq((model.m, model.subDim, model.codebooks(0).length))
-      .toDF("pq_m", "pq_subdim", "pq_ncodes")
+    withVersion(Seq((model.m, model.subDim, model.codebooks(0).length))
+      .toDF("pq_m", "pq_subdim", "pq_ncodes"))
       .write.mode("overwrite").parquet(s"$path/model")
   }
 
@@ -213,8 +235,8 @@ object IndexStore {
     import spark.implicits._
     index.slim.select(col("id"), col("v")).write.mode("overwrite")
       .parquet(s"$path/corpus")
-    Seq((index.dim, index.tables, index.bitsPerTable, index.seed))
-      .toDF("dim", "tables", "bits_per_table", "seed")
+    withVersion(Seq((index.dim, index.tables, index.bitsPerTable, index.seed))
+      .toDF("dim", "tables", "bits_per_table", "seed"))
       .write.mode("overwrite").parquet(s"$path/model")
   }
 

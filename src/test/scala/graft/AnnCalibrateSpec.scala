@@ -227,6 +227,15 @@ class AnnCalibrateSpec extends SparkSpec {
     val collapsed = AnnCalibrate.ivfPqRhoRungs(500L, 5,
       rhoGrid = Seq(0.5, 0.52), gammaGrid = Seq(0.025))
     assert(collapsed === Seq((0.5, 12)))
+    // ...and the key is the FULL per-gamma depth vector: rho 0.496 and
+    // 0.5 at n = 500 agree on nprobe (12) AND on the deepest gamma's
+    // candK (0.4 → ⌈99.2⌉ = 100 = ⌈100⌉), but ceil-wobble apart at the
+    // intermediate 0.35 (⌈86.8⌉ = 87 vs ⌈87.5⌉ = 88) — a deepest-only
+    // key would drop the 0.5 rung and return a one-candidate-deeper
+    // gamma label than the true cheapest point
+    val wobble = AnnCalibrate.ivfPqRhoRungs(500L, 5,
+      rhoGrid = Seq(0.496, 0.5), gammaGrid = Seq(0.35, 0.4))
+    assert(wobble === Seq((0.496, 12), (0.5, 12)))
   }
 
   test("calibrated fractions fed back through AnnParams reproduce the target end-to-end") {
@@ -279,6 +288,28 @@ class AnnCalibrateSpec extends SparkSpec {
         rhoGrid = Seq(0.5, 1.0))
       .getOrElse(fail("rho = 1.0 probes every cell — recall 1.0 must be reachable"))
     assert(c.rho === 1.0 && c.recall === 1.0)
+  }
+
+  test("calibrateLsh's dim probe rejects degenerate corpora with the contract message") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // empty corpus: loud message, not head()'s bare NoSuchElement
+    val empty = Seq.empty[(Long, Array[Double])].toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException](
+      AnnCalibrate.calibrateLsh(empty, "vec_id", "embedding", recallTarget = 0.5))
+    assert(e1.getMessage.contains("corpus is empty"))
+    // null first vector: loud message, not a negative array size deep in
+    // the hyperplane kernel (size(null) is null/-1, never a dim)
+    val nullVec = Seq((1L, null: Array[Double]), (2L, Array(1.0, 0.0)))
+      .toDF("vec_id", "embedding").orderBy("vec_id")
+    val e2 = intercept[IllegalArgumentException](
+      AnnCalibrate.calibrateLsh(nullVec, "vec_id", "embedding", recallTarget = 0.5))
+    assert(e2.getMessage.contains("null or empty"))
+    // empty first vector: same contract
+    val emptyVec = Seq((1L, Array.empty[Double])).toDF("vec_id", "embedding")
+    val e3 = intercept[IllegalArgumentException](
+      AnnCalibrate.calibrateLsh(emptyVec, "vec_id", "embedding", recallTarget = 0.5))
+    assert(e3.getMessage.contains("null or empty"))
   }
 
   test("degenerate calibration inputs fail loudly") {

@@ -63,6 +63,18 @@ class AnnParamsSpec extends AnyFunSuite {
     assert(AnnParams.lshClampMsg(8, 16, 0.25).nonEmpty)
     assert(AnnParams.lshClampMsg(64, 16, 0.25).isEmpty)
     assert(AnnParams.lshClampMsg(500, 16, 0.25).isEmpty)
+    // the MaxLshBits ceiling warns when it binds too (warn-on-bind is
+    // the file's convention): 16 tables / 2^-59 frac wants 63 bits —
+    // one past the 62-bit packed-long ceiling; at 2^-58 it wants
+    // exactly 62 and stays silent
+    assert(AnnParams.maxLshBitsClampMsg(16, math.pow(2, -59)).nonEmpty)
+    assert(AnnParams.maxLshBitsClampMsg(16, math.pow(2, -59)).get
+      .contains("MaxLshBits"))
+    assert(AnnParams.maxLshBitsClampMsg(16, math.pow(2, -58)).isEmpty)
+    assert(AnnParams.maxLshBitsClampMsg(16, 0.5).isEmpty)
+    // the derivation still returns the capped depth when it fires
+    assert(AnnParams.lshBits(1L << 62, 16, math.pow(2, -59)) ===
+      AnnParams.MaxLshBits)
     // degenerate inputs are loud
     intercept[IllegalArgumentException](AnnParams.lshBits(0))
     intercept[IllegalArgumentException](AnnParams.lshBits(100, tables = 0))

@@ -108,6 +108,37 @@ class IndexStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("exactly one"))
   }
 
+  test("a pre-versioned (v1) or future-version model row fails with the resave message") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // v1 layout: a model row with no format_version column (the old
+    // single-flat-row era) must fail with the explicit format message,
+    // never a bare fieldIndex/ClassCast from inside Spark's Row
+    val p1 = freshDir("idx-v1")
+    Seq((16, 8, 12, 42L)).toDF("dim", "tables", "bits_per_table", "seed")
+      .write.mode("overwrite").parquet(s"$p1/model")
+    val e1 = intercept[IllegalArgumentException](IndexStore.loadLsh(spark, p1))
+    assert(e1.getMessage.contains("format_version") &&
+      e1.getMessage.contains("resave"))
+    // a version this build doesn't read fails the same way
+    val idx = Similarity.lshIndex(emb, "vec_id", "embedding", dim = 16)
+    val p2 = freshDir("idx-vfuture")
+    IndexStore.saveLsh(idx, p2)
+    spark.read.parquet(s"$p2/model")
+      .withColumn("format_version", lit(IndexStore.FormatVersion + 1))
+      .write.mode("overwrite").parquet(s"$p2-bump/model")
+    spark.read.parquet(s"$p2/corpus").write.mode("overwrite")
+      .parquet(s"$p2-bump/corpus")
+    val e2 = intercept[IllegalArgumentException](
+      IndexStore.loadLsh(spark, s"$p2-bump"))
+    assert(e2.getMessage.contains("resave"))
+    // ...and the stamped current version loads (the round-trip tests
+    // above already prove it; this pins the column is actually written)
+    assert(spark.read.parquet(s"$p2/model")
+      .select(col("format_version")).collect()(0).getInt(0)
+      === IndexStore.FormatVersion)
+  }
+
   test("a corrupted centroid chunk fails loudly: missing, duplicated, or ragged rows") {
     import org.apache.spark.sql.functions.{col, expr, when}
     val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 8)
