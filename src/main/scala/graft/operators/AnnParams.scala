@@ -225,6 +225,63 @@ object AnnParams {
         "are unaffected.")
     else None
 
+  /** Every ceiling-bind message that fires at this cardinality and
+    * configuration, in the file's declaration order — the input to
+    * [[observeClamps]] and the one list a caller can log wholesale.
+    */
+  private[graft] def clampMessages(n: Long,
+                                   probeFrac: Double = ProbeFrac,
+                                   candFrac: Double = CandFrac,
+                                   flatCandFrac: Double = FlatCandFrac,
+                                   tables: Int = LshTables,
+                                   targetCandFrac: Double = LshCandFrac,
+                                   semDedupCellSize: Int = 64): Seq[String] =
+    Seq(nlistClampMsg(n),
+      candKClampMsg(n, probeFrac, candFrac, "candK"),
+      candKClampMsg(n, probeFrac = 1.0, flatCandFrac, "flatCandK"),
+      semDedupClampMsg(n, semDedupCellSize),
+      maxLshBitsClampMsg(tables, targetCandFrac),
+      lshClampMsg(n, tables, targetCandFrac)).flatten
+
+  /** Surface the ceiling-bind warnings as JOB METRICS, not just driver
+    * log lines: the clamp messages go to log.warn, which a cluster
+    * job's driver log may never be read for — a deployment watching
+    * only job metrics would miss the regime change entirely (per-cell
+    * scan cost resuming linear growth; candidate recall decaying below
+    * the measured bands). This attaches every message that fires at
+    * (n, config) to the result frame as an
+    * `org.apache.spark.sql.Observation` (the IterCkpt/Components
+    * convergence-count precedent): `caps_bound` = how many caps bind,
+    * `cap_messages` = the joined texts, both filled when the frame's
+    * first action runs and readable from `Observation.get` or any
+    * QueryExecutionListener. When NOTHING binds — every corpus below
+    * the caps, including all tested scales — the frame is returned
+    * UNTOUCHED (no CollectMetrics node, no metric noise on the common
+    * path) and the Observation is None. The metrics are lit-aggregates
+    * (the bind condition is a pure function of (n, config), not of the
+    * data), so the observation costs nothing beyond the node itself;
+    * an empty result frame reports null metrics, as any Observation
+    * over zero rows does.
+    */
+  def observeClamps(df: org.apache.spark.sql.DataFrame, n: Long,
+                    probeFrac: Double = ProbeFrac,
+                    candFrac: Double = CandFrac,
+                    flatCandFrac: Double = FlatCandFrac,
+                    tables: Int = LshTables,
+                    targetCandFrac: Double = LshCandFrac,
+                    semDedupCellSize: Int = 64)
+      : (org.apache.spark.sql.DataFrame, Option[org.apache.spark.sql.Observation]) = {
+    val msgs = clampMessages(n, probeFrac, candFrac, flatCandFrac, tables,
+      targetCandFrac, semDedupCellSize)
+    if (msgs.isEmpty) (df, None)
+    else {
+      import org.apache.spark.sql.functions.{lit, max}
+      val obs = org.apache.spark.sql.Observation()
+      (df.observe(obs, max(lit(msgs.length)).as("caps_bound"),
+        max(lit(msgs.mkString(" | "))).as("cap_messages")), Some(obs))
+    }
+  }
+
   // the 1e-9 guards exact powers of two from FP noise in log2 (e.g.
   // log2(64) evaluating to 6.000000000000001 and ceiling to 7) — the
   // same edge-guard recallContract's band bucketization uses

@@ -531,7 +531,11 @@ object PipelineQueries {
           nprobe = AnnParams.nprobe(n), m = 8, codes = 64)
         .filter(col("qid") =!= col("id"))
       val bf = bfAnchor(s, d)
-      recallContract(bf, exactReRank(emb, cand, 5))
+      // ceiling-bind warnings ride the result as an Observation (job
+      // metrics, not just driver log lines); below the caps — every
+      // tested scale — this is the identity, so the oracle hash and
+      // plan are untouched where nothing binds
+      AnnParams.observeClamps(recallContract(bf, exactReRank(emb, cand, 5)), n)._1
     }),
 
     // Embedding near-dup pairs at cosine ≥ 0.45 (testdata max ≈ 0.51).

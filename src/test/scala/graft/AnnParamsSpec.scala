@@ -1,18 +1,19 @@
 package graft
 
 import graft.operators.AnnParams
-import org.scalatest.funsuite.AnyFunSuite
 
-/** The ANN operating-point rule is pure arithmetic — no Spark. What must
-  * hold: every knob is monotone non-decreasing in corpus cardinality
+/** The ANN operating-point rule is pure arithmetic — only the
+  * Observation surface at the bottom touches Spark. What must hold:
+  * every knob is monotone non-decreasing in corpus cardinality
   * (the whole point of replacing fixed constants: a bigger corpus may
   * never get a SHALLOWER index or candidate list), the clamps and floors
-  * bind where documented, and the values at the three measured testdata
+  * bind where documented, the values at the three measured testdata
   * scales are exactly the ones the oracle bands were grid-measured at —
   * a silent rule change must turn this red before it silently invalidates
-  * the bands.
+  * the bands — and the ceiling-bind warnings surface as observable job
+  * metrics past each cap, never below it.
   */
-class AnnParamsSpec extends AnyFunSuite {
+class AnnParamsSpec extends SparkSpec {
 
   test("all three knobs are monotone non-decreasing in corpus size") {
     val rng = new scala.util.Random(7)
@@ -176,6 +177,35 @@ class AnnParamsSpec extends AnyFunSuite {
     // boundary: 1/10 is NOT below the 0.1 bar; 1/11 is
     assert(AnnParams.semDedupLowBandMsg(640, 10).isEmpty)
     assert(AnnParams.semDedupLowBandMsg(704, 11).nonEmpty)
+  }
+
+  test("ceiling-bind warnings surface as an Observation past each cap, identity below") {
+    val df = spark.range(4).toDF("id")
+    // below every cap (all tested scales): the frame comes back
+    // UNTOUCHED — no CollectMetrics node, no metric noise
+    val (same, none) = AnnParams.observeClamps(df, 2000L)
+    assert(none.isEmpty && (same eq df))
+    // past the nlist cap, n > MaxNlist² also binds candK, flatCandK,
+    // and semDedupNlist at the default fractions — all four messages
+    // ride the observation and fill on the first action
+    val nBig = 65536L * 65536L + 1
+    assert(AnnParams.clampMessages(nBig).length === 4)
+    val (obsDf, obsOpt) = AnnParams.observeClamps(df, nBig)
+    val obs = obsOpt.getOrElse(fail("expected an observation past the caps"))
+    // one action fills the metrics AND proves the rows are untouched
+    assert(obsDf.collect().toSeq === df.collect().toSeq)
+    val m = obs.get
+    assert(m("caps_bound") === 4)
+    val txt = m("cap_messages").toString
+    assert(txt.contains("MaxNlist") && txt.contains("MaxCandK") &&
+      txt.contains("semDedupNlist"))
+    // the LSH occupancy bound fires through the same surface (tiny
+    // corpus, fraction-derived depth past ⌈log2(n)⌉)
+    val (lshDf, lshOpt) = AnnParams.observeClamps(df, 8L)
+    val lshObs = lshOpt.getOrElse(fail("expected the occupancy bind at n = 8"))
+    lshDf.collect()
+    assert(lshObs.get("caps_bound") === 1)
+    assert(lshObs.get("cap_messages").toString.contains("occupancy"))
   }
 
   test("derived values at the measured testdata scales match the grid-measured configuration") {
