@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnCalibrate, AnnParams, Components, Dedup, MultiModal, Sampling, Similarity}
+import graft.operators.{AnnCalibrate, AnnParams, Components, Dedup, IndexStore, MultiModal, Sampling, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -417,6 +417,35 @@ object PipelineQueries {
       val nlist = AnnParams.nlist(embCount(s, d))
       val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist)
       Similarity.ivfProbeFor(idx, serveWorkload(emb), "vec_id", "embedding",
+          k = 5, nprobe = nlist)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rank")
+    }),
+
+    // The DEPLOYMENT path of the same serving row: train → SAVE → LOAD →
+    // probe. IndexStoreSpec pins loaded probes bit-identical per family,
+    // but a spec pin is not the cross-engine gate — this row runs the
+    // full persistence round-trip inside the query (deliberately
+    // re-paying the save+load each call: that IS the operator under
+    // test) and probes the LOADED index at full width over the shifted
+    // workload, so the whole save→load→probe chain must reproduce
+    // q_ann_serve's deterministic hash (parquet stores IEEE double
+    // BITS, so a loaded index probes bit-identically — the exactness
+    // this row converts from a spec pin into a driver-gated fact). The
+    // executed plan scans the index directory's parquet (PlanSpec pins
+    // it), which is exactly what a serving job that never saw training
+    // does at 100 TB.
+    "q_ann_serve_persisted" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val nlist = AnnParams.nlist(embCount(s, d))
+      val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist)
+      // deterministic per-sf path under the build's target dir (the
+      // one scratch space this repo owns; per-invocation overwrite is
+      // the retrain-per-epoch shape)
+      val path = "target/idx_serve/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      IndexStore.saveIvf(idx, path)
+      val loaded = IndexStore.loadIvf(s, path)
+      Similarity.ivfProbeFor(loaded, serveWorkload(emb), "vec_id", "embedding",
           k = 5, nprobe = nlist)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rank")
@@ -857,6 +886,42 @@ object PipelineQueries {
        SELECT v AS doc_id, min(r) AS component FROM reach
        GROUP BY v ORDER BY doc_id"""
 
+  /** The exact serving oracle: brute-force top-5 over the shifted
+    * modulo-10 workload, shift derived in-plan from max(vec_id)+1 —
+    * shared verbatim by q_ann_serve (in-session index at full probe
+    * width) and q_ann_serve_persisted (the same probe through a
+    * save→load round-trip), because both are EXACT by construction and
+    * must land on identical rows.
+    */
+  private val serveExactOracleSql =
+    """WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, v,
+                sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm
+         FROM v),
+       w AS (
+         SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS qid,
+                v, nrm
+         FROM n WHERE vec_id % 10 = 0),
+       pairs AS (
+         SELECT q.qid, c.vec_id AS nid,
+                list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, len(q.v)),
+                    i -> q.v[i] * c.v[i])), (a,b) -> a+b)
+                / (q.nrm * c.nrm) AS sim
+         FROM w q CROSS JOIN n c),
+       ranked AS (
+         SELECT qid, nid, sim,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, nid) AS rank
+         FROM pairs)
+       SELECT qid, rank, nid, round(sim, 6) AS sim
+       FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
@@ -989,34 +1054,10 @@ object PipelineQueries {
                 CAST(0.8 AS DOUBLE) AS recall_band,
                 true AS recall_ok FROM embeddings
          WHERE vec_id % 10 = 0""",
-    "q_ann_serve" ->
-      """WITH v AS (
-           SELECT vec_id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-           FROM embeddings),
-         n AS (
-           SELECT vec_id, v,
-                  sqrt(list_reduce(list_prepend(0.0,
-                    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm
-           FROM v),
-         w AS (
-           SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS qid,
-                  v, nrm
-           FROM n WHERE vec_id % 10 = 0),
-         pairs AS (
-           SELECT q.qid, c.vec_id AS nid,
-                  list_reduce(list_prepend(0.0,
-                    list_transform(generate_series(1, len(q.v)),
-                      i -> q.v[i] * c.v[i])), (a,b) -> a+b)
-                  / (q.nrm * c.nrm) AS sim
-           FROM w q CROSS JOIN n c),
-         ranked AS (
-           SELECT qid, nid, sim,
-                  row_number() OVER (PARTITION BY qid
-                                     ORDER BY sim DESC, nid) AS rank
-           FROM pairs)
-         SELECT qid, rank, nid, round(sim, 6) AS sim
-         FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+    "q_ann_serve" -> serveExactOracleSql,
+    // the persisted round-trip must land on the SAME exact rows — one
+    // oracle text, two gated paths (in-session index vs save→load)
+    "q_ann_serve_persisted" -> serveExactOracleSql,
     "q_hard_negatives" ->
       """WITH v AS (
            SELECT vec_id, label,

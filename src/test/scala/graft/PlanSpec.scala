@@ -427,6 +427,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("persisted serving row probes the LOADED index: the plan scans the index dir") {
+    // q_ann_serve_persisted's whole point is that the executed plan
+    // reads the saved index's parquet (the deployment shape — a serving
+    // job that never saw training), not the in-session lineage that
+    // trained it. The candidate side must be a parquet scan of
+    // target/idx_serve/<sf>/assigned, and the row keeps the serving
+    // pins (no cartesian, UDF-free, in-plan shift join).
+    val df = SparkEntry.queries("q_ann_serve_persisted")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("idx_serve") && p.contains("assigned"),
+      s"expected a parquet scan of the saved index dir:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("ScalaUDF"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("flat-ADC pqSearch keeps its query side broadcast (bounded-batch contract)") {
     // pqSearch's scaladoc pins the serving contract: flat ADC scans
     // every code per query BY DEFINITION, and the query-side (qid, tab)
