@@ -136,6 +136,42 @@ object RecallGrid {
           f"recall=${topKRecall(sbf, ann)}%.4f$mark")
       }
       sbf.unpersist()
+      // external-workload serving through LSH (q_ann_serve_lsh) and
+      // IVF-PQ (q_ann_serve_ivfpq): both rows run the MOD-7 shifted
+      // workload (chosen by the round-13 margin sweep — the mod-10
+      // workload's measured recalls brush 0.1-grid edges; see
+      // recallIntervalContract), anchored by the exact brute force
+      // over that workload
+      val w7 = PipelineQueries.serveWorkload(emb, every = 7)
+      val sbf7 = Similarity.bruteForceTopKFor(w7, emb, "vec_id",
+        "embedding", k = 5, blocks = AnnParams.bruteBlocks(n)).cache()
+      sbf7.count()
+      for (b <- Seq(lshB, lshB - 1, lshB + 1).distinct.filter(_ >= 1)) {
+        val lidx = Similarity.lshIndex(emb, "vec_id", "embedding",
+          dim = 64, tables = AnnParams.LshTables, bitsPerTable = b)
+        val ann = Similarity.lshProbeFor(lidx, w7, "vec_id",
+          "embedding", k = 5)
+        val mark = if (b == lshB) " <== derived" else ""
+        println(f"GRID servelsh $d tables=${AnnParams.LshTables} bits=$b " +
+          f"recall=${topKRecall(sbf7, ann)}%.4f$mark")
+      }
+      val srvPq = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+        nlist, m = 8, codes = 64)
+      srvPq.encoded.persist().count()
+      for ((np, ck) <- Seq((nprobe, candK), (nprobe - 2, candK),
+                           (nprobe + 2, candK), (nprobe, candK - 16),
+                           (nprobe, candK + 16)).distinct
+                         .filter { case (np, ck) => np >= 1 && ck >= 5 }) {
+        val cand = Similarity.ivfPqProbe(srvPq, w7, "vec_id",
+          "embedding", k = ck, nprobe = np)
+        val rr = AnnCalibrate.exactReRank(emb, "vec_id", "embedding",
+          cand, 5, querySrc = Some(w7))
+        val mark = if (np == nprobe && ck == candK) " <== derived" else ""
+        println(f"GRID serveivfpq $d nlist=$nlist nprobe=$np candK=$ck " +
+          f"recall=${topKRecall(sbf7, rr)}%.4f$mark")
+      }
+      srvPq.encoded.unpersist()
+      sbf7.unpersist()
       ivfIdx.assigned.unpersist()
       // SemDeDup pair recall vs the exact 0.45-threshold pairs, at the
       // cell-size-derived nlist plus neighbors

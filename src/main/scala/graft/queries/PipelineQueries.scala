@@ -113,8 +113,8 @@ object PipelineQueries {
     * on pairs the oracle keeps. Modulo-sampled (not hashSample)
     * because the DuckDB oracle replicates the same rows in SQL.
     */
-  private[graft] def serveWorkload(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") % 10 === 0)
+  private[graft] def serveWorkload(emb: DataFrame, every: Int = 10): DataFrame =
+    emb.filter(col("vec_id") % every === 0)
       .crossJoin(broadcast(emb.agg((max(col("vec_id")) + 1L).as("shift"))))
       .select((col("vec_id") + col("shift")).as("vec_id"), col("embedding"))
 
@@ -141,6 +141,32 @@ object PipelineQueries {
       .agg(countDistinct(col("qid")).as("n_queries"),
         (floor(recall * 10 + lit(1e-9)) / lit(10.0)).as("recall_band"),
         (recall >= 0.5).as("recall_ok"))
+  }
+
+  /** Two-sided recall contract with an EXPLICIT pinned interval, for
+    * rows whose grid-measured recalls sit too close to the shared
+    * floor-0.1 grid's edges at every workload choice: the LSH / IVF-PQ
+    * serving recalls were swept across five workload moduli
+    * (TmpServeSweep, round 13 — 30 measurements) and at EVERY modulo at
+    * least one scale landed within 0.04 of a 0.1-grid edge (the true
+    * values cluster near 0.80/0.90), so the q_ann_serve_approx band
+    * shape cannot carry the mandated ≥0.04 edge margin for these two
+    * rows no matter the workload. Instead the contract pins a custom
+    * interval [lo, hi) CENTERED on the grid-measured values — chosen so
+    * every scale carries ≥0.04 margin to both edges — and emits the
+    * bounds as literal columns, so the artifact documents its own
+    * contract. Any drift past either edge flips recall_in_band and
+    * turns the cross-engine hash red, in both directions — the same
+    * two-sided property the bucketized band gives, with the edges
+    * placed where the measurements have room.
+    */
+  private def recallIntervalContract(bf: DataFrame, ann: DataFrame,
+                                     lo: Double, hi: Double): DataFrame = {
+    val recall = recallExpr
+    hitJoin(bf, ann)
+      .agg(countDistinct(col("qid")).as("n_queries"),
+        (recall >= lo && recall < hi).as("recall_in_band"),
+        lit(lo).as("band_lo"), lit(hi).as("band_hi"))
   }
 
   /** The raw (un-bucketized) recall pieces [[recallContract]] aggregates.
@@ -481,6 +507,64 @@ object PipelineQueries {
       val bf = Similarity.bruteForceTopKFor(workload, emb, "vec_id",
         "embedding", k = 5, blocks = AnnParams.bruteBlocks(n))
       recallContract(bf, ann)
+    }),
+
+    // External-workload serving through LSH — lshProbeFor's recall
+    // contract, completing the serving-coverage symmetry (q_ann_serve /
+    // _approx / _persisted gate only the IVF path; lshProbeFor served
+    // under spec pins alone). The workload is the modulo-7 shifted
+    // sample (every-7th corpus vector, shift derived in-plan exactly as
+    // serveWorkload's scaladoc argues); 7 was chosen by the round-13
+    // margin sweep — see recallIntervalContract's scaladoc — as was the
+    // pinned interval [0.73, 0.86): grid-measured recall@5 at the
+    // derived bits (RecallGrid GRID servelsh, mod-7 workload) is
+    // 0.7778 at sf0.001 / 0.8000 at sf0.01 / 0.8161 at sf0.1 — every
+    // scale ≥0.0439 from both interval edges (the floor-0.1 band grid
+    // has a <0.04 edge brush at EVERY swept modulo for this family).
+    // Each shifted query's own corpus copy buckets identically
+    // (identical vector → identical signatures), so it is always a
+    // candidate and lands rank 1 at cos 1.0; the remaining ranks
+    // measure ordinary bucket recall. Re-measure with RecallGrid
+    // before touching AnnParams.lshBits or the hyperplane kernel.
+    "q_ann_serve_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = embCount(s, d)
+      val workload = serveWorkload(emb, every = 7)
+      val idx = Similarity.lshIndex(emb, "vec_id", "embedding", dim = 64,
+        tables = AnnParams.LshTables, bitsPerTable = AnnParams.lshBits(n))
+      val ann = Similarity.lshProbeFor(idx, workload, "vec_id", "embedding",
+        k = 5)
+      val bf = Similarity.bruteForceTopKFor(workload, emb, "vec_id",
+        "embedding", k = 5, blocks = AnnParams.bruteBlocks(n))
+      recallIntervalContract(bf, ann, lo = 0.73, hi = 0.86)
+    }),
+
+    // External-workload serving through IVF-PQ — ivfPqProbe's recall
+    // contract over the same modulo-7 shifted workload, with the
+    // candidate list exactly re-ranked against the workload's own query
+    // vectors (the q_ann_ivfpq contract shape brought to serving). The
+    // operating point is fully derived: (nlist, nprobe, candK) from
+    // corpus cardinality via AnnParams. Pinned interval [0.80, 0.93),
+    // grid-measured recall@5 (RecallGrid GRID serveivfpq, mod-7
+    // workload): 0.8861 at sf0.001 / 0.8722 at sf0.01 / 0.8448 at
+    // sf0.1 — every scale ≥0.0439 from both edges (same margin-sweep
+    // rationale as q_ann_serve_lsh). The query's own corpus copy has
+    // near-zero ADC distance, survives the candidate cut, and the
+    // exact re-rank pins it at rank 1; the remaining ranks measure
+    // cell+code candidate recall.
+    "q_ann_serve_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = embCount(s, d)
+      val workload = serveWorkload(emb, every = 7)
+      val idx = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+        AnnParams.nlist(n), m = 8, codes = 64)
+      val cand = Similarity.ivfPqProbe(idx, workload, "vec_id", "embedding",
+        k = AnnParams.candK(n, 5), nprobe = AnnParams.nprobe(n))
+      val ann = AnnCalibrate.exactReRank(emb, "vec_id", "embedding", cand,
+        5, querySrc = Some(workload))
+      val bf = Similarity.bruteForceTopKFor(workload, emb, "vec_id",
+        "embedding", k = 5, blocks = AnnParams.bruteBlocks(n))
+      recallIntervalContract(bf, ann, lo = 0.80, hi = 0.93)
     }),
 
     // PQ-ANN (the memory-scale third architecture: 8-byte product-
@@ -1054,6 +1138,21 @@ object PipelineQueries {
                 CAST(0.8 AS DOUBLE) AS recall_band,
                 true AS recall_ok FROM embeddings
          WHERE vec_id % 10 = 0""",
+    // interval contracts (see recallIntervalContract): the oracle states
+    // the workload size, that the measured recall sits inside the pinned
+    // interval, and the interval bounds themselves
+    "q_ann_serve_lsh" ->
+      """SELECT count(*) AS n_queries,
+                true AS recall_in_band,
+                CAST(0.73 AS DOUBLE) AS band_lo,
+                CAST(0.86 AS DOUBLE) AS band_hi FROM embeddings
+         WHERE vec_id % 7 = 0""",
+    "q_ann_serve_ivfpq" ->
+      """SELECT count(*) AS n_queries,
+                true AS recall_in_band,
+                CAST(0.80 AS DOUBLE) AS band_lo,
+                CAST(0.93 AS DOUBLE) AS band_hi FROM embeddings
+         WHERE vec_id % 7 = 0""",
     "q_ann_serve" -> serveExactOracleSql,
     // the persisted round-trip must land on the SAME exact rows — one
     // oracle text, two gated paths (in-session index vs save→load)

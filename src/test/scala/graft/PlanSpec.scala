@@ -418,7 +418,8 @@ class PlanSpec extends SparkSpec {
     // scalar join — that must stay a BroadcastNestedLoopJoin of a
     // 1-row aggregate, never widen into a cartesian, and the whole
     // row must stay UDF-free
-    for (q <- Seq("q_ann_serve", "q_ann_serve_approx")) {
+    for (q <- Seq("q_ann_serve", "q_ann_serve_approx",
+                  "q_ann_serve_lsh", "q_ann_serve_ivfpq")) {
       val p = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1500)}")
