@@ -243,13 +243,36 @@ object FuzzQueries {
     Seq("l_returnflag"), Seq("l_linestatus"),
     Seq("l_returnflag", "l_linestatus"), Seq("l_linenumber"))
 
+  /** `nullsKey` (wave 2 only): prepend `nullif(l_quantity, v)` as the
+    * leading ORDER BY key with an EXPLICIT NULLS FIRST/LAST — the
+    * documented cross-engine default divergence (Spark defaults ASC to
+    * NULLS FIRST, DuckDB defaults everything to NULLS LAST), which only
+    * an explicit spec on both engines can make agree, and which the
+    * wave-1 grammar never exercised because lineitem's sort keys carry
+    * no data nulls. The nullif injects nulls deterministically (every
+    * row whose quantity equals v); the remaining keys keep the total
+    * tiebreak, so navigation functions stay order-deterministic.
+    */
   private case class WCase(alias: String, fn: WFn, part: Seq[String],
-                           desc: Boolean, frame: Option[(String, (Long, Long))]) {
+                           desc: Boolean, frame: Option[(String, (Long, Long))],
+                           nullsKey: Option[(Int, Boolean)] = None) {
     def sparkCol: Column = {
       import org.apache.spark.sql.expressions.Window
-      val ord =
-        (if (desc) col("l_extendedprice").desc else col("l_extendedprice").asc) +:
-          Seq(col("l_orderkey").asc, col("l_linenumber").asc)
+      val ord = nullsKey match {
+        case Some((v, first)) =>
+          val nk = expr(s"nullif(l_quantity, $v)")
+          val lead = (desc, first) match {
+            case (true, true)   => nk.desc_nulls_first
+            case (true, false)  => nk.desc_nulls_last
+            case (false, true)  => nk.asc_nulls_first
+            case (false, false) => nk.asc_nulls_last
+          }
+          Seq(lead, col("l_extendedprice").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc)
+        case None =>
+          (if (desc) col("l_extendedprice").desc else col("l_extendedprice").asc) +:
+            Seq(col("l_orderkey").asc, col("l_linenumber").asc)
+      }
       val base = Window.partitionBy(part.map(col): _*).orderBy(ord: _*)
       val w = frame.map { case (_, (lo, hi)) => base.rowsBetween(lo, hi) }
         .getOrElse(base)
@@ -257,8 +280,15 @@ object FuzzQueries {
     }
     def sql: String = {
       val dir = if (desc) "DESC" else "ASC"
+      val orderSql = nullsKey match {
+        case Some((v, first)) =>
+          val nulls = if (first) "NULLS FIRST" else "NULLS LAST"
+          s"nullif(l_quantity, $v) $dir $nulls, " +
+            "l_extendedprice, l_orderkey, l_linenumber"
+        case None => s"l_extendedprice $dir, l_orderkey, l_linenumber"
+      }
       val over = s"OVER (PARTITION BY ${part.mkString(", ")} " +
-        s"ORDER BY l_extendedprice $dir, l_orderkey, l_linenumber" +
+        s"ORDER BY $orderSql" +
         frame.map(f => " " + f._1).getOrElse("") + ")"
       val body =
         if (fn.sqlFn.contains("%OVER%")) fn.sqlFn.replace("%OVER%", s" $over")
@@ -295,6 +325,48 @@ object FuzzQueries {
     s"""SELECT l_orderkey, l_linenumber, l_extendedprice,
               ${cases.map(_.sql).mkString(", ")}
        FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice"""
+
+  // ---------------------------------------------------------------------
+  // Wave 2 (round 13): the SAME grammars rendered at a second fixed
+  // seed — the single-seed corpus already caught one real cross-engine
+  // harness bug (window sort totality, SURVEY §2C), and a fresh draw is
+  // the cheapest way to sweep combinations the first seed happened to
+  // miss. The window wave additionally exercises the NULLS FIRST/LAST
+  // divergence (every wave-2 window key carries a nullif-injected
+  // nullable leading key — see WCase.nullsKey). Wave-1 seeds and
+  // rendering are untouched: their rows are pinned by six rounds of
+  // green sheets and must stay byte-identical.
+  // ---------------------------------------------------------------------
+
+  private val preds2: Seq[(String, P)] = {
+    val rng = new scala.util.Random(20260815L)
+    (0 until 3).map(i => (f"q_fuzz2_$i%02d", genOver(rng, 3, genLeaf)))
+  }
+
+  private val joinPreds2: Seq[(String, String, P, P)] = {
+    val rng = new scala.util.Random(616161L)
+    (0 until 2).map { i =>
+      (f"q_fuzzjoin2_$i%02d",
+        pick(rng, "inner", "left", "left_semi", "left_anti"),
+        genOver(rng, 2, genLeafOrders),
+        genOver(rng, 2, genLeaf))
+    }
+  }
+
+  private val winCases2: Seq[(String, Seq[WCase])] = {
+    val rng = new scala.util.Random(727272L)
+    (0 until 3).map { i =>
+      val cases = (0 until 3).map { j =>
+        val fn = genWFn(rng)
+        // nullif value drawn from quantity's 1..50 range so nulls are
+        // actually injected; the NULLS placement is part of the draw
+        WCase(s"w$j", fn, pick(rng, partPool: _*), rng.nextBoolean(),
+          if (fn.framed) Some(pick(rng, frames: _*)) else None,
+          nullsKey = Some((1 + rng.nextInt(50), rng.nextBoolean())))
+      }
+      (f"q_fuzzwin2_$i%02d", cases)
+    }
+  }
 
   // ---------------------------------------------------------------------
   // Aggregate fuzz: random grouping structure (plain / ROLLUP / CUBE /
@@ -420,6 +492,29 @@ object FuzzQueries {
     }
   }
 
+  // wave-2 draws for the agg and set grammars (one case each — the
+  // structures are small lattices; the pred/join/window waves carry
+  // the combinatorial weight)
+  private val aggCases2: Seq[(String, AggCase)] = {
+    val rng = new scala.util.Random(434343L)
+    val keys = Seq("l_returnflag", "l_linestatus", "l_linenumber")
+    Seq(0).map { i =>
+      val ks = rng.shuffle(keys)
+      val kind = rng.nextInt(4)
+      val having = if (rng.nextBoolean()) Some(1 + rng.nextInt(20)) else None
+      (f"q_fuzzagg2_$i%02d", AggCase(kind, ks, having))
+    }
+  }
+
+  private val setCases2: Seq[(String, (P, P, String))] = {
+    val rng = new scala.util.Random(909090L)
+    Seq(0).map { i =>
+      val op = pick(rng, "INTERSECT", "EXCEPT", "UNION", "INTERSECT ALL",
+        "EXCEPT ALL", "UNION ALL")
+      (f"q_fuzzset2_$i%02d", (genOver(rng, 2, genLeaf), genOver(rng, 2, genLeaf), op))
+    }
+  }
+
   private def setSqlOf(a: P, b: P, op: String): String =
     s"""SELECT * FROM (
          SELECT l_returnflag, l_linestatus, l_linenumber FROM lineitem
@@ -538,19 +633,19 @@ object FuzzQueries {
        FROM documents ORDER BY doc_id"""
 
   val defs: Map[String, (SparkSession, String) => DataFrame] =
-    preds.map { case (name, p) =>
+    (preds ++ preds2).map { case (name, p) =>
       name -> ((s: SparkSession, d: String) => run(s, d, p))
     }.toMap ++
-      joinPreds.map { case (name, jt, pO, pL) =>
+      (joinPreds ++ joinPreds2).map { case (name, jt, pO, pL) =>
         name -> ((s: SparkSession, d: String) => runJoin(s, d, jt, pO, pL))
       }.toMap ++
-      winCases.map { case (name, cs) =>
+      (winCases ++ winCases2).map { case (name, cs) =>
         name -> ((s: SparkSession, d: String) => runWin(s, d, cs))
       }.toMap ++
-      aggCases.map { case (name, c) =>
+      (aggCases ++ aggCases2).map { case (name, c) =>
         name -> ((s: SparkSession, d: String) => runAgg(s, d, c))
       }.toMap ++
-      setCases.map { case (name, (a, b, op)) =>
+      (setCases ++ setCases2).map { case (name, (a, b, op)) =>
         name -> ((s: SparkSession, d: String) => runSet(s, d, a, b, op))
       }.toMap ++
       scalarCases.map { case (name, cols) =>
@@ -558,13 +653,13 @@ object FuzzQueries {
       }.toMap
 
   val oracles: Map[String, String] =
-    preds.map { case (name, p) => name -> sqlOf(p) }.toMap ++
-      joinPreds.map { case (name, jt, pO, pL) =>
+    (preds ++ preds2).map { case (name, p) => name -> sqlOf(p) }.toMap ++
+      (joinPreds ++ joinPreds2).map { case (name, jt, pO, pL) =>
         name -> joinSqlOf(jt, pO, pL)
       }.toMap ++
-      winCases.map { case (name, cs) => name -> winSqlOf(cs) }.toMap ++
-      aggCases.map { case (name, c) => name -> aggSqlOf(c) }.toMap ++
-      setCases.map { case (name, (a, b, op)) =>
+      (winCases ++ winCases2).map { case (name, cs) => name -> winSqlOf(cs) }.toMap ++
+      (aggCases ++ aggCases2).map { case (name, c) => name -> aggSqlOf(c) }.toMap ++
+      (setCases ++ setCases2).map { case (name, (a, b, op)) =>
         name -> setSqlOf(a, b, op)
       }.toMap ++
       scalarCases.map { case (name, cols) => name -> scalarSqlOf(cols) }.toMap
