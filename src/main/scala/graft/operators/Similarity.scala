@@ -708,13 +708,23 @@ object Similarity {
     * ranking is monotone in cosine (‖a−b‖² = 2 − 2·cos on the unit
     * sphere) — the same pre-normalization the exact paths use.
     *
-    * ALL m subspaces train together: the sample explodes once into
-    * (id, mi, subvector) long form, and each Lloyd iteration is ONE
+    * ALL m subspaces train together: each Lloyd iteration is ONE
     * assign+mean job covering every (subspace, code) cell — m
     * independent per-subspace trainings would pay m× the job-scheduling
     * latency and m× the sample scans for identical results (subspace
-    * trainings share no state). Driver state per iteration is the
-    * m×codes×subDim centroid array — bounded, never data-sized.
+    * trainings share no state). The per-row code assignment runs
+    * through the SAME native argmin kernel the encode path owns
+    * ([[graft.functions.PqKernel.code]] via the PqCode expression —
+    * one kernel, so train-time and encode-time argmin/tie rules can
+    * never drift), replacing the boxed per-row closure UDF that was
+    * the last interpreted loop in the ANN family; the per-subspace
+    * training rows derive in-plan by exploding the code array against
+    * a column-start slice of the unit vector. Identical FP sequence to
+    * the UDF form (same distances in the same order, same strict-<
+    * tie rule), so codebooks are bit-identical — PqOpsSpec pins the
+    * equality against an in-test replica of the replaced UDF loop.
+    * Driver state per iteration is the m×codes×subDim centroid array —
+    * bounded, never data-sized.
     */
   def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int = 8,
               codes: Int = 16, sampleMod: Int = 4,
@@ -722,49 +732,51 @@ object Similarity {
     val v = unitized(df, idCol, vecCol)
     // a caller that already holds the dimensionality (ivfPqIndex: from
     // its collected coarse seeds) passes it and skips the probe job;
-    // ragged corpora still fail loudly downstream (every kernel checks)
-    val dim = knownDim.getOrElse(v.select(size(col("v"))).head().getInt(0))
+    // ragged corpora still fail loudly downstream (every kernel checks).
+    // Degenerate corpora carry the contract message (the calibrateLsh
+    // probe shape), not head()'s bare NoSuchElement
+    val dim = knownDim.getOrElse {
+      val probe = v.select(size(col("v"))).take(1)
+      require(probe.nonEmpty, "pqTrain: corpus is empty — nothing to train on")
+      require(!probe(0).isNullAt(0) && probe(0).getInt(0) > 0,
+        s"pqTrain: first $vecCol row is null or empty — the corpus must " +
+          "carry fixed-width non-null vectors")
+      probe(0).getInt(0)
+    }
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val longForm = v
+    // the persisted training state is the narrow (id, v) sample — the
+    // previous exploded (id, mi, sv) long form stored the same doubles
+    // across m× the rows plus m× the id column
+    val sample = v
       .filter(pmod(xxhash64(col("id")), lit(sampleMod)) === 0)
-      .select(col("id"), explode(array((0 until m).map(mi =>
-        struct(lit(mi).as("mi"),
-          slice(col("v"), mi * subDim + 1, subDim).as("sv"))): _*)).as("e"))
-      .select(col("id"), col("e.mi").as("mi"), col("e.sv").as("sv"))
+      .select(col("id"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // deterministic seeds: the `codes` lowest-id subvectors per subspace
-      val wSeed = Window.partitionBy("mi").orderBy("id")
-      val books: Array[Array[Array[Double]]] = Array.fill(m, codes)(null)
-      longForm.withColumn("rn", row_number().over(wSeed))
-        .filter(col("rn") <= codes)
-        .select("mi", "rn", "sv").collect()
-        .foreach(r => books(r.getInt(0))(r.getInt(1) - 1) =
-          r.getSeq[Double](2).toArray)
-      require(books.forall(_.forall(_ != null)),
+      // deterministic seeds: the `codes` lowest-id sample vectors,
+      // sliced per subspace (identical values to the previous
+      // per-subspace window rank — every subspace drew the same ids)
+      val seedRows = sample.orderBy("id").limit(codes)
+        .select("v").collect().map(_.getSeq[Double](0))
+      require(seedRows.length == codes,
         s"sample too small: need $codes seed vectors per subspace")
-      val sc = df.sparkSession.sparkContext
+      var books: Array[Array[Array[Double]]] = Array.tabulate(m, codes)(
+        (mi, c) => seedRows(c).slice(mi * subDim, (mi + 1) * subDim).toArray)
       var iter = 0
       while (iter < trainIters) {
-        val bc = sc.broadcast(books)
-        val assign = udf { (mi: Int, sv: Seq[Double]) =>
-          val book = bc.value(mi)
-          val a = sv.toArray
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < book.length) {
-            val d = sqDistSub(a, 0, book(c))
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          best
-        }
-        // one job: every (subspace, code, position) mean at once;
-        // m×codes×subDim result rows — bounded driver state
-        val means = longForm
-          .withColumn("code", assign(col("mi"), col("sv")))
-          .select(col("mi"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        // one job: assign every sample row's m codes through the native
+        // kernel, then every (subspace, code, position) mean at once;
+        // m×codes×subDim result rows — bounded driver state. The kernel
+        // snapshots the current books (PqOps.kernel flattens a copy),
+        // so mutating `books` after the job is safe.
+        val kern = graft.functions.PqOps.kernel(books)
+        val means = sample
+          .select(col("v"),
+            posexplode(graft.functions.PqOps.code(col("v"), kern))
+              .as(Seq("mi", "code")))
+          .select(col("mi"), col("code"),
+            posexplode(slice(col("v"), col("mi") * subDim + 1, lit(subDim)))
+              .as(Seq("pos", "x")))
           .groupBy("mi", "code", "pos").agg(avg("x").as("mx"))
           .collect()
         val next = books.map(_.map(_.clone()))
@@ -772,12 +784,11 @@ object Similarity {
           case ((mi, code), rows) =>
             rows.foreach(r => next(mi)(code)(r.getInt(2)) = r.getDouble(3))
         } // empty cells keep their previous centroid (same rule as lloyd)
-        books.indices.foreach(mi => books(mi) = next(mi))
-        bc.destroy()
+        books = next
         iter += 1
       }
       PQModel(m, subDim, books)
-    } finally longForm.unpersist(blocking = false)
+    } finally sample.unpersist(blocking = false)
   }
 
   private def sqDistSub(a: Array[Double], off: Int, c: Array[Double]): Double = {

@@ -244,4 +244,73 @@ class PqOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("dim"))
   }
+
+  test("pqTrain assigns through the native kernel bit-identically to the replaced UDF loop") {
+    // Round 13 replaced pqTrain's per-iteration boxed closure-UDF argmin
+    // (the last interpreted per-row loop in the ANN family) with the
+    // encode path's native PqCode kernel. Training is deterministic, so
+    // the contract is BIT-identical codebooks — asserted here against an
+    // in-test replica of the exact replaced formulation (exploded
+    // (id, mi, sv) long form + broadcast closure UDF + groupBy mean).
+    import org.apache.spark.sql.expressions.Window
+    val iters = 3
+    val data = df(vecs)
+    val trained = graft.operators.Similarity.pqTrain(data, "id", "v",
+      m = m, codes = nCodes, sampleMod = 2, trainIters = iters)
+    val v = data.select(col("id").cast("long").as("id"),
+      PqOps.unitVec(transform(col("v"), x => x.cast("double"))).as("v"))
+    val longForm = v
+      .filter(pmod(xxhash64(col("id")), lit(2)) === 0)
+      .select(col("id"), explode(array((0 until m).map(mi =>
+        struct(lit(mi).as("mi"),
+          slice(col("v"), mi * subDim + 1, subDim).as("sv"))): _*)).as("e"))
+      .select(col("id"), col("e.mi").as("mi"), col("e.sv").as("sv"))
+      .persist()
+    try {
+      val wSeed = Window.partitionBy("mi").orderBy("id")
+      val books: Array[Array[Array[Double]]] = Array.fill(m, nCodes)(null)
+      longForm.withColumn("rn", row_number().over(wSeed))
+        .filter(col("rn") <= nCodes)
+        .select("mi", "rn", "sv").collect()
+        .foreach(r => books(r.getInt(0))(r.getInt(1) - 1) =
+          r.getSeq[Double](2).toArray)
+      assert(books.forall(_.forall(_ != null)), "replica seeds undersized")
+      val sc = spark.sparkContext
+      for (_ <- 0 until iters) {
+        val bc = sc.broadcast(books)
+        val assign = udf { (mi: Int, sv: Seq[Double]) =>
+          val book = bc.value(mi)
+          val a = sv.toArray
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < book.length) {
+            var acc = 0.0; var i = 0
+            while (i < book(c).length) {
+              val dd = a(i) - book(c)(i); acc += dd * dd; i += 1
+            }
+            if (acc < bestD) { bestD = acc; best = c }
+            c += 1
+          }
+          best
+        }
+        val means = longForm
+          .withColumn("code", assign(col("mi"), col("sv")))
+          .select(col("mi"), col("code"),
+            posexplode(col("sv")).as(Seq("pos", "x")))
+          .groupBy("mi", "code", "pos").agg(avg("x").as("mx"))
+          .collect()
+        val next = books.map(_.map(_.clone()))
+        means.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+          case ((mi, code), rows) =>
+            rows.foreach(r => next(mi)(code)(r.getInt(2)) = r.getDouble(3))
+        }
+        books.indices.foreach(mi => books(mi) = next(mi))
+        bc.destroy()
+      }
+      assert(trained.m === m && trained.subDim === subDim)
+      assert(trained.codebooks.flatten.flatten.toSeq ===
+        books.flatten.flatten.toSeq,
+        "kernel-assigned training diverged from the replaced UDF loop")
+    } finally longForm.unpersist(blocking = false)
+  }
 }
