@@ -17,11 +17,18 @@ package graft
   * @param sfDir  scale-factor directory the run measured
   * @param warmup discarded warm-up sweeps run before the measured ones
   * @param loads  1-min system loadavg at each sweep boundary, warm-up
-  *               sweeps included, plus one final end-of-run sample —
-  *               `warmup + reps + 1` entries
+  *               and replacement sweeps included, plus one final
+  *               end-of-run sample — `warmup + reps + resweeps + 1`
+  *               entries
   * @param settleS seconds the run waited before its first sweep for the
   *                box loadavg to fall below the settle threshold
   *                (VERDICT r10 #3); 0 = the box was already quiet
+  * @param resweeps replacement sweeps run because the measured walls
+  *                 disagreed >5% (VERDICT r12 #5): each re-runs the full
+  *                 corpus and REPLACES the worst (max-wall) sweep's
+  *                 entries, so one busy window costs one extra sweep
+  *                 instead of a warn-flagged artifact; bounded, and
+  *                 recorded here so the artifact stays self-describing
   */
 final case class BenchInput(names: Seq[String],
                             times: Map[String, List[Double]],
@@ -30,7 +37,8 @@ final case class BenchInput(names: Seq[String],
                             sfDir: String,
                             warmup: Int = 0,
                             loads: Seq[Double] = Nil,
-                            settleS: Int = 0) {
+                            settleS: Int = 0,
+                            resweeps: Int = 0) {
   def timesOf(n: String): List[Double] = times.getOrElse(n, Nil)
 }
 
@@ -101,6 +109,9 @@ object BenchFormat {
         // actually waited — ~12 chars, and its presence plus loadavg[0]
         // says whether the wait worked or timed out into a busy box
         (if (in.settleS > 0) s""","settle":${in.settleS}""" else "") +
+        // replacement sweeps that ran (VERDICT r12 #5) — ~14 chars,
+        // present only when a busy window was actually dodged
+        (if (in.resweeps > 0) s""","resweeps":${in.resweeps}""" else "") +
         (if (walls.size >= 2 && walls.min > 0 &&
              (walls.max - walls.min) / walls.min > 0.05)
           s""","warn":"walls disagree >5%"""" else "")
@@ -232,6 +243,7 @@ object BenchFormat {
     val loadPart = if (in.loads.isEmpty) ""
       else s""","loadavg":[${in.loads.map(v => f"$v%.1f").mkString(",")}]"""
     val settlePart = if (in.settleS > 0) s""","settle_s":${in.settleS}""" else ""
-    s"""{"reps":${in.reps},"warmup":${in.warmup},"qunit":"cs","order":"sweep","sweep_wall_s":[${sweepWalls(in).map(v => f"$v%.2f").mkString(",")}]$loadPart$settlePart,"queries":$qd$errPart,"sf":"${in.sfDir}"}"""
+    val resweepPart = if (in.resweeps > 0) s""","resweeps":${in.resweeps}""" else ""
+    s"""{"reps":${in.reps},"warmup":${in.warmup},"qunit":"cs","order":"sweep","sweep_wall_s":[${sweepWalls(in).map(v => f"$v%.2f").mkString(",")}]$loadPart$settlePart$resweepPart,"queries":$qd$errPart,"sf":"${in.sfDir}"}"""
   }
 }

@@ -215,4 +215,34 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(jb.has("rest") && jb.get("warn").asText().contains(">5%"))
     assert(BenchFormat.metricsLine(bigNoisy).length <= 1850)
   }
+
+  test("replacement sweeps are recorded in both artifacts, only when they ran") {
+    // VERDICT r12 #5: a busy window now costs one extra sweep, recorded
+    // as `resweeps` — the artifact must say a replacement happened (the
+    // shipped walls are not the raw first three), and stay silent when
+    // none did.
+    val names = Seq("q_a_1", "q_b_2")
+    val base = BenchInput(names,
+      Map("q_a_1" -> List(5.0, 5.1, 4.95), "q_b_2" -> List(2.0, 2.02, 2.0)),
+      Map.empty, 3, "/root/testdata/sf0.1")
+    assert(!parse(BenchFormat.metricsLine(base)).has("resweeps"))
+    assert(!parse(BenchFormat.detailLine(base)).has("resweeps"))
+    val reswept = base.copy(resweeps = 1)
+    assert(parse(BenchFormat.metricsLine(reswept)).get("resweeps").asInt() === 1)
+    assert(parse(BenchFormat.detailLine(reswept)).get("resweeps").asInt() === 1)
+    // agreeing walls after a replacement: resweeps present, no warn —
+    // the dodge worked and the artifact says so
+    assert(!parse(BenchFormat.metricsLine(reswept)).has("warn"))
+    // a replacement that did NOT restore agreement ships BOTH fields:
+    // the honest residual warn plus the record that a retry was spent
+    val stillNoisy = reswept.copy(times =
+      Map("q_a_1" -> List(8.0, 5.0, 4.8), "q_b_2" -> List(2.0, 1.9, 1.9)))
+    val j = parse(BenchFormat.metricsLine(stillNoisy))
+    assert(j.get("resweeps").asInt() === 1 && j.get("warn").asText().contains(">5%"))
+    // the field survives tier compression within budget
+    val big = corpus(300).copy(resweeps = 2)
+    val jb = parse(BenchFormat.metricsLine(big))
+    assert(jb.get("resweeps").asInt() === 2)
+    assert(BenchFormat.metricsLine(big).length <= 1850)
+  }
 }

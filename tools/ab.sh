@@ -69,7 +69,7 @@ run_one() { # $1 = build dir, $2 = tag, $3 = sweep index
   (cd "$1" && \
     SPARK_GRAFT_SF_DIR="$SFDIR" SPARK_GRAFT_CPUS="$CPUS" \
     SPARK_GRAFT_ONLY="$QUERIES" SPARK_GRAFT_REPS="$REPS" \
-    SPARK_GRAFT_WARMUP=0 SPARK_GRAFT_SETTLE_S=0 \
+    SPARK_GRAFT_WARMUP=0 SPARK_GRAFT_SETTLE_S=0 SPARK_GRAFT_RESWEEPS=0 \
     java -Xmx"${SPARK_DRIVER_MEM:-8g}" $ADD_OPENS \
       -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
       -cp "$1/target/scala-2.13/classes:/opt/spark/jars/*" \
