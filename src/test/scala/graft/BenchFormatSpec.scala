@@ -64,9 +64,13 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(j.get("qunit").asText() === "cs")
     val qSum = j.get("queries").elements().asScala.map(_.asLong()).sum
     val rSum = j.get("rest").elements().asScala.map(_.asLong()).sum
-    val entries = j.get("queries").size() + j.get("rest").size()
+    // the sub-0.3s family tail may be folded into one self-describing
+    // bucket — its cs participates in the reconciliation
+    val oSum = if (j.has("rest_other")) j.get("rest_other").get("cs").asLong() else 0L
+    val oN = if (j.has("rest_other")) j.get("rest_other").get("n").asInt() else 0
+    val entries = j.get("queries").size() + j.get("rest").size() + oN
     // each entry rounds independently to a centisecond
-    assert(math.abs(j.get("value").asDouble() - (qSum + rSum) / 100.0)
+    assert(math.abs(j.get("value").asDouble() - (qSum + rSum + oSum) / 100.0)
       <= 0.005 * entries + 0.01)
     // the reserved spread map must have survived the budget fit
     assert(j.has("spread"), "rollup tier reserves top-3 spread entries")
@@ -74,6 +78,34 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(keys(j.get("spread")).forall(k => !k.startsWith("q_")),
       "stripped tiers strip spread keys too")
     assert(stripped.forall(k => !k.startsWith("q_")))
+  }
+
+  test("rollup tier folds the sub-0.3s family tail into a self-describing bucket") {
+    // 240 queries: 2 big families carry the time, 200 single-query tiny
+    // families are the long tail that crowded every per-query minimum
+    // out of the r13 artifact ("top 0/237"). The fold must keep the
+    // line in budget, leave REAL per-query minima in `queries`, state
+    // its own size, and reconcile.
+    val bigNames = (0 until 40).map(i => s"q_big${i % 2}_op$i")
+    val tinyNames = (0 until 200).map(i => s"q_tiny${i}_x")
+    val names = bigNames ++ tinyNames
+    val times = (bigNames.map(_ -> List(2.0, 2.0, 2.0)) ++
+      tinyNames.map(_ -> List(0.05, 0.05, 0.05))).toMap
+    val in = BenchInput(names, times, Map.empty, 3, "/root/testdata/sf0.1")
+    val line = BenchFormat.metricsLine(in)
+    assert(line.length <= 1850)
+    val j = parse(line)
+    assert(j.has("rest_other") && j.get("rest_other").get("n").asInt() >= 3)
+    assert(j.get("note").asText().contains("rest_other"))
+    assert(j.get("queries").size() > 0,
+      "the fold exists to put per-query minima back in the artifact")
+    val qSum = j.get("queries").elements().asScala.map(_.asLong()).sum
+    val rSum = j.get("rest").elements().asScala.map(_.asLong()).sum
+    val oSum = j.get("rest_other").get("cs").asLong()
+    val entries = j.get("queries").size() + j.get("rest").size() +
+      j.get("rest_other").get("n").asInt()
+    assert(math.abs(j.get("value").asDouble() - (qSum + rSum + oSum) / 100.0)
+      <= 0.005 * entries + 0.01)
   }
 
   test("mid-size corpus keeps dispersion in the stripped tiers") {
