@@ -171,6 +171,19 @@ object RecallGrid {
           f"recall=${topKRecall(sbf7, rr)}%.4f$mark")
       }
       srvPq.encoded.unpersist()
+      // external-workload serving through flat ADC (q_ann_serve_pq):
+      // the bounded-batch architecture probed by the same mod-7
+      // workload at the derived flat depth + exact re-rank (reuses the
+      // codebooks/codes trained for the pqflat sweep above)
+      for (ck <- Seq(flatK, flatK - 16, flatK + 16).distinct.filter(_ >= 5)) {
+        val cand = Similarity.pqSearch(encoded, model, w7, "vec_id",
+          "embedding", k = ck)
+        val rr = AnnCalibrate.exactReRank(emb, "vec_id", "embedding",
+          cand, 5, querySrc = Some(w7))
+        val mark = if (ck == flatK) " <== derived" else ""
+        println(f"GRID servepq $d candK=$ck " +
+          f"recall=${topKRecall(sbf7, rr)}%.4f$mark")
+      }
       sbf7.unpersist()
       ivfIdx.assigned.unpersist()
       // SemDeDup pair recall vs the exact 0.45-threshold pairs, at the

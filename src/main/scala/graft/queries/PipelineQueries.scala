@@ -651,6 +651,59 @@ object PipelineQueries {
       AnnParams.observeClamps(recallContract(bf, exactReRank(emb, cand, 5)), n)._1
     }),
 
+    // External-workload serving through flat ADC — pqSearch's recall
+    // contract, completing the four-architecture serving symmetry
+    // (IVF exact+approx+persisted, LSH, IVF-PQ, and now flat PQ all
+    // driver-gated). Same mod-7 workload and interval-contract shape
+    // as q_ann_serve_lsh; depth is the derived flatCandK. Pinned
+    // interval [0.76, 0.90), grid-measured recall@5 (RecallGrid GRID
+    // servepq): 0.8222 at sf0.001 / 0.8306 at sf0.01 / 0.8357 at
+    // sf0.1 — every scale ≥0.062 from both edges. The broadcast
+    // bounded-batch contract holds: the workload is n/7 queries, and
+    // the per-query ADC tables ride the documented explicit broadcast.
+    "q_ann_serve_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = embCount(s, d)
+      val workload = serveWorkload(emb, every = 7)
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 8, codes = 64)
+      val encoded = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+      val cand = Similarity.pqSearch(encoded, model, workload, "vec_id",
+        "embedding", k = AnnParams.flatCandK(n, 5))
+      val ann = AnnCalibrate.exactReRank(emb, "vec_id", "embedding", cand,
+        5, querySrc = Some(workload))
+      val bf = Similarity.bruteForceTopKFor(workload, emb, "vec_id",
+        "embedding", k = 5, blocks = AnnParams.bruteBlocks(n))
+      recallIntervalContract(bf, ann, lo = 0.76, hi = 0.90)
+    }),
+
+    // The persisted-deployment row for the PRODUCTION architecture:
+    // ivfPqIndex → IndexStore.saveIvfPq → loadIvfPq → ivfPqProbe at the
+    // derived operating point, under q_ann_serve_ivfpq's interval
+    // contract (a loaded index probes bit-identically — IndexStoreSpec —
+    // so the interval transfers verbatim; what this row adds to the
+    // driver gate is the save→load plumbing of the family a
+    // billion-vector deployment actually persists: chunked quantizer
+    // state, codebook reassembly, encoded-corpus parquet). PlanSpec
+    // pins the loaded encoded parquet scan in the executed plan.
+    "q_ann_serve_persisted_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = embCount(s, d)
+      val workload = serveWorkload(emb, every = 7)
+      val idx = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+        AnnParams.nlist(n), m = 8, codes = 64)
+      val path = "target/idx_serve_ivfpq/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      IndexStore.saveIvfPq(idx, path)
+      val loaded = IndexStore.loadIvfPq(s, path)
+      val cand = Similarity.ivfPqProbe(loaded, workload, "vec_id",
+        "embedding", k = AnnParams.candK(n, 5), nprobe = AnnParams.nprobe(n))
+      val ann = AnnCalibrate.exactReRank(emb, "vec_id", "embedding", cand,
+        5, querySrc = Some(workload))
+      val bf = Similarity.bruteForceTopKFor(workload, emb, "vec_id",
+        "embedding", k = 5, blocks = AnnParams.bruteBlocks(n))
+      recallIntervalContract(bf, ann, lo = 0.80, hi = 0.93)
+    }),
+
     // Embedding near-dup pairs at cosine ≥ 0.45 (testdata max ≈ 0.51).
     // Exact blocked path, NOT LSH: 0.45 sits inside the background cosine
     // distribution of these near-random embeddings, where bucket pruning
@@ -1152,6 +1205,20 @@ object PipelineQueries {
                 true AS recall_in_band,
                 CAST(0.80 AS DOUBLE) AS band_lo,
                 CAST(0.93 AS DOUBLE) AS band_hi FROM embeddings
+         WHERE vec_id % 7 = 0""",
+    // the persisted round-trip probes bit-identically (IndexStoreSpec),
+    // so it must land inside the same interval
+    "q_ann_serve_persisted_ivfpq" ->
+      """SELECT count(*) AS n_queries,
+                true AS recall_in_band,
+                CAST(0.80 AS DOUBLE) AS band_lo,
+                CAST(0.93 AS DOUBLE) AS band_hi FROM embeddings
+         WHERE vec_id % 7 = 0""",
+    "q_ann_serve_pq" ->
+      """SELECT count(*) AS n_queries,
+                true AS recall_in_band,
+                CAST(0.76 AS DOUBLE) AS band_lo,
+                CAST(0.90 AS DOUBLE) AS band_hi FROM embeddings
          WHERE vec_id % 7 = 0""",
     "q_ann_serve" -> serveExactOracleSql,
     // the persisted round-trip must land on the SAME exact rows — one

@@ -419,7 +419,8 @@ class PlanSpec extends SparkSpec {
     // 1-row aggregate, never widen into a cartesian, and the whole
     // row must stay UDF-free
     for (q <- Seq("q_ann_serve", "q_ann_serve_approx",
-                  "q_ann_serve_lsh", "q_ann_serve_ivfpq")) {
+                  "q_ann_serve_lsh", "q_ann_serve_ivfpq",
+                  "q_ann_serve_pq")) {
       val p = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1500)}")
@@ -442,6 +443,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(!p.contains("ScalaUDF"), p.take(1500))
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // same pin for the IVF-PQ deployment row: the candidate side must
+    // be the LOADED encoded-corpus parquet, not the training lineage
+    val df2 = SparkEntry.queries("q_ann_serve_persisted_ivfpq")(spark, sf)
+    val p2 = df2.queryExecution.executedPlan.toString
+    assert(p2.contains("idx_serve_ivfpq") && p2.contains("encoded"),
+      s"expected a parquet scan of the saved IVF-PQ index dir:\n${p2.take(1500)}")
+    assert(!p2.contains("CartesianProduct"), p2.take(1500))
+    assert(!p2.contains("ScalaUDF"), p2.take(1500))
   }
 
   test("flat-ADC pqSearch keeps its query side broadcast (bounded-batch contract)") {
