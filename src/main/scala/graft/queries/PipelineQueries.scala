@@ -103,6 +103,27 @@ object PipelineQueries {
       bf
     }
 
+  /** The exact anchor over the MOD-7 serving workload, memoized per
+    * (session, sfDir) — the [[bfAnchor]] argument verbatim: the anchor
+    * is the AUDIT, not the operator under test (each serving row still
+    * trains/saves/loads/probes its own architecture from scratch), and
+    * the serving contract rows for all four architectures measure
+    * against the IDENTICAL brute-force top-5 over the identical
+    * workload, so sharing it changes no result while removing the
+    * corpus sweep's duplicated O(|workload|·n) exact scans.
+    */
+  private val serveBfCache = new PerSession[DataFrame]
+  private def serveBfAnchor(s: SparkSession, d: String): DataFrame =
+    serveBfCache.get(s, d) {
+      val emb = Tables.embeddings(s, d)
+      val bf = Similarity
+        .bruteForceTopKFor(serveWorkload(emb, every = 7), emb, "vec_id",
+          "embedding", k = 5, blocks = AnnParams.bruteBlocks(embCount(s, d)))
+        .persist()
+      bf.count()
+      bf
+    }
+
   /** The shared external serving workload for the q_ann_serve* rows:
     * every 10th corpus vector with its id shifted out of the corpus id
     * space by max(vec_id)+1. The shift is derived IN-PLAN (the
@@ -534,9 +555,7 @@ object PipelineQueries {
         tables = AnnParams.LshTables, bitsPerTable = AnnParams.lshBits(n))
       val ann = Similarity.lshProbeFor(idx, workload, "vec_id", "embedding",
         k = 5)
-      val bf = Similarity.bruteForceTopKFor(workload, emb, "vec_id",
-        "embedding", k = 5, blocks = AnnParams.bruteBlocks(n))
-      recallIntervalContract(bf, ann, lo = 0.73, hi = 0.86)
+      recallIntervalContract(serveBfAnchor(s, d), ann, lo = 0.73, hi = 0.86)
     }),
 
     // External-workload serving through IVF-PQ — ivfPqProbe's recall
@@ -562,9 +581,7 @@ object PipelineQueries {
         k = AnnParams.candK(n, 5), nprobe = AnnParams.nprobe(n))
       val ann = AnnCalibrate.exactReRank(emb, "vec_id", "embedding", cand,
         5, querySrc = Some(workload))
-      val bf = Similarity.bruteForceTopKFor(workload, emb, "vec_id",
-        "embedding", k = 5, blocks = AnnParams.bruteBlocks(n))
-      recallIntervalContract(bf, ann, lo = 0.80, hi = 0.93)
+      recallIntervalContract(serveBfAnchor(s, d), ann, lo = 0.80, hi = 0.93)
     }),
 
     // PQ-ANN (the memory-scale third architecture: 8-byte product-
@@ -672,9 +689,7 @@ object PipelineQueries {
         "embedding", k = AnnParams.flatCandK(n, 5))
       val ann = AnnCalibrate.exactReRank(emb, "vec_id", "embedding", cand,
         5, querySrc = Some(workload))
-      val bf = Similarity.bruteForceTopKFor(workload, emb, "vec_id",
-        "embedding", k = 5, blocks = AnnParams.bruteBlocks(n))
-      recallIntervalContract(bf, ann, lo = 0.76, hi = 0.90)
+      recallIntervalContract(serveBfAnchor(s, d), ann, lo = 0.76, hi = 0.90)
     }),
 
     // The persisted-deployment row for the PRODUCTION architecture:
@@ -699,9 +714,50 @@ object PipelineQueries {
         "embedding", k = AnnParams.candK(n, 5), nprobe = AnnParams.nprobe(n))
       val ann = AnnCalibrate.exactReRank(emb, "vec_id", "embedding", cand,
         5, querySrc = Some(workload))
-      val bf = Similarity.bruteForceTopKFor(workload, emb, "vec_id",
-        "embedding", k = 5, blocks = AnnParams.bruteBlocks(n))
-      recallIntervalContract(bf, ann, lo = 0.80, hi = 0.93)
+      recallIntervalContract(serveBfAnchor(s, d), ann, lo = 0.80, hi = 0.93)
+    }),
+
+    // Persisted deployment for the remaining two families — with these,
+    // ALL FOUR architectures' save→load→probe chains pass the driver
+    // gate (IVF under the exact hash; IVF-PQ/LSH/flat-PQ under their
+    // serving intervals, which transfer verbatim because loaded probes
+    // are bit-identical — IndexStoreSpec). LSH persistence stores only
+    // the corpus + hyperplane config (data-oblivious: the load
+    // re-buckets from the seed), so this row gates exactly that
+    // re-bucketing path reading the index dir's corpus parquet.
+    "q_ann_serve_persisted_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = embCount(s, d)
+      val idx = Similarity.lshIndex(emb, "vec_id", "embedding", dim = 64,
+        tables = AnnParams.LshTables, bitsPerTable = AnnParams.lshBits(n))
+      val path = "target/idx_serve_lsh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      IndexStore.saveLsh(idx, path)
+      val loaded = IndexStore.loadLsh(s, path)
+      val ann = Similarity.lshProbeFor(loaded, serveWorkload(emb, every = 7),
+        "vec_id", "embedding", k = 5)
+      recallIntervalContract(serveBfAnchor(s, d), ann, lo = 0.73, hi = 0.86)
+    }),
+
+    // Flat-PQ persistence: the family that previously retrained per
+    // serving job — savePq/loadPq round-trip the codebooks (chunked)
+    // and the encoded corpus, and the loaded pair feeds pqSearch
+    // directly. Same interval as q_ann_serve_pq (bit-identical loaded
+    // probe).
+    "q_ann_serve_persisted_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = embCount(s, d)
+      val workload = serveWorkload(emb, every = 7)
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+        m = 8, codes = 64)
+      val encoded = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+      val path = "target/idx_serve_pq/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      IndexStore.savePq(encoded, model, path)
+      val (encL, modelL) = IndexStore.loadPq(s, path)
+      val cand = Similarity.pqSearch(encL, modelL, workload, "vec_id",
+        "embedding", k = AnnParams.flatCandK(n, 5))
+      val ann = AnnCalibrate.exactReRank(emb, "vec_id", "embedding", cand,
+        5, querySrc = Some(workload))
+      recallIntervalContract(serveBfAnchor(s, d), ann, lo = 0.76, hi = 0.90)
     }),
 
     // Embedding near-dup pairs at cosine ≥ 0.45 (testdata max ≈ 0.51).
@@ -1215,6 +1271,18 @@ object PipelineQueries {
                 CAST(0.93 AS DOUBLE) AS band_hi FROM embeddings
          WHERE vec_id % 7 = 0""",
     "q_ann_serve_pq" ->
+      """SELECT count(*) AS n_queries,
+                true AS recall_in_band,
+                CAST(0.76 AS DOUBLE) AS band_lo,
+                CAST(0.90 AS DOUBLE) AS band_hi FROM embeddings
+         WHERE vec_id % 7 = 0""",
+    "q_ann_serve_persisted_lsh" ->
+      """SELECT count(*) AS n_queries,
+                true AS recall_in_band,
+                CAST(0.73 AS DOUBLE) AS band_lo,
+                CAST(0.86 AS DOUBLE) AS band_hi FROM embeddings
+         WHERE vec_id % 7 = 0""",
+    "q_ann_serve_persisted_pq" ->
       """SELECT count(*) AS n_queries,
                 true AS recall_in_band,
                 CAST(0.76 AS DOUBLE) AS band_lo,

@@ -443,14 +443,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1500))
     assert(!p.contains("ScalaUDF"), p.take(1500))
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
-    // same pin for the IVF-PQ deployment row: the candidate side must
-    // be the LOADED encoded-corpus parquet, not the training lineage
-    val df2 = SparkEntry.queries("q_ann_serve_persisted_ivfpq")(spark, sf)
-    val p2 = df2.queryExecution.executedPlan.toString
-    assert(p2.contains("idx_serve_ivfpq") && p2.contains("encoded"),
-      s"expected a parquet scan of the saved IVF-PQ index dir:\n${p2.take(1500)}")
-    assert(!p2.contains("CartesianProduct"), p2.take(1500))
-    assert(!p2.contains("ScalaUDF"), p2.take(1500))
+    // same pin for the other three families' deployment rows: the
+    // candidate side must be the LOADED index's parquet (the encoded
+    // corpus for the PQ families; the stored corpus vectors that LSH
+    // re-buckets from the seed), not the training lineage
+    for ((q, dir, part) <- Seq(
+        ("q_ann_serve_persisted_ivfpq", "idx_serve_ivfpq", "encoded"),
+        ("q_ann_serve_persisted_lsh", "idx_serve_lsh", "corpus"),
+        ("q_ann_serve_persisted_pq", "idx_serve_pq", "encoded"))) {
+      val p2 = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p2.contains(dir) && p2.contains(part),
+        s"$q: expected a parquet scan of $dir/$part:\n${p2.take(1500)}")
+      assert(!p2.contains("CartesianProduct"), s"$q:\n${p2.take(1500)}")
+      assert(!p2.contains("ScalaUDF"), s"$q:\n${p2.take(1500)}")
+    }
   }
 
   test("flat-ADC pqSearch keeps its query side broadcast (bounded-batch contract)") {
