@@ -211,6 +211,50 @@ object Sampling {
       .drop(cntCol, "__graft_balanced_stratum")
   }
 
+  /** Deterministic TEMPERATURE-mixed downsample at α = 1/2 — the
+    * square-root sampling rule of the multilingual-LM literature
+    * (exponentiated stratum smoothing, p_i ∝ n_i^α: mBERT's exponent-
+    * smoothed sampling, mT5 §3.3, XLM-R §3 — public papers all): big
+    * strata are down-weighted and small ones up-weighted SOFTLY, the
+    * interpolation between keep-all (α = 1) and [[balancedSample]]'s
+    * full equalize (α = 0). Per-stratum keep-rate r_i = √(n_min/n_i):
+    * sampled composition ∝ n_i·r_i = √(n_min·n_i) ∝ n_i^(1/2) — the
+    * α = 1/2 mixture exactly.
+    *
+    * α = 1/2 is the shipped point because it is the one temperature
+    * with an EXACT integer keep rule (the discipline every operator in
+    * this file owes its oracle): keep iff bucket² · n_i < n_min · 2^64
+    * — squaring both sides of bucket/2^32 < √(n_min/n_i) clears the
+    * square root, so the decision is pure integer arithmetic (decimal
+    * on the Spark side, HUGEINT in the oracle), never a float pow. A
+    * general-α variant would put n_i^(α−1) through floating pow on
+    * both engines and hash-diverge on the first libm difference.
+    * Same cost shape as [[balancedSample]]: one k-row counting agg
+    * re-shipped as a broadcast join, then a narrow per-row filter.
+    */
+  def sqrtTemperatureSample(df: DataFrame, stratumCol: String, keyCol: String,
+                            seed: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(20, 0)
+    val cntCol = "__graft_temp_cnt"
+    require(!df.columns.contains(cntCol),
+      s"sqrtTemperatureSample: input already has a '$cntCol' column")
+    val cntsDf = df.groupBy(stratumCol).agg(count(lit(1)).as(cntCol))
+    val rows = cntsDf.collect()
+    require(rows.nonEmpty, "sqrtTemperatureSample on an empty input")
+    val minc = rows.map(_.getLong(1)).min
+    val local = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), cntsDf.schema)
+      .withColumnRenamed(stratumCol, "__graft_temp_stratum")
+    val b = bucketOf(col(keyCol), seed).cast(dec)
+    // null-safe join for NULL strata — same contract as balancedSample
+    df.join(broadcast(local),
+        df(stratumCol) <=> local("__graft_temp_stratum"))
+      .filter(b * b * col(cntCol).cast(dec) <
+        lit(minc).cast(dec) * lit(M).cast(dec) * lit(M).cast(dec))
+      .drop(cntCol, "__graft_temp_stratum")
+  }
+
   /** 1-based global rank of every row under `ord`, as column `posCol`
     * (long) — WITHOUT the `row_number() over (ORDER BY ...)` trap, whose
     * empty partitionBy funnels the entire table through ONE window task

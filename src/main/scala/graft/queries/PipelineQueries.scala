@@ -300,6 +300,18 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
 
+    // Temperature-mixed corpus sampling at α = 1/2 (exponentiated
+    // stratum smoothing — the multilingual-LM mixing rule): big
+    // languages down-weight softly instead of slamming to the smallest
+    // stratum's size; keep-rate per language = √(n_min/n_i), decided by
+    // the exact integer rule bucket²·n_i < n_min·2^64 on BOTH engines
+    // (squaring clears the square root — the one temperature with a
+    // float-free oracle; see Sampling.sqrtTemperatureSample).
+    "q_temp_mixture" -> ((s, d) =>
+      Sampling.sqrtTemperatureSample(Tables.documents(s, d), "lang", "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
     // Near-dup dedup END-TO-END: the survivor set after transitive
     // clustering — every doc either outside the near-dup graph or the
     // canonical (min-id) member of its component. This is the actual
@@ -1162,6 +1174,20 @@ object PipelineQueries {
                  * CAST(c.cnt AS HUGEINT)
                < CAST(m.minc AS HUGEINT) * CAST(4294967296 AS HUGEINT)
          ORDER BY d.doc_id""",
+    // α = 1/2 temperature mixing: the same Knuth bucket SQUARED clears
+    // the √(n_min/n_i) keep-rate into pure integer arithmetic
+    "q_temp_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+              m AS (SELECT min(cnt) AS minc FROM c),
+              b AS (SELECT doc_id, lang,
+                      (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS bk
+                    FROM documents)
+         SELECT b.doc_id, b.lang
+         FROM b JOIN c USING (lang) CROSS JOIN m
+         WHERE b.bk * b.bk * CAST(c.cnt AS HUGEINT)
+               < CAST(m.minc AS HUGEINT)
+                 * CAST(4294967296 AS HUGEINT) * CAST(4294967296 AS HUGEINT)
+         ORDER BY b.doc_id""",
     // All-pairs recomputation of the poly-hash SimHash fingerprint: the
     // same (h1<<31)|h2 rolling hash per token (codepoint fold), the same
     // TF-weighted bit votes, then brute-force hamming ≤ 3. The Spark side

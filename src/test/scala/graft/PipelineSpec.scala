@@ -280,6 +280,39 @@ class PipelineSpec extends SparkSpec {
     assert(e1 !== order(2))
   }
 
+  test("sqrtTemperatureSample interpolates between keep-all and equalize") {
+    import graft.operators.Sampling
+    val n = docs.count()
+    val temp = Sampling.sqrtTemperatureSample(docs, "lang", "doc_id")
+    val bal = Sampling.balancedSample(docs, "lang", "doc_id")
+    // α = 1/2 sits strictly between α = 0 (equalize) and α = 1
+    // (keep-all) in total kept rows on any multi-stratum corpus
+    val (tn, bn) = (temp.count(), bal.count())
+    assert(bn < tn && tn < n, s"equalize $bn < temp $tn < all $n must hold")
+    // the α = 1/2 composition law: every stratum's EXPECTED keep-rate is
+    // √(n_min/n_i), so larger strata keep a smaller FRACTION but still
+    // more ROWS than the smallest stratum keeps (soft, not hard,
+    // re-balancing) — checked against the exact counting rule rather
+    // than expectation: kept_i = |{k in stratum i : bucket(k)²·n_i <
+    // n_min·2^64}| is deterministic
+    val cnts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = temp.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minc = cnts.values.min
+    for ((lang, ni) <- cnts; ki <- kept.get(lang)) {
+      val expRate = math.sqrt(minc.toDouble / ni)
+      // keyed Bernoulli at n≈hundreds per stratum: loose 3σ-ish band
+      val sd = math.sqrt(ni * expRate * (1 - expRate))
+      assert(math.abs(ki - ni * expRate) <= 3 * sd + 2,
+        s"$lang: kept $ki of $ni, expected ≈ ${ni * expRate}")
+    }
+    // deterministic and partitioning-independent, like every sampler here
+    val t2 = Sampling.sqrtTemperatureSample(docs.repartition(7), "lang", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(t2 === temp.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("bucketOf: seeds are independent hash functions, ANSI-safe at any key") {
     import graft.operators.Sampling
     import spark.implicits._
