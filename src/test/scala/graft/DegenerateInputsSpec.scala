@@ -78,12 +78,16 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(Sampling.samplePerKey(e.withColumn("g", lit(1)), "g", "doc_id", 2)
       .count() === 0)
     assert(Sampling.withGlobalRank(e, "pos", col("doc_id")).count() === 0)
-    // balancedSample LEARNS stratum floors from the data: empty input is
-    // a contract error, stated as such
+    // balancedSample and sqrtTemperatureSample LEARN stratum floors from
+    // the data: empty input is a contract error, stated as such
     val err = intercept[IllegalArgumentException] {
       Sampling.balancedSample(e, "text", "doc_id")
     }
     assert(err.getMessage.contains("empty"))
+    val err2 = intercept[IllegalArgumentException] {
+      Sampling.sqrtTemperatureSample(e, "text", "doc_id")
+    }
+    assert(err2.getMessage.contains("empty"))
   }
 
   test("zero-norm vectors score 0.0, never NaN — and never outrank real neighbors") {
