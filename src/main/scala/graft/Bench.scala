@@ -139,35 +139,56 @@ object Bench {
     def wallsNow: IndexedSeq[Double] = BenchFormat.sweepWalls(BenchInput(
       names.map(_._1), times.toMap, firstErr.toMap, reps, sfDir))
     var resweeps = 0
-    while (resweeps < maxResweeps && {
+    // Entries displaced by an accepted replacement. They came from a
+    // REAL measured run, so they stay evidence for each query's min
+    // (min is the additive-noise filter — any observed run bounds the
+    // true cost from above) even though the sweep they belonged to no
+    // longer ships as a wall. Without this, a replacement could RAISE a
+    // query's reported min: the outlier sweep's busy window may have
+    // opened after some query ran its fastest rep.
+    val displaced = scala.collection.mutable.Map[String, Double]()
+    var keepGoing = true
+    while (keepGoing && resweeps < maxResweeps) {
+      // ONE walls computation per iteration drives both the stop
+      // decision and the outlier pick — two separate computations would
+      // silently couple only by luck if anything ever mutated between
       val w = wallsNow
-      w.size >= 2 && w.min > 0 && (w.max - w.min) / w.min > 0.05
-    }) {
-      val w = wallsNow
-      val bad = w.indexOf(w.max)
-      System.err.println(s"[bench] walls disagree >5% — re-running sweep $bad")
-      val res = runSweep()
-      // the replacement is taken ONLY if it improves on the outlier's
-      // wall — a retry that lands in the same (or a new) busy window
-      // must not make the shipped walls worse than what was measured.
-      // Walls compare over the full-rep query set only (a query that
-      // errors DURING the replacement keeps its measured reps and is
-      // flagged in `errors`); the spent retry is recorded either way.
-      val fullRep = times.toSeq.filter(_._2.length == reps)
-      val newWall = fullRep.flatMap { case (n, _) => res.get(n) }.sum
-      if (res.nonEmpty && fullRep.forall { case (n, _) => res.contains(n) } &&
-          newWall < w(bad)) {
-        for ((n, ts) <- fullRep; t <- res.get(n))
-          times(n) = ts.updated(bad, t)
-      } else System.err.println(
-        f"[bench] replacement wall $newWall%.1f s did not improve on " +
-          f"${w(bad)}%.1f s — keeping the measured sweep")
-      resweeps += 1
+      if (!(w.size >= 2 && w.min > 0 && (w.max - w.min) / w.min > 0.05))
+        keepGoing = false
+      else {
+        val bad = w.indexOf(w.max)
+        System.err.println(s"[bench] walls disagree >5% — re-running sweep $bad")
+        val res = runSweep()
+        // the replacement is taken ONLY if it improves on the outlier's
+        // wall — a retry that lands in the same (or a new) busy window
+        // must not make the shipped walls worse than what was measured.
+        // Walls compare over the full-rep query set only (a query that
+        // errors DURING the replacement keeps its measured reps and is
+        // flagged in `errors`); the spent retry is recorded either way.
+        val fullRep = times.toSeq.filter(_._2.length == reps)
+        val newWall = fullRep.flatMap { case (n, _) => res.get(n) }.sum
+        if (res.nonEmpty && fullRep.forall { case (n, _) => res.contains(n) } &&
+            newWall < w(bad)) {
+          for ((n, ts) <- fullRep; t <- res.get(n)) {
+            displaced(n) = math.min(ts(bad), displaced.getOrElse(n, Double.MaxValue))
+            times(n) = ts.updated(bad, t)
+          }
+        } else {
+          System.err.println(
+            f"[bench] replacement wall $newWall%.1f s did not improve on " +
+              f"${w(bad)}%.1f s — keeping the measured sweep")
+          // a rejected replacement leaves the walls unchanged, so another
+          // iteration within the same budget would re-run the identical
+          // decision against the same box state — stop instead
+          keepGoing = false
+        }
+        resweeps += 1
+      }
     }
     loads += osBean.getSystemLoadAverage
     val input = BenchInput(names.map(_._1),
       times.toMap, firstErr.toMap, reps, sfDir, warm, loads.toSeq, settledS,
-      resweeps)
+      resweeps, displaced.toMap)
     val json = BenchFormat.metricsLine(input)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")

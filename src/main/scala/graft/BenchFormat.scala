@@ -32,6 +32,15 @@ package graft
   *                 one extra sweep instead of a warn-flagged artifact;
   *                 bounded, and recorded here — spent or not taken —
   *                 so the artifact stays self-describing
+  * @param displaced per-query minimum of the entries an accepted
+  *                  replacement overwrote. They came from real measured
+  *                  runs, so they stay evidence for each query's
+  *                  reported MIN (the additive-noise filter: any
+  *                  observed run bounds the true cost from above) even
+  *                  though their sweep no longer ships as a wall —
+  *                  without this, replacing an outlier sweep could
+  *                  RAISE a query's min when the busy window opened
+  *                  after that query ran its fastest rep
   */
 final case class BenchInput(names: Seq[String],
                             times: Map[String, List[Double]],
@@ -41,8 +50,15 @@ final case class BenchInput(names: Seq[String],
                             warmup: Int = 0,
                             loads: Seq[Double] = Nil,
                             settleS: Int = 0,
-                            resweeps: Int = 0) {
+                            resweeps: Int = 0,
+                            displaced: Map[String, Double] = Map.empty) {
   def timesOf(n: String): List[Double] = times.getOrElse(n, Nil)
+
+  /** Reported per-query minimum: min over the shipped sweep entries AND
+    * any entries displaced by an accepted replacement sweep.
+    */
+  def minOf(n: String): Option[Double] =
+    (timesOf(n) ++ displaced.get(n)).minOption
 }
 
 object BenchFormat {
@@ -78,7 +94,7 @@ object BenchFormat {
   /** The tier-selected stdout metrics line. */
   def metricsLine(in: BenchInput): String = {
     val results: Seq[(String, Double, Option[String])] = in.names.map { n =>
-      (n, in.timesOf(n).minOption.getOrElse(0.0), in.errors.get(n))
+      (n, in.minOf(n).getOrElse(0.0), in.errors.get(n))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
@@ -262,6 +278,12 @@ object BenchFormat {
       else s""","loadavg":[${in.loads.map(v => f"$v%.1f").mkString(",")}]"""
     val settlePart = if (in.settleS > 0) s""","settle_s":${in.settleS}""" else ""
     val resweepPart = if (in.resweeps > 0) s""","resweeps":${in.resweeps}""" else ""
-    s"""{"reps":${in.reps},"warmup":${in.warmup},"qunit":"cs","order":"sweep","sweep_wall_s":[${sweepWalls(in).map(v => f"$v%.2f").mkString(",")}]$loadPart$settlePart$resweepPart,"queries":$qd$errPart,"sf":"${in.sfDir}"}"""
+    // entries overwritten by an accepted replacement sweep — they still
+    // participate in per-query minima (BenchInput.displaced scaladoc),
+    // so triage can see where a reported min came from
+    val displacedPart = if (in.displaced.isEmpty) "" else
+      s""","displaced":${in.names.flatMap(n => in.displaced.get(n).map(t =>
+        "\"" + n + "\":" + math.round(t * 100))).mkString("{", ",", "}")}"""
+    s"""{"reps":${in.reps},"warmup":${in.warmup},"qunit":"cs","order":"sweep","sweep_wall_s":[${sweepWalls(in).map(v => f"$v%.2f").mkString(",")}]$loadPart$settlePart$resweepPart$displacedPart,"queries":$qd$errPart,"sf":"${in.sfDir}"}"""
   }
 }

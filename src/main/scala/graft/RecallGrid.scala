@@ -155,14 +155,16 @@ object RecallGrid {
         println(f"GRID servelsh $d tables=${AnnParams.LshTables} bits=$b " +
           f"recall=${topKRecall(sbf7, ann)}%.4f$mark")
       }
-      val srvPq = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
-        nlist, m = 8, codes = 64)
-      srvPq.encoded.persist().count()
+      // reuse the IVF-PQ index trained for the self-kNN sweep above —
+      // training is deterministic (that sweep's own rationale), so a
+      // second ivfPqIndex here measured bit-identical numbers while
+      // paying a duplicate Lloyd+codebook training per scale
+      idx.encoded.persist().count()
       for ((np, ck) <- Seq((nprobe, candK), (nprobe - 2, candK),
                            (nprobe + 2, candK), (nprobe, candK - 16),
                            (nprobe, candK + 16)).distinct
                          .filter { case (np, ck) => np >= 1 && ck >= 5 }) {
-        val cand = Similarity.ivfPqProbe(srvPq, w7, "vec_id",
+        val cand = Similarity.ivfPqProbe(idx, w7, "vec_id",
           "embedding", k = ck, nprobe = np)
         val rr = AnnCalibrate.exactReRank(emb, "vec_id", "embedding",
           cand, 5, querySrc = Some(w7))
@@ -170,7 +172,7 @@ object RecallGrid {
         println(f"GRID serveivfpq $d nlist=$nlist nprobe=$np candK=$ck " +
           f"recall=${topKRecall(sbf7, rr)}%.4f$mark")
       }
-      srvPq.encoded.unpersist()
+      idx.encoded.unpersist()
       // external-workload serving through flat ADC (q_ann_serve_pq):
       // the bounded-batch architecture probed by the same mod-7
       // workload at the derived flat depth + exact re-rank (reuses the

@@ -177,9 +177,12 @@ object AnnParams {
     if (want > MaxLshBits) Some(
       s"AnnParams.lshBits: the fraction-derived depth $want bits exceeds " +
         s"MaxLshBits = $MaxLshBits (table signatures pack into one long) — " +
-        s"the realized candidate fraction will be ~$tables/2^$MaxLshBits, not " +
-        s"the requested $targetCandFrac. A fraction this small is below 1/n " +
-        "for any physical corpus; request a coarser target fraction.")
+        "the returned depth is capped, so the expected candidate fraction " +
+        s"will exceed the requested $targetCandFrac (it is ~tables/2^depth " +
+        "at whichever of this cap and the ⌈log2(n)⌉ occupancy bound ends up " +
+        "binding — for any corpus under 2^62 vectors the occupancy bound is " +
+        "the lower one and logs its own message). Requesting a fraction " +
+        s"this small has no effect a coarser target would not also have.")
     else None
   }
 
@@ -253,8 +256,13 @@ object AnnParams {
     * `org.apache.spark.sql.Observation` (the IterCkpt/Components
     * convergence-count precedent): `caps_bound` = how many caps bind,
     * `cap_messages` = the joined texts, both filled when the frame's
-    * first action runs and readable from `Observation.get` or any
-    * QueryExecutionListener. When NOTHING binds — every corpus below
+    * first action runs. A caller that KEEPS the returned Observation
+    * handle reads them from `Observation.get`; a caller that only
+    * returns the DataFrame (the shipped q_ann_ivfpq row — a query
+    * signature has nowhere to carry the handle) still surfaces them to
+    * every QueryExecutionListener and the SQL event log under the
+    * observation name "ann_param_clamps", which is the job-metrics
+    * visibility this exists for. When NOTHING binds — every corpus below
     * the caps, including all tested scales — the frame is returned
     * UNTOUCHED (no CollectMetrics node, no metric noise on the common
     * path) and the Observation is None. The metrics are lit-aggregates
@@ -276,7 +284,9 @@ object AnnParams {
     if (msgs.isEmpty) (df, None)
     else {
       import org.apache.spark.sql.functions.{lit, max}
-      val obs = org.apache.spark.sql.Observation()
+      // NAMED so listener/event-log consumers can key on it (an unnamed
+      // Observation gets an opaque generated name per instance)
+      val obs = org.apache.spark.sql.Observation("ann_param_clamps")
       (df.observe(obs, max(lit(msgs.length)).as("caps_bound"),
         max(lit(msgs.mkString(" | "))).as("cap_messages")), Some(obs))
     }

@@ -791,13 +791,6 @@ object Similarity {
     } finally sample.unpersist(blocking = false)
   }
 
-  private def sqDistSub(a: Array[Double], off: Int, c: Array[Double]): Double = {
-    var acc = 0.0
-    var i = 0
-    while (i < c.length) { val d = a(off + i) - c(i); acc += d * d; i += 1 }
-    acc
-  }
-
   /** (id, code: array<int>) — one compiled pass, no shuffle; the code is
     * the only thing the search path needs per indexed vector. Encoding
     * is the native [[graft.functions.PqCode]] expression over the

@@ -1165,11 +1165,19 @@ object PipelineQueries {
            FROM documents)
          SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          FROM n GROUP BY norm ORDER BY doc_id""",
+    // the count join is NULL-SAFE (IS NOT DISTINCT FROM) on both of the
+    // stratified samplers: the Spark side deliberately keeps a NULL
+    // stratum as its own group (balancedSample's <=> join), and a
+    // null-rejecting USING join here would silently drop every
+    // NULL-lang row the engine keeps — dormant on this testdata (no
+    // NULL lang) but a real divergence on the first corpus that has one
     "q_lang_balance" ->
       """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
               m AS (SELECT min(cnt) AS minc FROM c)
          SELECT d.doc_id, d.lang
-         FROM documents d JOIN c USING (lang) CROSS JOIN m
+         FROM documents d
+           JOIN c ON d.lang IS NOT DISTINCT FROM c.lang
+           CROSS JOIN m
          WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296
                  * CAST(c.cnt AS HUGEINT)
                < CAST(m.minc AS HUGEINT) * CAST(4294967296 AS HUGEINT)
@@ -1183,7 +1191,7 @@ object PipelineQueries {
                       (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS bk
                     FROM documents)
          SELECT b.doc_id, b.lang
-         FROM b JOIN c USING (lang) CROSS JOIN m
+         FROM b JOIN c ON b.lang IS NOT DISTINCT FROM c.lang CROSS JOIN m
          WHERE b.bk * b.bk * CAST(c.cnt AS HUGEINT)
                < CAST(m.minc AS HUGEINT)
                  * CAST(4294967296 AS HUGEINT) * CAST(4294967296 AS HUGEINT)

@@ -277,4 +277,28 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(jb.get("resweeps").asInt() === 2)
     assert(BenchFormat.metricsLine(big).length <= 1850)
   }
+
+  test("entries displaced by a replacement sweep still bound per-query minima") {
+    // a busy window can open AFTER a query ran its fastest rep in the
+    // outlier sweep: replacing that sweep must not raise the query's
+    // reported min — the displaced entry came from a real run and stays
+    // evidence (additive noise: any observed run bounds the true cost)
+    val names = Seq("q_a_1", "q_b_2")
+    val in = BenchInput(names,
+      // q_a_1's shipped sweeps min to 1.0, but the displaced entry from
+      // the replaced sweep was its true fastest run at 0.8
+      Map("q_a_1" -> List(1.0, 1.0, 1.1), "q_b_2" -> List(2.0, 2.0, 2.0)),
+      Map.empty, 3, "/root/testdata/sf0.1",
+      resweeps = 1, displaced = Map("q_a_1" -> 0.8))
+    assert(in.minOf("q_a_1") === Some(0.8))
+    assert(in.minOf("q_b_2") === Some(2.0))
+    val j = parse(BenchFormat.metricsLine(in))
+    assert(j.get("queries").get("q_a_1").asDouble() === 0.8)
+    // walls stay the SHIPPED sweeps only (a min-merged wall would
+    // fabricate a sweep that never ran)
+    assert(BenchFormat.sweepWalls(in).map(math.round) === IndexedSeq(3L, 3L, 3L))
+    // the detail artifact records the displaced entries for triage
+    val d = parse(BenchFormat.detailLine(in))
+    assert(d.get("displaced").get("q_a_1").asLong() === 80L)
+  }
 }
