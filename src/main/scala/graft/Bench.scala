@@ -134,8 +134,13 @@ object Bench {
     // Bounded (default 1, SPARK_GRAFT_RESWEEPS) and recorded in both
     // artifacts as `resweeps`, so a run that still disagrees after its
     // budget ships the honest warn instead of retrying forever.
+    // Default 2 (VERDICT r13 #5): the r13 driver run spent its single
+    // retry into another busy window and shipped the warn; a second
+    // retry costs one extra sweep ONLY when the first also lands busy,
+    // and the improve-only acceptance rule already makes extra retries
+    // regression-proof.
     val maxResweeps = sys.env.get("SPARK_GRAFT_RESWEEPS").flatMap(_.toIntOption)
-      .filter(_ >= 0).getOrElse(1)
+      .filter(_ >= 0).getOrElse(2)
     def wallsNow: IndexedSeq[Double] = BenchFormat.sweepWalls(BenchInput(
       names.map(_._1), times.toMap, firstErr.toMap, reps, sfDir))
     var resweeps = 0
@@ -177,18 +182,32 @@ object Bench {
           System.err.println(
             f"[bench] replacement wall $newWall%.1f s did not improve on " +
               f"${w(bad)}%.1f s — keeping the measured sweep")
-          // a rejected replacement leaves the walls unchanged, so another
-          // iteration within the same budget would re-run the identical
-          // decision against the same box state — stop instead
-          keepGoing = false
+          // a rejected replacement leaves the walls unchanged, but the
+          // box state it sampled is minutes newer than the sweep it
+          // tried to replace — a remaining budget entry retries against
+          // yet another machine state (the r13 driver run spent its one
+          // retry into a still-busy window; the budget, not an early
+          // stop, is the loop bound)
         }
         resweeps += 1
       }
     }
     loads += osBean.getSystemLoadAverage
+    // A query that failed ONLY during a replacement sweep still carries a
+    // complete, valid measured rep set (runSweep skips errored queries,
+    // so times(name).length == reps proves every measured sweep
+    // succeeded). Shipping it in `errors` would flag numbers that are
+    // actually whole — record those separately (detail artifact +
+    // stderr) and keep `errors` (and the non-zero exit) for queries
+    // whose shipped numbers are genuinely incomplete.
+    val (resweepOnlyErr, realErr) = firstErr.toMap
+      .partition { case (n, _) => times(n).length == reps }
+    if (resweepOnlyErr.nonEmpty)
+      System.err.println("[bench] failed only in a replacement sweep " +
+        s"(measured reps complete): ${resweepOnlyErr.keys.toSeq.sorted.mkString(", ")}")
     val input = BenchInput(names.map(_._1),
-      times.toMap, firstErr.toMap, reps, sfDir, warm, loads.toSeq, settledS,
-      resweeps, displaced.toMap)
+      times.toMap, realErr, reps, sfDir, warm, loads.toSeq, settledS,
+      resweeps, displaced.toMap, resweepOnlyErr)
     val json = BenchFormat.metricsLine(input)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
@@ -207,6 +226,6 @@ object Bench {
     System.out.flush()
     if (json.length > 1850)
       System.err.println(s"[bench] WARNING metrics line ${json.length} chars — nearing the 2000-char tail budget")
-    if (firstErr.nonEmpty) sys.exit(1)
+    if (realErr.nonEmpty) sys.exit(1)
   }
 }

@@ -32,6 +32,13 @@ package graft
   *                 one extra sweep instead of a warn-flagged artifact;
   *                 bounded, and recorded here — spent or not taken —
   *                 so the artifact stays self-describing
+  * @param resweepErrors first error per query that failed ONLY in a
+  *                      replacement sweep: its measured rep set is
+  *                      complete (every shipped number is real), so it
+  *                      does not belong in `errors` — a reader would
+  *                      otherwise see both a valid min and an error for
+  *                      the same query — but the failure stays recorded
+  *                      in the detail artifact for triage
   * @param displaced per-query minimum of the entries an accepted
   *                  replacement overwrote. They came from real measured
   *                  runs, so they stay evidence for each query's
@@ -51,7 +58,8 @@ final case class BenchInput(names: Seq[String],
                             loads: Seq[Double] = Nil,
                             settleS: Int = 0,
                             resweeps: Int = 0,
-                            displaced: Map[String, Double] = Map.empty) {
+                            displaced: Map[String, Double] = Map.empty,
+                            resweepErrors: Map[String, String] = Map.empty) {
   def timesOf(n: String): List[Double] = times.getOrElse(n, Nil)
 
   /** Reported per-query minimum: min over the shipped sweep entries AND
@@ -281,9 +289,15 @@ object BenchFormat {
     // entries overwritten by an accepted replacement sweep — they still
     // participate in per-query minima (BenchInput.displaced scaladoc),
     // so triage can see where a reported min came from
+    // failures confined to a replacement sweep (measured reps complete —
+    // BenchInput.resweepErrors): triage-visible here, absent from the
+    // stdout line's `errors` because every shipped number is whole
+    val resweepErrPart = if (in.resweepErrors.isEmpty) "" else
+      s""","resweep_errors":${in.names.flatMap(n => in.resweepErrors.get(n).map(e =>
+        "\"" + n + "\":\"" + esc(e) + "\"")).mkString("{", ",", "}")}"""
     val displacedPart = if (in.displaced.isEmpty) "" else
       s""","displaced":${in.names.flatMap(n => in.displaced.get(n).map(t =>
         "\"" + n + "\":" + math.round(t * 100))).mkString("{", ",", "}")}"""
-    s"""{"reps":${in.reps},"warmup":${in.warmup},"qunit":"cs","order":"sweep","sweep_wall_s":[${sweepWalls(in).map(v => f"$v%.2f").mkString(",")}]$loadPart$settlePart$resweepPart$displacedPart,"queries":$qd$errPart,"sf":"${in.sfDir}"}"""
+    s"""{"reps":${in.reps},"warmup":${in.warmup},"qunit":"cs","order":"sweep","sweep_wall_s":[${sweepWalls(in).map(v => f"$v%.2f").mkString(",")}]$loadPart$settlePart$resweepPart$resweepErrPart$displacedPart,"queries":$qd$errPart,"sf":"${in.sfDir}"}"""
   }
 }

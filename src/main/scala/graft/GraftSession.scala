@@ -30,6 +30,11 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // plan-string scan locations are truncated at this many chars; the
+      // default 100 cuts the tail off deeper scratch paths (the
+      // session-unique idx_serve dirs), which PlanSpec's loaded-index
+      // pins and any human reading .explain() both need visible
+      .config("spark.sql.maxMetadataStringLength", "256")
       // Early testdata generations stored events.ts as TIMESTAMP(NANOS),
       // which Spark's parquet reader otherwise rejects; harmless no-op on
       // µs-typed files. Declared once here rather than as a loader side

@@ -243,6 +243,17 @@ object Sampling {
     val rows = cntsDf.collect()
     require(rows.nonEmpty, "sqrtTemperatureSample on an empty input")
     val minc = rows.map(_.getLong(1)).min
+    // The exact-integer claim has a ceiling: bucket² < 2^64 ≈ 1.845e19,
+    // so bucket²·n_i is computed in DecimalType precision 38 and
+    // overflows to NULL (silently dropping the row under Spark's
+    // precision-loss semantics, while the oracle's 128-bit HUGEINT
+    // keeps it) once a stratum exceeds ~5.4e18 rows. No corpus is
+    // within 10^5× of that, but the rule's exactness is the contract —
+    // fail loudly at the bound instead of diverging silently past it.
+    require(rows.map(_.getLong(1)).max <= 5400000000000000000L,
+      "sqrtTemperatureSample: a stratum exceeds 5.4e18 rows — bucket^2 * " +
+        "n_i would overflow decimal(38) and silently drop rows; shard the " +
+        "stratum or lower the per-stratum cardinality first")
     val local = df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), cntsDf.schema)
       .withColumnRenamed(stratumCol, "__graft_temp_stratum")

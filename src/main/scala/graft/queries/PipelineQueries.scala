@@ -87,6 +87,22 @@ object PipelineQueries {
   private def embCount(s: SparkSession, d: String): Long =
     embCountCache.get(s, d)(Tables.embeddings(s, d).count())
 
+  /** Scratch directory for the q_ann_serve_persisted* rows, unique per
+    * SESSION (one random tag memoized per session object): two sessions
+    * sharing a working directory must not overwrite each other's saved
+    * index mid-probe (the r13 ADVICE race — fixed relative paths meant
+    * concurrent suites could read a half-rewritten index). Within one
+    * session, calls run sequentially and the per-invocation overwrite
+    * of the SAME path is deliberate — the retrain-per-epoch shape.
+    * The path keeps the `idx_serve`/family/sf segments PlanSpec pins.
+    */
+  private val scratchTagCache = new PerSession[String]
+  private def idxScratch(s: SparkSession, family: String, d: String): String = {
+    val tag = scratchTagCache.get(s, "__tag")(
+      java.util.UUID.randomUUID().toString.take(8))
+    s"target/idx_serve$family/$tag/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+  }
+
   private val bfAnchorCache = new PerSession[DataFrame]
   private def bfAnchor(s: SparkSession, d: String): DataFrame =
     bfAnchorCache.get(s, d) {
@@ -498,10 +514,10 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       val nlist = AnnParams.nlist(embCount(s, d))
       val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist)
-      // deterministic per-sf path under the build's target dir (the
-      // one scratch space this repo owns; per-invocation overwrite is
-      // the retrain-per-epoch shape)
-      val path = "target/idx_serve/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      // session-unique per-sf path under the build's target dir (the
+      // one scratch space this repo owns — see idxScratch for the
+      // concurrency contract)
+      val path = idxScratch(s, "", d)
       IndexStore.saveIvf(idx, path)
       val loaded = IndexStore.loadIvf(s, path)
       Similarity.ivfProbeFor(loaded, serveWorkload(emb), "vec_id", "embedding",
@@ -719,7 +735,7 @@ object PipelineQueries {
       val workload = serveWorkload(emb, every = 7)
       val idx = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
         AnnParams.nlist(n), m = 8, codes = 64)
-      val path = "target/idx_serve_ivfpq/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = idxScratch(s, "_ivfpq", d)
       IndexStore.saveIvfPq(idx, path)
       val loaded = IndexStore.loadIvfPq(s, path)
       val cand = Similarity.ivfPqProbe(loaded, workload, "vec_id",
@@ -742,7 +758,7 @@ object PipelineQueries {
       val n = embCount(s, d)
       val idx = Similarity.lshIndex(emb, "vec_id", "embedding", dim = 64,
         tables = AnnParams.LshTables, bitsPerTable = AnnParams.lshBits(n))
-      val path = "target/idx_serve_lsh/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = idxScratch(s, "_lsh", d)
       IndexStore.saveLsh(idx, path)
       val loaded = IndexStore.loadLsh(s, path)
       val ann = Similarity.lshProbeFor(loaded, serveWorkload(emb, every = 7),
@@ -762,7 +778,7 @@ object PipelineQueries {
       val model = Similarity.pqTrain(emb, "vec_id", "embedding",
         m = 8, codes = 64)
       val encoded = Similarity.pqEncode(emb, "vec_id", "embedding", model)
-      val path = "target/idx_serve_pq/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val path = idxScratch(s, "_pq", d)
       IndexStore.savePq(encoded, model, path)
       val (encL, modelL) = IndexStore.loadPq(s, path)
       val cand = Similarity.pqSearch(encL, modelL, workload, "vec_id",

@@ -301,4 +301,26 @@ class BenchFormatSpec extends AnyFunSuite {
     val d = parse(BenchFormat.detailLine(in))
     assert(d.get("displaced").get("q_a_1").asLong() === 80L)
   }
+
+  test("replacement-sweep-only failures stay out of `errors` but reach the detail artifact") {
+    // r13 ADVICE: a query that errors ONLY during a replacement sweep
+    // carries a complete measured rep set — flagging it in `errors`
+    // would show a reader both a real min and an error for the same
+    // query. Bench routes it to resweepErrors; the stdout line stays
+    // error-free and the detail artifact records the failure for triage.
+    val names = Seq("q_a_1", "q_b_2")
+    val in = BenchInput(names,
+      Map("q_a_1" -> List(1.0, 1.0, 1.0), "q_b_2" -> List(2.0, 2.0, 2.0)),
+      Map.empty, 3, "/root/testdata/sf0.1",
+      resweeps = 1, resweepErrors = Map("q_b_2" -> "boom"))
+    val j = parse(BenchFormat.metricsLine(in))
+    assert(!j.has("errors"))
+    assert(j.get("queries").get("q_b_2").asDouble() === 2.0)
+    val d = parse(BenchFormat.detailLine(in))
+    assert(!d.has("errors"))
+    assert(d.get("resweep_errors").get("q_b_2").asText() === "boom")
+    // absent when empty — every detail field stays self-describing
+    assert(!parse(BenchFormat.detailLine(in.copy(resweepErrors = Map.empty)))
+      .has("resweep_errors"))
+  }
 }
