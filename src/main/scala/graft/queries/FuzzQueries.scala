@@ -515,6 +515,169 @@ object FuzzQueries {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Wave 3 (round 14): null-injected GROUPING and JOIN keys — the two
+  // surfaces wave 2's nullif probe (window ORDER BY keys) did not reach,
+  // and where the same cross-engine null-handling divergences live:
+  // grouping-set NULL markers vs data NULLs in the same output column
+  // (disambiguated only by grouping() arithmetic — the classic
+  // confusion), and null-rejecting `=` vs null-safe `<=>` /
+  // IS NOT DISTINCT FROM join matching (a live divergence class — the
+  // round-13 q_lang_balance oracle fix was exactly a null-joining bug).
+  // Wave-1/2 seeds and rendering stay byte-identical; these render
+  // through their own functions because the null-injected key changes
+  // the FROM shape (a pre-projected nullif column), the gid arithmetic,
+  // and the final sort (explicit NULLS FIRST on every engine — data
+  // NULLs now reach the output sort keys, where Spark defaults ASC to
+  // NULLS FIRST and DuckDB to NULLS LAST).
+  // ---------------------------------------------------------------------
+
+  /** Agg fuzz over a null-injected grouping key: `ln_n = nullif(
+    * l_linenumber, v)` replaces l_linenumber in the drawn structure, so
+    * every grouping kind must keep a data-NULL group (grouping(ln_n) =
+    * 0, ln_n IS NULL) distinct from a rolled-up marker row
+    * (grouping(ln_n) = 1, ln_n IS NULL) — rows identical in every key
+    * column that only the gid separates.
+    */
+  private val aggCases3: Seq[(String, AggCase, Int)] = {
+    val rng = new scala.util.Random(140814L)
+    val keys = Seq("l_returnflag", "l_linestatus", "ln_n")
+    (0 until 3).map { i =>
+      val ks = rng.shuffle(keys)
+      val kind = rng.nextInt(4)
+      val having = if (rng.nextBoolean()) Some(1 + rng.nextInt(20)) else None
+      // l_linenumber spans 1..7 at every scale, so any drawn v injects
+      // real NULLs everywhere
+      (f"q_fuzzagg3_$i%02d", AggCase(kind, ks, having), 1 + rng.nextInt(7))
+    }
+  }
+
+  private def runAgg3(s: SparkSession, d: String, c: AggCase, v: Int): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .withColumn("ln_n", expr(s"nullif(l_linenumber, $v)"))
+    val kcols = c.ks.map(col)
+    val grouped = c.kind match {
+      case 0 => li.groupBy(kcols: _*)
+      case 1 => li.rollup(kcols: _*)
+      case 2 => li.cube(kcols: _*)
+      case 3 => li.groupingSets(c.sets.map(_.map(col)), kcols: _*)
+    }
+    val gid = (if (c.kind == 0) lit(0)
+      else grouping(col("l_returnflag"))
+        + lit(2) * grouping(col("l_linestatus"))
+        + lit(4) * grouping(col("ln_n"))).as("gid")
+    val agged = grouped.agg(gid,
+      count(lit(1)).as("n"),
+      sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+      min(col("l_extendedprice")).as("mn"))
+    val havinged = c.havingMin match {
+      case Some(h) => agged.filter(col("n") >= h)
+      case None    => agged
+    }
+    // explicit NULLS FIRST on every key, both engines: within one
+    // grouping set the data-NULL ln_n group must sort deterministically
+    // against the non-NULL groups (the engines' DEFAULTS diverge)
+    havinged
+      .select(col("l_returnflag"), col("l_linestatus"), col("ln_n"),
+        col("gid"), col("n"), col("qty"), col("mn"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first, col("ln_n").asc_nulls_first)
+  }
+
+  private def aggSqlOf3(c: AggCase, v: Int): String = {
+    val grouping = c.kind match {
+      case 0 => c.ks.mkString(", ")
+      case 1 => s"ROLLUP (${c.ks.mkString(", ")})"
+      case 2 => s"CUBE (${c.ks.mkString(", ")})"
+      case 3 =>
+        s"GROUPING SETS ((${c.sets.map(_.mkString(", ")).mkString("), (")}))"
+    }
+    val having = c.havingMin.map(h => s" HAVING count(*) >= $h").getOrElse("")
+    val gidSql =
+      if (c.kind == 0) "0"
+      else
+        """grouping(l_returnflag) + 2 * grouping(l_linestatus)
+                + 4 * grouping(ln_n)"""
+    s"""SELECT l_returnflag, l_linestatus, ln_n,
+              $gidSql AS gid,
+              count(*) AS n,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+              min(l_extendedprice) AS mn
+       FROM (SELECT *, nullif(l_linenumber, $v) AS ln_n FROM lineitem)
+       GROUP BY $grouping$having
+       ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST,
+                ln_n NULLS FIRST"""
+  }
+
+  /** Join fuzz over null-injected join keys: both sides' orderkeys pass
+    * through nullif at independently drawn values, joined with either
+    * null-rejecting `=` (the injected keys must NOT match — on both
+    * engines) or null-safe `<=>` / IS NOT DISTINCT FROM (the two NULL
+    * key sets MUST cross-match: order vO's row joins order vL's line
+    * rows — the semantics only an explicit null-safe operator gives).
+    * Orderkeys are dense 0..1499 at every scale, so drawn values hit
+    * real rows everywhere; the null-safe cross-match stays bounded (one
+    * order × ≤7 lines).
+    */
+  private val joinPreds3: Seq[(String, String, String, Int, Int, P, P)] = {
+    val rng = new scala.util.Random(333999L)
+    (0 until 4).map { i =>
+      (f"q_fuzzjoin3_$i%02d",
+        pick(rng, "inner", "left"),
+        pick(rng, "=", "<=>"),
+        rng.nextInt(1500), rng.nextInt(1500),
+        genOver(rng, 2, genLeafOrders),
+        genOver(rng, 2, genLeaf))
+    }
+  }
+
+  private def runJoin3(s: SparkSession, d: String, jt: String, op: String,
+                       vO: Int, vL: Int, pO: P, pL: P): DataFrame = {
+    val o = Tables.orders(s, d).filter(toCol(pO))
+    val l = Tables.lineitem(s, d).filter(toCol(pL))
+    val ko = expr(s"nullif(o_orderkey, $vO)")
+    val kl = expr(s"nullif(l_orderkey, $vL)")
+    val cond = if (op == "=") ko === kl else ko <=> kl
+    o.join(l, cond, jt)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), count(col("l_orderkey")).as("m"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("tp"))
+      .orderBy("o_orderpriority")
+  }
+
+  private def joinSqlOf3(jt: String, op: String, vO: Int, vL: Int,
+                         pO: P, pL: P): String = {
+    val sqlOp = if (op == "=") "=" else "IS NOT DISTINCT FROM"
+    val on = s"nullif(o_orderkey, $vO) $sqlOp nullif(l_orderkey, $vL)"
+    val tp = "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS tp"
+    jt match {
+      case "inner" =>
+        s"""SELECT o_orderpriority, count(*) AS n, count(l_orderkey) AS m, $tp
+           FROM orders JOIN lineitem ON $on
+           WHERE (${toSql(pO)}) AND (${toSql(pL)})
+           GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+      case "left" =>
+        s"""SELECT o_orderpriority, count(*) AS n, count(l_orderkey) AS m, $tp
+           FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE ${toSql(pL)}) l
+             ON $on
+           WHERE ${toSql(pO)}
+           GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+    }
+  }
+
+  // scalar wave 2 (round 14): the one grammar wave 2 skipped — a fresh
+  // seed over the same pinned-corner grammar (1-based substr,
+  // non-negative modulo)
+  private val scalarCases2: Seq[(String, Seq[(String, Either[SE, NE])])] = {
+    val rng = new scala.util.Random(2718281L)
+    (0 until 3).map { i =>
+      val cols = (0 until 3).map { j =>
+        (s"c$j", if (rng.nextBoolean()) Left(genStr(rng, 3)) else Right(genNum(rng, 3)))
+      }
+      (f"q_fuzzscalar2_$i%02d", cols)
+    }
+  }
+
   private def setSqlOf(a: P, b: P, op: String): String =
     s"""SELECT * FROM (
          SELECT l_returnflag, l_linestatus, l_linenumber FROM lineitem
@@ -639,6 +802,15 @@ object FuzzQueries {
       (joinPreds ++ joinPreds2).map { case (name, jt, pO, pL) =>
         name -> ((s: SparkSession, d: String) => runJoin(s, d, jt, pO, pL))
       }.toMap ++
+      joinPreds3.map { case (name, jt, op, vO, vL, pO, pL) =>
+        name -> ((s: SparkSession, d: String) => runJoin3(s, d, jt, op, vO, vL, pO, pL))
+      }.toMap ++
+      aggCases3.map { case (name, c, v) =>
+        name -> ((s: SparkSession, d: String) => runAgg3(s, d, c, v))
+      }.toMap ++
+      scalarCases2.map { case (name, cols) =>
+        name -> ((s: SparkSession, d: String) => runScalar(s, d, cols))
+      }.toMap ++
       (winCases ++ winCases2).map { case (name, cs) =>
         name -> ((s: SparkSession, d: String) => runWin(s, d, cs))
       }.toMap ++
@@ -657,6 +829,11 @@ object FuzzQueries {
       (joinPreds ++ joinPreds2).map { case (name, jt, pO, pL) =>
         name -> joinSqlOf(jt, pO, pL)
       }.toMap ++
+      joinPreds3.map { case (name, jt, op, vO, vL, pO, pL) =>
+        name -> joinSqlOf3(jt, op, vO, vL, pO, pL)
+      }.toMap ++
+      aggCases3.map { case (name, c, v) => name -> aggSqlOf3(c, v) }.toMap ++
+      scalarCases2.map { case (name, cols) => name -> scalarSqlOf(cols) }.toMap ++
       (winCases ++ winCases2).map { case (name, cs) => name -> winSqlOf(cs) }.toMap ++
       (aggCases ++ aggCases2).map { case (name, c) => name -> aggSqlOf(c) }.toMap ++
       (setCases ++ setCases2).map { case (name, (a, b, op)) =>

@@ -50,6 +50,19 @@ class AnnCalibrateSpec extends SparkSpec {
     assert(c.rho <= 0.5)
   }
 
+  test("the q_ann_calibrate gate target selects the margin-swept rung") {
+    // the driver-gated row (PipelineQueries q_ann_calibrate) pins its
+    // oracle on target 0.71 selecting ρ = 0.35 at EVERY scale — the
+    // margin-swept constant (≥0.05 from each adjacent rung everywhere;
+    // see the row comment). This is the same expectation as that oracle,
+    // pinned here at test scale so a grid or target change fails fast.
+    val c = AnnCalibrate
+      .calibrateIvf(emb, "vec_id", "embedding", recallTarget = 0.71)
+      .getOrElse(fail("target 0.71 must be reachable on the oracle corpus"))
+    assert(c.rho === 0.35 && c.recall >= 0.71)
+    assert(c.nprobe === AnnParams.nprobe(500, 0.35))
+  }
+
   test("flat-PQ calibration reproduces the offline FlatCandFrac depth") {
     val c = AnnCalibrate
       .calibrateFlatPq(emb, "vec_id", "embedding", recallTarget = 0.75)

@@ -429,6 +429,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("observeClamps wiring is the identity below the caps on every derived-knob row") {
+    // VERDICT r13 #6: every row whose knobs derive from the capped
+    // AnnParams rules now routes its result through observeClamps. At
+    // the tested scales nothing binds, so the contract is that the
+    // wiring adds NOTHING — no CollectMetrics node in the analyzed plan,
+    // no metric noise — while the past-the-cap firing is pinned at the
+    // operator level (AnnParamsSpec: observation + message per cap).
+    for (q <- Seq("q_ann_lsh", "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq",
+        "q_semdedup", "q_ann_serve", "q_ann_serve_persisted",
+        "q_ann_serve_approx", "q_ann_serve_lsh", "q_ann_serve_ivfpq",
+        "q_ann_serve_pq", "q_ann_serve_persisted_ivfpq",
+        "q_ann_serve_persisted_lsh", "q_ann_serve_persisted_pq")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.analyzed.toString
+      assert(!plan.contains("CollectMetrics"),
+        s"$q: observeClamps must be the identity below the caps:\n${plan.take(1000)}")
+    }
+  }
+
   test("persisted serving row probes the LOADED index: the plan scans the index dir") {
     // q_ann_serve_persisted's whole point is that the executed plan
     // reads the saved index's parquet (the deployment shape — a serving
