@@ -121,12 +121,13 @@ object PipelineQueries {
 
   /** The exact anchor over the MOD-7 serving workload, memoized per
     * (session, sfDir) — the [[bfAnchor]] argument verbatim: the anchor
-    * is the AUDIT, not the operator under test (each serving row still
-    * trains/saves/loads/probes its own architecture from scratch), and
-    * the serving contract rows for all four architectures measure
-    * against the IDENTICAL brute-force top-5 over the identical
-    * workload, so sharing it changes no result while removing the
-    * corpus sweep's duplicated O(|workload|·n) exact scans.
+    * is the AUDIT, not the operator under test (the serving rows probe
+    * the shared memoized index — see [[servingIvfIndex]] ff. — and the
+    * persisted rows still train/save/load from scratch), and the
+    * serving contract rows for all four architectures measure against
+    * the IDENTICAL brute-force top-5 over the identical workload, so
+    * sharing it changes no result while removing the corpus sweep's
+    * duplicated O(|workload|·n) exact scans.
     */
   private val serveBfCache = new PerSession[DataFrame]
   private def serveBfAnchor(s: SparkSession, d: String): DataFrame =
@@ -138,6 +139,57 @@ object PipelineQueries {
         .persist()
       bf.count()
       bf
+    }
+
+  /** Trained serving indexes, memoized per (session, sfDir) — VERDICT
+    * r13 #4. Training is DETERMINISTIC (hash-drawn samples, seeded
+    * Lloyd, fixed IEEE fold order), so the non-persisted serving rows
+    * re-derived bit-identical indexes on every call and every bench
+    * rep; memoizing is the bfAnchor argument verbatim — no result can
+    * change, only the re-paid Lloyd/pqTrain jobs disappear. The
+    * PERSISTED rows (q_ann_serve_persisted*) deliberately keep their
+    * per-call train→save→load re-pay: that chain IS their operator
+    * under test. The index's corpus-sized frame (assigned / encoded /
+    * banded) is persisted here because up to three rows × three bench
+    * reps probe it; same stale-memo caveat as every PerSession cache.
+    */
+  private val ivfIdxCache = new PerSession[Similarity.IvfIndex]
+  private def servingIvfIndex(s: SparkSession, d: String): Similarity.IvfIndex =
+    ivfIdxCache.get(s, d) {
+      val idx = Similarity.ivfIndex(Tables.embeddings(s, d), "vec_id",
+        "embedding", AnnParams.nlist(embCount(s, d)))
+      idx.assigned.persist()
+      idx
+    }
+
+  private val lshIdxCache = new PerSession[Similarity.LshIndex]
+  private def servingLshIndex(s: SparkSession, d: String): Similarity.LshIndex =
+    lshIdxCache.get(s, d) {
+      // LSH is data-oblivious (nothing trains) — this memo only shares
+      // the persisted bucket table across the row's probes
+      val idx = Similarity.lshIndex(Tables.embeddings(s, d), "vec_id",
+        "embedding", dim = 64, tables = AnnParams.LshTables,
+        bitsPerTable = AnnParams.lshBits(embCount(s, d)))
+      idx.banded.persist()
+      idx
+    }
+
+  private val ivfPqIdxCache = new PerSession[Similarity.IvfPqIndex]
+  private def servingIvfPqIndex(s: SparkSession, d: String): Similarity.IvfPqIndex =
+    ivfPqIdxCache.get(s, d) {
+      val idx = Similarity.ivfPqIndex(Tables.embeddings(s, d), "vec_id",
+        "embedding", AnnParams.nlist(embCount(s, d)), m = 8, codes = 64)
+      idx.encoded.persist()
+      idx
+    }
+
+  private val pqCache = new PerSession[(Similarity.PQModel, DataFrame)]
+  private def servingPq(s: SparkSession, d: String): (Similarity.PQModel, DataFrame) =
+    pqCache.get(s, d) {
+      val emb = Tables.embeddings(s, d)
+      val model = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8,
+        codes = 64)
+      (model, Similarity.pqEncode(emb, "vec_id", "embedding", model).persist())
     }
 
   /** The shared external serving workload for the q_ann_serve* rows:
@@ -494,7 +546,9 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       val n = embCount(s, d)
       val nlist = AnnParams.nlist(n)
-      val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist)
+      // memoized trained index (servingIvfIndex — bit-identical to
+      // training in-row; the persisted row keeps its own training)
+      val idx = servingIvfIndex(s, d)
       AnnParams.observeClamps(
         Similarity.ivfProbeFor(idx, serveWorkload(emb), "vec_id", "embedding",
             k = 5, nprobe = nlist)
@@ -558,8 +612,7 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       val n = embCount(s, d)
       val workload = serveWorkload(emb)
-      val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",
-        AnnParams.nlist(n))
+      val idx = servingIvfIndex(s, d)
       val ann = Similarity.ivfProbeFor(idx, workload, "vec_id", "embedding",
         k = 5, nprobe = AnnParams.nprobe(n, AnnParams.IvfProbeFrac))
       val bf = Similarity.bruteForceTopKFor(workload, emb, "vec_id",
@@ -588,8 +641,7 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       val n = embCount(s, d)
       val workload = serveWorkload(emb, every = 7)
-      val idx = Similarity.lshIndex(emb, "vec_id", "embedding", dim = 64,
-        tables = AnnParams.LshTables, bitsPerTable = AnnParams.lshBits(n))
+      val idx = servingLshIndex(s, d)
       val ann = Similarity.lshProbeFor(idx, workload, "vec_id", "embedding",
         k = 5)
       AnnParams.observeClamps(
@@ -614,8 +666,7 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       val n = embCount(s, d)
       val workload = serveWorkload(emb, every = 7)
-      val idx = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
-        AnnParams.nlist(n), m = 8, codes = 64)
+      val idx = servingIvfPqIndex(s, d)
       val cand = Similarity.ivfPqProbe(idx, workload, "vec_id", "embedding",
         k = AnnParams.candK(n, 5), nprobe = AnnParams.nprobe(n))
       val ann = AnnCalibrate.exactReRank(emb, "vec_id", "embedding", cand,
@@ -763,9 +814,7 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, d)
       val n = embCount(s, d)
       val workload = serveWorkload(emb, every = 7)
-      val model = Similarity.pqTrain(emb, "vec_id", "embedding",
-        m = 8, codes = 64)
-      val encoded = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+      val (model, encoded) = servingPq(s, d)
       val cand = Similarity.pqSearch(encoded, model, workload, "vec_id",
         "embedding", k = AnnParams.flatCandK(n, 5))
       val ann = AnnCalibrate.exactReRank(emb, "vec_id", "embedding", cand,
