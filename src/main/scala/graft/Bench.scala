@@ -168,8 +168,10 @@ object Bench {
         // wall — a retry that lands in the same (or a new) busy window
         // must not make the shipped walls worse than what was measured.
         // Walls compare over the full-rep query set only (a query that
-        // errors DURING the replacement keeps its measured reps and is
-        // flagged in `errors`); the spent retry is recorded either way.
+        // errors DURING the replacement keeps its measured reps; the
+        // failure ships as `resweep_errors` in the detail artifact, not
+        // in `errors` — see the partition below); the spent retry is
+        // recorded either way.
         val fullRep = times.toSeq.filter(_._2.length == reps)
         val newWall = fullRep.flatMap { case (n, _) => res.get(n) }.sum
         if (res.nonEmpty && fullRep.forall { case (n, _) => res.contains(n) } &&
@@ -187,7 +189,14 @@ object Bench {
           // tried to replace — a remaining budget entry retries against
           // yet another machine state (the r13 driver run spent its one
           // retry into a still-busy window; the budget, not an early
-          // stop, is the loop bound)
+          // stop, is the loop bound). EXCEPT when a full-rep query
+          // errored during this replacement: runSweep skips firstErr
+          // queries permanently, so no later replacement can ever cover
+          // the full-rep set again — acceptance is mathematically
+          // impossible and each further retry would burn a whole corpus
+          // sweep on a guaranteed rejection. Stop instead.
+          if (fullRep.exists { case (nm, _) => firstErr.contains(nm) })
+            keepGoing = false
         }
         resweeps += 1
       }

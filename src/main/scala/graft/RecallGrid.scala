@@ -120,6 +120,28 @@ object RecallGrid {
         println(f"GRID ivf $d nlist=$nlist nprobe=$np " +
           f"recall=${topKRecall(bf, ivf)}%.4f$mark")
       }
+      // the q_ann_calibrate GATE's margin sweep: per-rung recall over
+      // the calibration ρ grid itself (deduped by derived nprobe,
+      // smallest ρ per rung — calibrateIvf's own walk), probing the
+      // SAME trained index with the anchor's query rows. This
+      // reproduces the analysis behind the gate's pinned target 0.71
+      // (the one target at which every scale selects ρ = 0.35 with
+      // ≥0.05 margin to both adjacent rungs) — re-run before touching
+      // the gate's target, its oracle, or the default grid.
+      // sorted BEFORE distinctBy so each rung is attributed to its
+      // smallest ρ (nprobe is monotone in ρ, so equal-nprobe entries
+      // are contiguous after the sort) — the same attribute-to-cheapest
+      // rule as calibrateIvf's dedupeAscending, robust to a future
+      // out-of-order grid edit
+      for ((rho, np) <- AnnCalibrate.DefaultRhoGrid.sorted
+                          .map(r => (r, AnnParams.nprobe(n, r)))
+                          .distinctBy(_._2)) {
+        val ivf = Similarity.ivfProbeFor(ivfIdx, sampleQ, "vec_id",
+          "embedding", k = 5, nprobe = np)
+        val mark = if (rho == 0.35) " <== gate rung" else ""
+        println(f"GRID calivf $d rho=$rho nprobe=$np " +
+          f"recall=${topKRecall(bf, ivf)}%.4f$mark")
+      }
       // external-workload serving at the derived approximate point
       // (q_ann_serve_approx): the shifted modulo-10 workload probed
       // against the SAME trained index, anchored by the exact brute
@@ -227,6 +249,14 @@ object RecallGrid {
         case Some(c) => println(f"CALIB ivf $d target=0.8 rho=${c.rho} " +
           f"nprobe=${c.nprobe} recall=${c.recall}%.4f")
         case None => println(s"CALIB ivf $d target=0.8 unreachable at grid max")
+      }
+      // the gate target itself (q_ann_calibrate's oracle expectation:
+      // rho=0.35 at every scale)
+      AnnCalibrate.calibrateIvf(emb, "vec_id", "embedding", recallTarget = 0.71,
+          anchor = tkAnchor) match {
+        case Some(c) => println(f"CALIB ivfgate $d target=0.71 rho=${c.rho} " +
+          f"nprobe=${c.nprobe} recall=${c.recall}%.4f")
+        case None => println(s"CALIB ivfgate $d target=0.71 unreachable at grid max")
       }
       AnnCalibrate.calibrateLsh(emb, "vec_id", "embedding", recallTarget = 0.5,
           anchor = tkAnchor) match {

@@ -242,7 +242,8 @@ object Sampling {
     val cntsDf = df.groupBy(stratumCol).agg(count(lit(1)).as(cntCol))
     val rows = cntsDf.collect()
     require(rows.nonEmpty, "sqrtTemperatureSample on an empty input")
-    val minc = rows.map(_.getLong(1)).min
+    val cnts = rows.map(_.getLong(1))
+    val minc = cnts.min
     // The exact-integer claim has a ceiling: bucket² < 2^64 ≈ 1.845e19,
     // so bucket²·n_i is computed in DecimalType precision 38 and
     // overflows to NULL (silently dropping the row under Spark's
@@ -250,7 +251,7 @@ object Sampling {
     // keeps it) once a stratum exceeds ~5.4e18 rows. No corpus is
     // within 10^5× of that, but the rule's exactness is the contract —
     // fail loudly at the bound instead of diverging silently past it.
-    require(rows.map(_.getLong(1)).max <= 5400000000000000000L,
+    require(cnts.max <= 5400000000000000000L,
       "sqrtTemperatureSample: a stratum exceeds 5.4e18 rows — bucket^2 * " +
         "n_i would overflow decimal(38) and silently drop rows; shard the " +
         "stratum or lower the per-stratum cardinality first")

@@ -98,8 +98,24 @@ object PipelineQueries {
     */
   private val scratchTagCache = new PerSession[String]
   private def idxScratch(s: SparkSession, family: String, d: String): String = {
-    val tag = scratchTagCache.get(s, "__tag")(
-      java.util.UUID.randomUUID().toString.take(8))
+    val tag = scratchTagCache.get(s, "__tag") {
+      val t = java.util.UUID.randomUUID().toString.take(8)
+      // the r13 fixed paths were disk-bounded by overwrite-in-place;
+      // session-unique tags must be bounded by CLEANUP or every
+      // session leaks one saved-index set per family per sf. One JVM
+      // shutdown hook per tag removes this session's scratch at exit;
+      // a kill -9 leaves it behind, where the next `sbt clean` (or any
+      // target/ wipe) collects it.
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        Option(new java.io.File("target").listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("idx_serve"))
+          .map(f => new java.io.File(f, t))
+          .filter(_.exists())
+          .foreach(dir =>
+            new scala.reflect.io.Directory(dir).deleteRecursively())
+      }))
+      t
+    }
     s"target/idx_serve$family/$tag/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
   }
 
