@@ -62,6 +62,42 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // Duplicated-substring detection (boilerplate mining) — the
+    // SEQUENCE-level counterpart of the document-level dedup family:
+    // word 8-grams appearing in ≥2 DISTINCT documents, with their doc
+    // and occurrence counts. Document-level dedup (exact/MinHash/
+    // Jaccard) misses boilerplate shared across otherwise-distinct
+    // documents (headers, licenses, templates), which is exactly the
+    // repeated-substring class Lee et al. 2022 ("Deduplicating Training
+    // Data Makes Language Models Better" — ExactSubstr) remove at the
+    // sequence level; 8 words ≈ their 50-BPE-token span scaled to this
+    // corpus's short synthetic docs. Plan shape: one explode of the
+    // per-doc window list (windows guarded to docs of ≥8 words — Spark's
+    // sequence(1, size-7) would generate a DESCENDING [1, 0] sequence
+    // on shorter docs where DuckDB's generate_series returns empty, a
+    // cross-engine trap the CASE removes on both engines), then ONE
+    // groupBy(ngram) with map-side partial counts — each partition
+    // ships every distinct ngram once, and the n_docs ≥ 2 filter prunes
+    // the singleton tail after the final agg. At 100 TB the same plan
+    // holds (the shuffle key is the ngram text; a deployment that only
+    // needs the hot tail adds a count-min/TopKPerKey pre-pass), and
+    // suffix-array ExactSubstr's arbitrary-length spans reduce to a
+    // sweep over window widths of this operator.
+    "q_dup_ngrams" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      val grams = when(size(w) >= 8,
+        transform(sequence(lit(1), size(w) - 7),
+          i => array_join(slice(w, i, lit(8)), " ")))
+        .otherwise(array().cast("array<string>"))
+      docs(s, d)
+        .select(col("doc_id"), explode(grams).as("ngram"))
+        .groupBy("ngram")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("ngram"))
+    }),
+
     // Sequence packing: assign documents to fixed-token-budget training
     // sequences. This is the deterministic streaming variant — documents
     // are packed contiguously in doc_id order within each language shard
@@ -311,6 +347,20 @@ object CurationQueries {
                   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
            FROM documents) t
          WHERE rn <= 10 ORDER BY doc_id""",
+    // the same 8-word windows by 1-based inclusive list slicing; the
+    // CASE mirrors the Spark side's short-doc guard (generate_series
+    // is empty where Spark's sequence would descend)
+    "q_dup_ngrams" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         g AS (
+           SELECT doc_id, array_to_string(words[i:i+7], ' ') AS ngram
+           FROM w, unnest(CASE WHEN len(words) >= 8
+                               THEN generate_series(1, CAST(len(words) AS BIGINT) - 7)
+                               ELSE CAST([] AS BIGINT[]) END) AS t(i))
+         SELECT ngram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         FROM g GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY n_docs DESC, ngram""",
     "q_rep_ratio" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
          SELECT doc_id, round($repSql, 6) AS rep
