@@ -405,4 +405,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
+
+  /** Duplicated-substring detection (boilerplate mining) — the
+    * SEQUENCE-level counterpart of the document-level operators above:
+    * word n-grams appearing in ≥ `minDocs` DISTINCT documents, with doc
+    * and occurrence counts as `(ngram, n_docs, n_occ)`. Document-level
+    * dedup misses boilerplate shared across otherwise-distinct documents
+    * (headers, licenses, templates) — exactly the repeated-substring
+    * class Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", ExactSubstr) remove at the sequence level;
+    * suffix-array ExactSubstr's arbitrary-length spans reduce to a
+    * sweep over window widths of this operator.
+    *
+    * Plan shape: one explode of the per-doc window list, then ONE
+    * groupBy(ngram) whose count-distinct rewrite pre-aggregates on
+    * (ngram, doc_id) — within-doc repeats collapse map-side before the
+    * shuffle — and the `minDocs` filter prunes the singleton tail after
+    * the final agg. At 100 TB the same plan holds (the shuffle key is
+    * the ngram text; a deployment needing only the hot tail adds a
+    * count-min / TopKPerKey pre-pass).
+    *
+    * Docs shorter than n words contribute NO windows: the guard matters
+    * because Spark's sequence(1, size−(n−1)) would generate a
+    * DESCENDING [1, 0] sequence there (and bogus windows from it),
+    * where e.g. DuckDB's generate_series returns empty — a real
+    * cross-engine divergence the q_dup_ngrams oracle would catch.
+    */
+  def dupNgrams(df: DataFrame, idCol: String, textCol: String,
+                n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"window width must be >= 1, got $n")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val w = split(col(textCol), " ")
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("doc_id"), explode(grams).as("ngram"))
+      .groupBy("ngram")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+  }
 }

@@ -65,38 +65,14 @@ object CurationQueries {
     // Duplicated-substring detection (boilerplate mining) — the
     // SEQUENCE-level counterpart of the document-level dedup family:
     // word 8-grams appearing in ≥2 DISTINCT documents, with their doc
-    // and occurrence counts. Document-level dedup (exact/MinHash/
-    // Jaccard) misses boilerplate shared across otherwise-distinct
-    // documents (headers, licenses, templates), which is exactly the
-    // repeated-substring class Lee et al. 2022 ("Deduplicating Training
-    // Data Makes Language Models Better" — ExactSubstr) remove at the
-    // sequence level; 8 words ≈ their 50-BPE-token span scaled to this
-    // corpus's short synthetic docs. Plan shape: one explode of the
-    // per-doc window list (windows guarded to docs of ≥8 words — Spark's
-    // sequence(1, size-7) would generate a DESCENDING [1, 0] sequence
-    // on shorter docs where DuckDB's generate_series returns empty, a
-    // cross-engine trap the CASE removes on both engines), then ONE
-    // groupBy(ngram) with map-side partial counts — each partition
-    // ships every distinct ngram once, and the n_docs ≥ 2 filter prunes
-    // the singleton tail after the final agg. At 100 TB the same plan
-    // holds (the shuffle key is the ngram text; a deployment that only
-    // needs the hot tail adds a count-min/TopKPerKey pre-pass), and
-    // suffix-array ExactSubstr's arbitrary-length spans reduce to a
-    // sweep over window widths of this operator.
-    "q_dup_ngrams" -> ((s, d) => {
-      val w = split(col("text"), " ")
-      val grams = when(size(w) >= 8,
-        transform(sequence(lit(1), size(w) - 7),
-          i => array_join(slice(w, i, lit(8)), " ")))
-        .otherwise(array().cast("array<string>"))
-      docs(s, d)
-        .select(col("doc_id"), explode(grams).as("ngram"))
-        .groupBy("ngram")
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_occ"))
-        .filter(col("n_docs") >= 2)
-        .orderBy(col("n_docs").desc, col("ngram"))
-    }),
+    // and occurrence counts (Dedup.dupNgrams — semantics, scale
+    // argument, and the short-doc cross-engine trap documented there;
+    // 8 words ≈ Lee et al. 2022's 50-BPE-token ExactSubstr span scaled
+    // to this corpus's short synthetic docs). The ordering is total:
+    // ngram is unique after the group-by.
+    "q_dup_ngrams" -> ((s, d) =>
+      graft.operators.Dedup.dupNgrams(docs(s, d), "doc_id", "text")
+        .orderBy(col("n_docs").desc, col("ngram"))),
 
     // Sequence packing: assign documents to fixed-token-budget training
     // sequences. This is the deterministic streaming variant — documents

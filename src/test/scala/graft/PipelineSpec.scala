@@ -159,6 +159,38 @@ class PipelineSpec extends SparkSpec {
     assert(p1 === pairsAt(8))
   }
 
+  test("dupNgrams recovers planted boilerplate and honors the short-doc guard") {
+    import spark.implicits._
+    // Two distinct docs sharing one 8-word boilerplate span; a third doc
+    // repeating the span twice (n_occ counts occurrences, n_docs is
+    // distinct); a 7-word doc that must contribute NO windows (the
+    // short-doc guard — Spark's sequence(1, size-7) would DESCEND to
+    // [1, 0] there and fabricate windows); unique tails that must not
+    // surface (singletons are pruned by minDocs).
+    val bp = "this span is a shared license header boilerplate"
+    val df = Seq(
+      (1L, s"$bp alpha beta gamma"),
+      (2L, s"prefix words here $bp"),
+      (3L, s"$bp $bp"),
+      (4L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupNgrams(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // the planted span is found across all three docs; doc 3's repeat
+    // raises n_occ, not n_docs
+    assert(out(bp) === ((3L, 4L)))
+    // every emitted ngram crosses >=2 distinct docs — no singleton tail
+    assert(out.values.forall(_._1 >= 2))
+    // the 7-word doc contributed nothing: no emitted ngram contains its
+    // unique words
+    assert(!out.keys.exists(_.contains("seven")))
+    // a doc of EXACTLY n words emits its single full-width window
+    val pair = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h x"))
+      .toDF("doc_id", "text")
+    val single = Dedup.dupNgrams(pair, "doc_id", "text").collect()
+    assert(single.map(_.getString(0)).toSet === Set("a b c d e f g h"))
+  }
+
   test("lsh near-dup pairs recover planted near-dups exactly (vs blocked exact)") {
     // Plant 10 near-copies (small additive shift → cos ≈ 0.999). At the
     // defaults (16 tables × 12 bits) the per-pair miss probability is
