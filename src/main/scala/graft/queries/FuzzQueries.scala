@@ -665,6 +665,57 @@ object FuzzQueries {
     }
   }
 
+  /** Set-op fuzz over a null-injected projection column — the last
+    * grammar without NULL coverage, and the one where ANSI's OTHER
+    * null-equality rule lives: set operations compare rows by the
+    * NOT-DISTINCT rule (NULL matches NULL — the opposite of join `=`),
+    * so an INTERSECT between two filtered projections must KEEP a
+    * (rf, ls, NULL) row present on both sides, and EXCEPT ALL must
+    * count NULL-row multiplicities. Both engines claim ANSI here; the
+    * hash check is what verifies they mean the same thing. Explicit
+    * NULLS FIRST on the output sort, as with every null-injected key.
+    */
+  private val setCases3: Seq[(String, (P, P, String, Int))] = {
+    val rng = new scala.util.Random(515151L)
+    (0 until 2).map { i =>
+      val op = pick(rng, "INTERSECT", "EXCEPT", "UNION", "INTERSECT ALL",
+        "EXCEPT ALL", "UNION ALL")
+      (f"q_fuzzset3_$i%02d",
+        (genOver(rng, 2, genLeaf), genOver(rng, 2, genLeaf), op,
+          1 + rng.nextInt(7)))
+    }
+  }
+
+  private def runSet3(s: SparkSession, d: String, a: P, b: P, op: String,
+                      v: Int): DataFrame = {
+    val base = Tables.lineitem(s, d)
+      .withColumn("ln_n", expr(s"nullif(l_linenumber, $v)"))
+    val pa = base.filter(toCol(a)).select("l_returnflag", "l_linestatus", "ln_n")
+    val pb = base.filter(toCol(b)).select("l_returnflag", "l_linestatus", "ln_n")
+    val combined = op match {
+      case "INTERSECT"     => pa.intersect(pb)
+      case "INTERSECT ALL" => pa.intersectAll(pb)
+      case "EXCEPT"        => pa.except(pb)
+      case "EXCEPT ALL"    => pa.exceptAll(pb)
+      case "UNION"         => pa.union(pb).distinct()
+      case "UNION ALL"     => pa.union(pb)
+    }
+    // total for the DISTINCT ops (rows unique); the ALL variants'
+    // duplicates are content-identical rows, so their relative order
+    // cannot move the row-order hash (the wave-1 contract)
+    combined.orderBy(col("l_returnflag"), col("l_linestatus"),
+      col("ln_n").asc_nulls_first)
+  }
+
+  private def setSqlOf3(a: P, b: P, op: String, v: Int): String =
+    s"""SELECT * FROM (
+         SELECT l_returnflag, l_linestatus, nullif(l_linenumber, $v) AS ln_n
+         FROM lineitem WHERE ${toSql(a)}
+         $op
+         SELECT l_returnflag, l_linestatus, nullif(l_linenumber, $v) AS ln_n
+         FROM lineitem WHERE ${toSql(b)})
+       ORDER BY l_returnflag, l_linestatus, ln_n NULLS FIRST"""
+
   // scalar wave 2 (round 14): the one grammar wave 2 skipped — a fresh
   // seed over the same pinned-corner grammar (1-based substr,
   // non-negative modulo)
@@ -811,6 +862,9 @@ object FuzzQueries {
       scalarCases2.map { case (name, cols) =>
         name -> ((s: SparkSession, d: String) => runScalar(s, d, cols))
       }.toMap ++
+      setCases3.map { case (name, (a, b, op, v)) =>
+        name -> ((s: SparkSession, d: String) => runSet3(s, d, a, b, op, v))
+      }.toMap ++
       (winCases ++ winCases2).map { case (name, cs) =>
         name -> ((s: SparkSession, d: String) => runWin(s, d, cs))
       }.toMap ++
@@ -834,6 +888,9 @@ object FuzzQueries {
       }.toMap ++
       aggCases3.map { case (name, c, v) => name -> aggSqlOf3(c, v) }.toMap ++
       scalarCases2.map { case (name, cols) => name -> scalarSqlOf(cols) }.toMap ++
+      setCases3.map { case (name, (a, b, op, v)) =>
+        name -> setSqlOf3(a, b, op, v)
+      }.toMap ++
       (winCases ++ winCases2).map { case (name, cs) => name -> winSqlOf(cs) }.toMap ++
       (aggCases ++ aggCases2).map { case (name, c) => name -> aggSqlOf(c) }.toMap ++
       (setCases ++ setCases2).map { case (name, (a, b, op)) =>
