@@ -406,6 +406,26 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** All contiguous n-word windows of a words-array column, each joined
+    * with single spaces — the ONE definition of word n-gram windowing
+    * (callers: [[dupNgrams]]; CurationQueries.repExpr), because the
+    * unguarded formulation has a sharp edge every copy must remember:
+    * for a doc shorter than n words, Spark's sequence(1, size−(n−1))
+    * generates a DESCENDING sequence (sequence(1, 0) = [1, 0]) and the
+    * i = 0 window then FAILS the whole query in slice ("SQL array
+    * indices start at 1" — a loud job error, not silent bogus rows),
+    * while e.g. DuckDB's generate_series returns empty for the same
+    * bounds. The guard makes short docs contribute no windows, which is
+    * both the cross-engine-stable and the semantically right answer.
+    */
+  def wordNgrams(w: Column, n: Int): Column = {
+    require(n >= 1, s"window width must be >= 1, got $n")
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Duplicated-substring detection (boilerplate mining) — the
     * SEQUENCE-level counterpart of the document-level operators above:
     * word n-grams appearing in ≥ `minDocs` DISTINCT documents, with doc
@@ -425,21 +445,13 @@ object Dedup {
     * the ngram text; a deployment needing only the hot tail adds a
     * count-min / TopKPerKey pre-pass).
     *
-    * Docs shorter than n words contribute NO windows: the guard matters
-    * because Spark's sequence(1, size−(n−1)) would generate a
-    * DESCENDING [1, 0] sequence there (and bogus windows from it),
-    * where e.g. DuckDB's generate_series returns empty — a real
-    * cross-engine divergence the q_dup_ngrams oracle would catch.
+    * Docs shorter than n words contribute NO windows — see
+    * [[wordNgrams]] for why the guard is load-bearing.
     */
   def dupNgrams(df: DataFrame, idCol: String, textCol: String,
                 n: Int = 8, minDocs: Int = 2): DataFrame = {
-    require(n >= 1, s"window width must be >= 1, got $n")
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
-    val w = split(col(textCol), " ")
-    val grams = when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        i => array_join(slice(w, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    val grams = wordNgrams(split(col(textCol), " "), n)
     df.select(col(idCol).as("doc_id"), explode(grams).as("ngram"))
       .groupBy("ngram")
       .agg(countDistinct(col("doc_id")).as("n_docs"),

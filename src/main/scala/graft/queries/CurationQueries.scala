@@ -19,12 +19,15 @@ object CurationQueries {
   /** Duplicate-3-gram fraction of a tokens column `w` (requires
     * size(w) >= 3) — shared by q_rep_ratio and the composed
     * q_curate_full so the gate and the standalone score can never
-    * drift apart.
+    * drift apart. Windowing via the one guarded definition
+    * (Dedup.wordNgrams — identical windows for size >= 3, and the
+    * guard makes the expression safe to EVALUATE on shorter rows too,
+    * where the previous unguarded sequence would have failed the job
+    * in slice if a plan change ever evaluated it before the caller's
+    * size filter).
     */
   private def repExpr(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    lit(1.0) - size(array_distinct(transform(
-      sequence(lit(0), size(w) - 3),
-      i => array_join(slice(w, i + lit(1), lit(3)), " "))))
+    lit(1.0) - size(array_distinct(graft.operators.Dedup.wordNgrams(w, 3)))
       .cast("double") / (size(w) - 2).cast("double")
 
   /** DuckDB spelling of [[repExpr]] over a list column `w`. */

@@ -670,13 +670,22 @@ object FuzzQueries {
     * null-equality rule lives: set operations compare rows by the
     * NOT-DISTINCT rule (NULL matches NULL — the opposite of join `=`),
     * so an INTERSECT between two filtered projections must KEEP a
-    * (rf, ls, NULL) row present on both sides, and EXCEPT ALL must
-    * count NULL-row multiplicities. Both engines claim ANSI here; the
-    * hash check is what verifies they mean the same thing. Explicit
+    * (rf, ls, NULL) row present on both sides, and the ALL variants
+    * must count NULL-row multiplicities. Both engines claim ANSI here;
+    * the hash check is what verifies they mean the same thing. Explicit
     * NULLS FIRST on the output sort, as with every null-injected key.
+    * The seed was SEARCHED, not just drawn (the first candidate's
+    * EXCEPT ALL was provably empty — its right predicate drew the
+    * tautological l_linenumber <= 7 leaf, making the right side the
+    * whole projection and the multiset difference empty, a vacuous
+    * green): 616115 is the first seed whose two cases draw one
+    * INTERSECT-family and one EXCEPT-family op, are NON-EMPTY at every
+    * scale, and carry ≥1 NULL-ln_n output row at every scale — the
+    * conditions under which the rows actually exercise not-distinct
+    * NULL matching (drawn: EXCEPT + INTERSECT ALL).
     */
   private val setCases3: Seq[(String, (P, P, String, Int))] = {
-    val rng = new scala.util.Random(515151L)
+    val rng = new scala.util.Random(616115L)
     (0 until 2).map { i =>
       val op = pick(rng, "INTERSECT", "EXCEPT", "UNION", "INTERSECT ALL",
         "EXCEPT ALL", "UNION ALL")

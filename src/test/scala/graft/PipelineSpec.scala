@@ -164,9 +164,10 @@ class PipelineSpec extends SparkSpec {
     // Two distinct docs sharing one 8-word boilerplate span; a third doc
     // repeating the span twice (n_occ counts occurrences, n_docs is
     // distinct); a 7-word doc that must contribute NO windows (the
-    // short-doc guard — Spark's sequence(1, size-7) would DESCEND to
-    // [1, 0] there and fabricate windows); unique tails that must not
-    // surface (singletons are pruned by minDocs).
+    // short-doc guard — unguarded, Spark's sequence(1, size-7) would
+    // DESCEND to [1, 0] and the i = 0 window would fail the whole job
+    // in slice, where DuckDB's generate_series is empty); unique tails
+    // that must not surface (singletons are pruned by minDocs).
     val bp = "this span is a shared license header boilerplate"
     val df = Seq(
       (1L, s"$bp alpha beta gamma"),
