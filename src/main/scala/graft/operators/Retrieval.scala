@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sparse full-text retrieval: Okapi BM25 term scoring and ranked top-k
+  * search over an inverted term index — the lexical counterpart to the
+  * dense-ANN family in [[Similarity]] (a curation pipeline needs BOTH:
+  * embedding recall for semantic near-dups, BM25 recall for keyword-ish
+  * queries such as benchmark decontamination probes or quality-by-example
+  * retrieval).
+  *
+  * Scale posture: everything is expressed as explode → hash-aggregate →
+  * key-equi-join, so Catalyst applies map-side partial aggregation on
+  * every shuffle and the inverted index is a shuffle on `term`, never a
+  * cross product. The per-corpus scalars (N, total token count) travel as
+  * a broadcast single-row crossJoin, exactly like `q_tfidf`'s N. Stopword
+  * removal happens BEFORE the index is built — on a web-scale corpus the
+  * stopword postings are the skew (df ≈ N); dropping them bounds the
+  * per-term posting list, and a residual hot term is an AQE skew-join
+  * case, not a plan change. Search fan-out is |query terms| × posting
+  * length, aggregated per (q_id, doc_id) with partial combine; the final
+  * top-k per query is a window over the (small) per-query candidate set.
+  *
+  * Cross-engine float discipline (the corpus-wide rules): per-(doc,term)
+  * scores are pure scalar IEEE expressions over exact integers (tf, df,
+  * dl, N, total tokens) written with the identical operation order as the
+  * DuckDB oracle, rounded to 6; the per-query SUM of per-term scores goes
+  * through DECIMAL(28,6) so the aggregation order cannot move the result
+  * (the `Num.sumMoney` rule — a double sum's partial-merge order varies
+  * with partitioning).
+  *
+  * Reference scope: not in the reference repo (swguo/NCHU.BigData is
+  * k-means only, src/Kmeans.java); BM25 is the standard public formula
+  * (Robertson & Zaragoza 2009), Lucene's non-negative idf variant
+  * ln(1 + (N − df + 0.5)/(df + 0.5)).
+  */
+object Retrieval {
+
+  /** k1 (term-frequency saturation) and b (length normalization) — the
+    * textbook defaults. Written as literals in the score expression so the
+    * SQL oracle is textually identical; change them in BOTH places.
+    */
+  val K1 = 1.2
+  val B = 0.75
+
+  /** Tokens after the corpus stopword gate — the indexed vocabulary. */
+  private def keptTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .filter(!col("term").isInCollection(TextFunctions.stopwords))
+
+  /** Per-(doc, term) BM25 score table: (doc_id, term, tf, df, dl, score)
+    * with score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)), rounded to 6.
+    *
+    * dl = kept tokens in the doc, avgdl = total kept tokens / N docs —
+    * both exact integers until the single double division, so the oracle
+    * reproduces them bit-exactly.
+    */
+  def bm25(docs: DataFrame): DataFrame = {
+    val toks = keptTokens(docs)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    // corpus scalars: one row, broadcast — N is ALL docs (a doc whose
+    // every token is a stopword still counts in N and in avgdl's mean)
+    val g = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(toks.agg(count(lit(1)).as("ntok")))
+    val avgdl = col("ntok").cast("double") / col("n")
+    val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val norm = lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl))
+    tf.join(dfreq, "term").join(dl, "doc_id").crossJoin(broadcast(g))
+      .withColumn("score", round(idf * ((col("tf") * lit(2.2)) / (col("tf") + norm)), 6))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"), col("score"))
+  }
+
+  /** Ranked BM25 search: score every (query, doc) pair sharing ≥1 indexed
+    * term, return the top `k` docs per query (self-matches excluded — the
+    * queries here are drawn from the corpus).
+    *
+    * `queries`: (q_id, term) — pre-tokenized, DISTINCT terms (binary
+    * query-term weighting; a repeated query term counts once). Returns
+    * (q_id, rnk, doc_id, n_hit, score): n_hit = matched terms, rank ties
+    * broken by doc_id so results are deterministic on any engine.
+    *
+    * The per-query score sum: per-term scores are round(·, 6), so ×10⁶
+    * re-rounded is an EXACT integer — a LONG sum is order-free like a
+    * DECIMAL sum but stays on the codegen fast path (this corpus is the
+    * adversarial case: a ~40-word vocabulary makes every query term match
+    * nearly every doc, so the (q, doc) group count approaches |Q|·|D| and
+    * the aggregate dominates; a DECIMAL(28,6) sum measured ~2× slower).
+    * The final top-k runs on the native [[graft.plans.TopKPerKeyNode]]
+    * operator — per-partition k-heaps BEFORE the exchange, so only
+    * partitions×k rows per query shuffle, vs. a window's full sort+
+    * exchange of every candidate pair.
+    */
+  def bm25Search(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // queries are usually derived from `docs` — alias both sides so the
+    // self-join lineage is unambiguous
+    val sc = bm25(docs).alias("sc")
+    val q = queries.alias("q")
+    val matched = q.join(sc, col("q.term") === col("sc.term") &&
+        col("sc.doc_id") =!= col("q.q_id"))
+      .groupBy(col("q.q_id").as("q_id"), col("sc.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_hit"),
+        sum(round(col("score") * lit(1000000.0), 0).cast("long")).as("s6"))
+    graft.plans.TopKPerKeyNode.topKPerKey(matched, Seq("q_id"),
+        Seq(("s6", true), ("doc_id", false)), k)
+      .select(col("q_id"), col("rank").as("rnk"), col("doc_id"),
+        col("n_hit"), (col("s6").cast("double") / lit(1000000.0)).as("score"))
+  }
+}

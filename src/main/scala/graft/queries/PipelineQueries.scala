@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AnnCalibrate, AnnParams, Components, Dedup, IndexStore, MultiModal, Sampling, Similarity}
+import graft.operators.{AnnCalibrate, AnnParams, Components, Dedup, IndexStore, MultiModal, Retrieval, Sampling, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1139,6 +1139,32 @@ object PipelineQueries {
         .orderBy("doc_id", "term")
     }),
 
+    // Okapi BM25 per-(doc, term) scores — the lexical-retrieval scorer
+    // TF-IDF lacks (tf saturation + doc-length normalization). Same
+    // shuffle shape as q_tfidf plus one more doc-keyed agg (dl); the
+    // corpus scalars (N, Σtokens) broadcast as a single row. See
+    // operators.Retrieval for the scale + float-discipline notes.
+    "q_bm25" -> ((s, d) =>
+      Retrieval.bm25(Tables.documents(s, d)).orderBy("doc_id", "term")),
+
+    // Ranked BM25 top-3 retrieval over the inverted index: queries are
+    // drawn in-plan (every doc_id ≡ 3 mod 31 contributes its first five
+    // tokens, stopword-gated, DISTINCT — 2/16/161 queries across the
+    // three scales), self-matches excluded. The per-query sum is an
+    // exact ×10⁶ LONG (order-free), ranking runs on the native
+    // TopKPerKey operator, ties break on doc_id — deterministic
+    // cross-engine. See Retrieval.bm25Search for why this corpus is the
+    // candidate-explosion worst case.
+    "q_bm25_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val qs = docs.filter(col("doc_id") % 31 === 3)
+        .select(col("doc_id").as("q_id"),
+          explode(slice(TextFunctions.tokens(col("text")), 1, 5)).as("term"))
+        .filter(!col("term").isInCollection(TextFunctions.stopwords))
+        .distinct()
+      Retrieval.bm25Search(docs, qs, k = 3).orderBy("q_id", "rnk")
+    }),
+
     // Multimodal plumbing: BinaryType payload + metadata struct; the
     // SQL-checkable projection (byte length, header byte, meta fields).
     // The mapPartitions decode path is exercised in PipelineSpec.
@@ -1736,6 +1762,63 @@ object PipelineQueries {
                 round(tf.tf * (ln((n.n + 1.0) / (dfq.df + 1.0)) + 1.0), 6) AS tfidf
          FROM tf JOIN dfq USING (term) CROSS JOIN n
          ORDER BY doc_id, term""",
+    // BM25: identical operation order as Retrieval.bm25 — exact-integer
+    // inputs (tf, df, dl, n, ntok), one double division for avgdl, the
+    // Lucene non-negative idf, round 6
+    "q_bm25" ->
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         f AS (SELECT * FROM tok WHERE term NOT IN ($stopList)),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM f GROUP BY 1),
+         g AS (SELECT (SELECT count(*) FROM documents) AS n,
+                      (SELECT count(*) FROM f) AS ntok)
+         SELECT tf.doc_id, tf.term, tf.tf, dfq.df, dl.dl,
+                round(ln(1.0 + (g.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                      * ((tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (0.25 + 0.75
+                              * (dl.dl / (CAST(g.ntok AS DOUBLE) / g.n))))),
+                      6) AS score
+         FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+         ORDER BY doc_id, term""",
+    // BM25 search: per-term scores (already round-6) summed as exact
+    // ×10⁶ BIGINTs per (q_id, doc_id) — order-free — then row_number
+    // ties broken on doc_id; rnk replicates the native TopKPerKey rank
+    "q_bm25_search" ->
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         f AS (SELECT * FROM tok WHERE term NOT IN ($stopList)),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM f GROUP BY 1),
+         g AS (SELECT (SELECT count(*) FROM documents) AS n,
+                      (SELECT count(*) FROM f) AS ntok),
+         sc AS (
+           SELECT tf.doc_id, tf.term,
+                  round(ln(1.0 + (g.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                        * ((tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75
+                                * (dl.dl / (CAST(g.ntok AS DOUBLE) / g.n))))),
+                        6) AS score
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
+         q AS (
+           SELECT DISTINCT q_id, term FROM (
+             SELECT doc_id AS q_id,
+                    unnest(string_split(text, ' ')[1:5]) AS term
+             FROM documents WHERE doc_id % 31 = 3)
+           WHERE term NOT IN ($stopList)),
+         m AS (
+           SELECT q.q_id, sc.doc_id, count(*) AS n_hit,
+                  sum(CAST(round(sc.score * 1000000.0, 0) AS BIGINT)) AS s6
+           FROM q JOIN sc ON q.term = sc.term AND sc.doc_id <> q.q_id
+           GROUP BY 1, 2),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY s6 DESC, doc_id) AS rnk FROM m)
+         SELECT q_id, rnk, doc_id, n_hit,
+                CAST(s6 AS DOUBLE) / 1000000.0 AS score FROM r
+         WHERE rnk <= 3 ORDER BY q_id, rnk""",
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
                 ascii(substr(text, 1, 1)) AS header_byte, lang, n_chars

@@ -48,6 +48,21 @@ object StreamQueries {
     "q_stream_join_left" -> ((s, d) =>
       Streams.clickPurchaseJoinOuter(Tables.events(s, d), "24 hours")
         .orderBy(col("click_id"), col("p_id").asc_nulls_first)),
+
+    // Ingest dedup, batch projection: retransmissions injected in-plan
+    // (every user_id ≡ 0 mod 7 re-delivers its events once — exact row
+    // copies, the at-least-once model), then Streams.dedupEvents
+    // recovers the original stream. (user_id, event_type, ts) is unique
+    // in the base table at every scale, so the output is the base
+    // projection and the contract sort is total. The streaming run of
+    // the same function (dropDuplicatesWithinWatermark state path) is
+    // parity-tested in StreamingSpec.
+    "q_stream_dedup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      Streams.dedupEvents(ev.unionAll(ev.filter(col("user_id") % 7 === 0)))
+        .orderBy("user_id", "ts", "event_type")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -105,5 +120,15 @@ object StreamQueries {
           AND p.ts >= c.ts - INTERVAL 24 HOUR
           AND p.ts <= c.ts
          ORDER BY click_id, p_id NULLS FIRST""",
+    // duplicates are exact row copies, so DISTINCT over the doubled
+    // union equals dedup-on-key (key unique in the base table)
+    "q_stream_dedup" ->
+      """WITH s AS (
+           SELECT ts, user_id, event_type, value FROM events
+           UNION ALL
+           SELECT ts, user_id, event_type, value FROM events
+           WHERE user_id % 7 = 0)
+         SELECT DISTINCT ts, user_id, event_type, value FROM s
+         ORDER BY user_id, ts, event_type""",
   )
 }

@@ -131,6 +131,40 @@ object Streams {
     * cost is a map-side hash probe. The same function on a batch events
     * DataFrame is the parity oracle and the DuckDB-checked projection.
     */
+  /** Streaming deduplication — the ingest-side retransmission filter a
+    * training-data pipeline puts in front of every downstream consumer
+    * (at-least-once sources re-deliver; exactly-once processing does not
+    * un-duplicate the SOURCE). Key = the logical event identity
+    * (user_id, event_type, ts).
+    *
+    * On a stream this is `dropDuplicatesWithinWatermark`: per-key seen
+    * state is GC'd once the watermark passes `delay` beyond the key's
+    * event time, so state is O(events in horizon) — the only dedup
+    * contract that runs forever. (Plain streaming `dropDuplicates`
+    * would keep every key ever seen.) The within-horizon guarantee is
+    * exactly the retransmission model: a replay arrives seconds-to-
+    * minutes after the original, never past the delivery horizon. On a
+    * batch frame the same call is not accepted by Spark (and the
+    * horizon is vacuous when all data is present), so the batch
+    * projection — the DuckDB-checked q_stream_dedup — is plain
+    * `dropDuplicates` on the same key; StreamingSpec runs THIS function
+    * under readStream against the batch result (parity), and the
+    * within-watermark drop semantics have their own MemoryStream test.
+    *
+    * Determinism note for the oracle: the projected columns must be
+    * functionally determined by the dedup key (true here — the key is
+    * unique in the base table and injected duplicates are exact row
+    * copies), because dropDuplicates keeps an arbitrary row per key.
+    */
+  def dedupEvents(events: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    val keyed = events.select(col("ts"), col("user_id"), col("event_type"),
+      col("value"))
+    if (keyed.isStreaming)
+      keyed.withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+    else keyed.dropDuplicates("user_id", "event_type", "ts")
+  }
+
   def enrichWithUserDim(events: DataFrame, customerDim: DataFrame): DataFrame =
     events.join(
         broadcast(customerDim.select(col("c_custkey"), col("c_mktsegment"),

@@ -1,0 +1,97 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+
+/** BM25 scoring + ranked search (operators.Retrieval).
+  *
+  * The micro-corpus pin computes the Okapi formula by hand — idf and the
+  * length norm from first principles — so a drift in k1/b, the idf
+  * variant, or the dl/avgdl bookkeeping turns the suite red independently
+  * of the DuckDB oracle (which shares the formula text and would drift
+  * WITH a same-sided edit).
+  */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 3 docs, no stopwords, engineered so every statistic is obvious:
+  //   d0: "x x y"  (dl=3)   d1: "x z"  (dl=2)   d2: "y y y z"  (dl=4)
+  // N=3, ntok=9, avgdl=3.  df: x=2, y=2, z=2.
+  private lazy val micro = Seq(
+    (0L, "x x y"), (1L, "x z"), (2L, "y y y z")
+  ).toDF("doc_id", "text")
+
+  private def handBm25(tf: Long, df: Long, dl: Long,
+                       n: Long = 3, avgdl: Double = 3.0): Double = {
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    val s = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+    BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("bm25 micro-corpus matches the hand-computed Okapi formula") {
+    val got = Retrieval.bm25(micro)
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    val expected = Map(
+      (0L, "x") -> (2L, 2L, 3L), (0L, "y") -> (1L, 2L, 3L),
+      (1L, "x") -> (1L, 2L, 2L), (1L, "z") -> (1L, 2L, 2L),
+      (2L, "y") -> (3L, 2L, 4L), (2L, "z") -> (1L, 2L, 4L))
+    assert(got.keySet === expected.keySet)
+    for ((k, (tf, df, dl)) <- expected) {
+      val (gtf, gdf, gdl, score) = got(k)
+      assert((gtf, gdf, gdl) === ((tf, df, dl)), s"stats for $k")
+      assert(score === handBm25(tf, df, dl), s"score for $k")
+    }
+  }
+
+  test("bm25 tf saturation and length normalization orderings hold") {
+    val sc = Retrieval.bm25(micro).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getDouble(5))).toMap
+    // same term, same df: tf=2 in the shorter doc beats tf=1
+    assert(sc((0L, "x")) > sc((1L, "x")))
+    // same (term, tf, df): the shorter doc scores higher (dl norm)
+    assert(sc((1L, "z")) > sc((2L, "z")))
+    // saturation: tf 3 vs 1 gains less than 3x
+    assert(sc((2L, "y")) < 3.0 * sc((0L, "y")))
+  }
+
+  test("bm25Search ranks by summed score, excludes self, breaks ties by doc_id") {
+    val qs = Seq((0L, "x"), (0L, "y"), (9L, "z")).toDF("q_id", "term")
+    val got = Retrieval.bm25Search(micro, qs, k = 2)
+      .orderBy("q_id", "rnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // q0 = {x, y}: candidates d1 (x) and d2 (y); d0 excluded (self)
+    val q0 = got.filter(_._1 == 0L)
+    assert(q0.map(_._3).toSeq === Seq(
+      if (handBm25(1, 2, 2) >= handBm25(3, 2, 4)) 1L else 2L,
+      if (handBm25(1, 2, 2) >= handBm25(3, 2, 4)) 2L else 1L))
+    assert(q0.forall(_._4 == 1L)) // one matched term each
+    // q9 = {z}: both z docs rank, d1 (shorter) first
+    val q9 = got.filter(_._1 == 9L)
+    assert(q9.map(r => (r._2, r._3)).toSeq === Seq((1, 1L), (2, 2L)))
+    // the emitted score is the exact long-sum / 1e6 of per-term scores
+    assert(q9.head._5 === handBm25(1, 2, 2))
+  }
+
+  test("bm25Search on the real corpus: every query returns k ranked rows") {
+    val docs = Tables.documents(spark, sf)
+    val qs = docs.filter(col("doc_id") % 31 === 3)
+      .select(col("doc_id").as("q_id"),
+        explode(slice(graft.functions.TextFunctions.tokens(col("text")), 1, 5)).as("term"))
+      .filter(!col("term").isInCollection(graft.functions.TextFunctions.stopwords))
+      .distinct()
+    val res = Retrieval.bm25Search(docs, qs, k = 3).cache()
+    val perQ = res.groupBy("q_id").agg(count(lit(1)).as("n"),
+      max("rnk").as("maxr"), min("rnk").as("minr")).collect()
+    assert(perQ.nonEmpty)
+    // this corpus's vocabulary is tiny, so every query has ≥ 3 candidates
+    assert(perQ.forall(r => r.getLong(1) == 3 && r.getInt(2) == 3 && r.getInt(3) == 1))
+    // self-exclusion
+    assert(res.filter(col("q_id") === col("doc_id")).count() === 0)
+    res.unpersist()
+  }
+}

@@ -329,6 +329,31 @@ class StreamingSpec extends SparkSpec {
     assert(canon(replayed.select("event_id", "user_id", "value")) === canon(ev))
   }
 
+  test("dedupEvents parity: streamed doubled input == batch dedup of the same function") {
+    // the q_stream_dedup scenario end-to-end on the REAL state path:
+    // every mod-7 user's events re-delivered once, files split so copies
+    // land in different micro-batches. delay = 90 days > the 30-day data
+    // span, so the horizon never drops anything and stream == batch
+    // exactly (the within-horizon DROP semantics are covered by the
+    // MemoryStream test below).
+    val dir = tmp("graft-stream-dedup")
+    val ev = batchEvents.select("ts", "user_id", "event_type", "value")
+    ev.unionAll(ev.filter(col("user_id") % 7 === 0))
+      .repartition(6)
+      .write.mode("overwrite").parquet(dir)
+    val doubled = spark.read.parquet(dir)
+    runToCompletion("t_dedup_parity", OutputMode.Append()) {
+      Streams.dedupEvents(
+        Streams.parquetStream(spark, dir, doubled.schema,
+          maxFilesPerTrigger = Some(1)), delay = "90 days")
+    }
+    val got = canon(spark.table("t_dedup_parity"))
+    val want = canon(Streams.dedupEvents(doubled))
+    assert(got.nonEmpty && got === want)
+    // and the dedup actually removed the injected copies
+    assert(got.size.toLong === ev.count())
+  }
+
   test("streaming dedup within watermark drops cross-batch duplicates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
