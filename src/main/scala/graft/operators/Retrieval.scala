@@ -38,12 +38,11 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** k1 (term-frequency saturation) and b (length normalization) — the
-    * textbook defaults. Written as literals in the score expression so the
-    * SQL oracle is textually identical; change them in BOTH places.
-    */
-  val K1 = 1.2
-  val B = 0.75
+  // k1 = 1.2 (term-frequency saturation) and b = 0.75 (length
+  // normalization) — the textbook defaults — appear as LITERALS in the
+  // score expression (1.2, 2.2 = k1+1, 0.25 = 1−b, 0.75) so the SQL
+  // oracle stays textually identical; RetrievalSpec's hand-computed pin
+  // is what catches a one-sided edit.
 
   /** Tokens after the corpus stopword gate — the indexed vocabulary. */
   private def keptTokens(docs: DataFrame): DataFrame =
@@ -87,10 +86,13 @@ object Retrieval {
     *
     * The per-query score sum: per-term scores are round(·, 6), so ×10⁶
     * re-rounded is an EXACT integer — a LONG sum is order-free like a
-    * DECIMAL sum but stays on the codegen fast path (this corpus is the
-    * adversarial case: a ~40-word vocabulary makes every query term match
-    * nearly every doc, so the (q, doc) group count approaches |Q|·|D| and
-    * the aggregate dominates; a DECIMAL(28,6) sum measured ~2× slower).
+    * DECIMAL sum while staying on the primitive codegen path. (Measured
+    * honestly: an isolated cached-input A/B of DECIMAL(28,6) vs LONG at
+    * both 0.3M and 2.2M group volumes read parity, Δmin ≤ 9% — the LONG
+    * is kept as discipline, not as a measured win. This corpus is still
+    * the adversarial case — a ~40-word vocabulary makes every query term
+    * match nearly every doc, so candidates approach |Q|·|D|; the real
+    * cost levers are the probe-workload size and the ranking step.)
     * The final top-k runs on the native [[graft.plans.TopKPerKeyNode]]
     * operator — per-partition k-heaps BEFORE the exchange, so only
     * partitions×k rows per query shuffle, vs. a window's full sort+
