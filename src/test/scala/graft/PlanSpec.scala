@@ -537,4 +537,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
       p.take(1500))
   }
+
+  test("bm25 search: query side broadcasts, native top-k shrinks before the exchange") {
+    val p = finalPlanOf("q_bm25_search")
+    // the inverted-index probe: tiny query-term set BUILDS a broadcast
+    // hash join keyed on term — the posting side must stream, never sort
+    // or shuffle for the join
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    // ranking is the native operator pair (partial heaps BEFORE the
+    // final's exchange), not a row_number window over all candidates
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"),
+      p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    // documents scan prunes to (doc_id, text)
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"), read)
+    assert(!read.contains("n_chars") && !read.contains("source"), read)
+  }
+
+  test("hybrid rrf: dense tower broadcasts the query set, towers fuse without cartesian") {
+    val p = finalPlanOf("q_hybrid_rrf")
+    // the dense tower's query×corpus scoring broadcasts the (tiny) query
+    // side; a BroadcastNestedLoopJoin here is by construction (the join
+    // condition is the self-exclusion inequality), bounded by |queries|
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // dense ranking is native top-k; the only Window is the final ≤20-row
+    // per-query fusion rank
+    assert(p.contains("TopKPerKeyPartial"), p.take(1500))
+    assert("WindowGroupLimit".r.findAllIn(p).nonEmpty || p.contains("Window"),
+      p.take(1500))
+  }
 }
