@@ -44,6 +44,20 @@ object Retrieval {
   // oracle stays textually identical; RetrievalSpec's hand-computed pin
   // is what catches a one-sided edit.
 
+  /** The corpus-drawn probe workload: (q_id, term) for each probe doc —
+    * its first five tokens, stopword-gated, DISTINCT (binary query-term
+    * weighting). `probeIds` must be a (q_id) frame; it broadcasts, so
+    * deriving queries never reshuffles the corpus. Shared by
+    * q_bm25_search, q_hybrid_rrf, and RetrievalSpec so the probe
+    * definition cannot drift between the shipped rows and their test.
+    */
+  def probeTerms(docs: DataFrame, probeIds: DataFrame): DataFrame =
+    docs.join(broadcast(probeIds), col("doc_id") === col("q_id"))
+      .select(col("q_id"),
+        explode(slice(TextFunctions.tokens(col("text")), 1, 5)).as("term"))
+      .filter(!col("term").isInCollection(TextFunctions.stopwords))
+      .distinct()
+
   /** Tokens after the corpus stopword gate — the indexed vocabulary. */
   private def keptTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

@@ -1157,12 +1157,10 @@ object PipelineQueries {
     // candidate-explosion worst case.
     "q_bm25_search" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val qs = docs.filter(col("doc_id") % 31 === 3)
-        .select(col("doc_id").as("q_id"),
-          explode(slice(TextFunctions.tokens(col("text")), 1, 5)).as("term"))
-        .filter(!col("term").isInCollection(TextFunctions.stopwords))
-        .distinct()
-      Retrieval.bm25Search(docs, qs, k = 3).orderBy("q_id", "rnk")
+      val qids = docs.filter(col("doc_id") % 31 === 3)
+        .select(col("doc_id").as("q_id"))
+      Retrieval.bm25Search(docs, Retrieval.probeTerms(docs, qids), k = 3)
+        .orderBy("q_id", "rnk")
     }),
 
     // Hybrid retrieval — reciprocal-rank fusion of the sparse (BM25) and
@@ -1192,12 +1190,7 @@ object PipelineQueries {
       val dense = graft.plans.TopKPerKeyNode.topKPerKey(pairs, Seq("q_id"),
           Seq(("sim", true), ("doc_id", false)), 10)
         .select(col("q_id"), col("doc_id"), col("rank").as("rd"))
-      val qs = docs.join(broadcast(qids), col("doc_id") === col("q_id"))
-        .select(col("q_id"),
-          explode(slice(TextFunctions.tokens(col("text")), 1, 5)).as("term"))
-        .filter(!col("term").isInCollection(TextFunctions.stopwords))
-        .distinct()
-      val sparse = Retrieval.bm25Search(docs, qs, 10)
+      val sparse = Retrieval.bm25Search(docs, Retrieval.probeTerms(docs, qids), 10)
         .select(col("q_id"), col("doc_id"), col("rnk").as("rs"))
       val fused = sparse.alias("sp").join(dense.alias("dn"),
           Seq("q_id", "doc_id"), "full_outer")

@@ -52,11 +52,13 @@ object StreamQueries {
     // Ingest dedup, batch projection: retransmissions injected in-plan
     // (every user_id ≡ 0 mod 7 re-delivers its events once — exact row
     // copies, the at-least-once model), then Streams.dedupEvents
-    // recovers the original stream. (user_id, event_type, ts) is unique
-    // in the base table at every scale, so the output is the base
-    // projection and the contract sort is total. The streaming run of
-    // the same function (dropDuplicatesWithinWatermark state path) is
-    // parity-tested in StreamingSpec.
+    // recovers the original stream. The dedup key is the FULL row, so
+    // Spark's semantics equal the oracle's DISTINCT with no data
+    // invariant in between; (user_id, event_type, ts) is additionally
+    // unique in the base table at every scale, which makes the contract
+    // sort total. The streaming run of the same function
+    // (dropDuplicatesWithinWatermark state path) is parity-tested in
+    // StreamingSpec.
     "q_stream_dedup" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("ts"), col("user_id"), col("event_type"), col("value"))

@@ -131,11 +131,24 @@ object Streams {
     * cost is a map-side hash probe. The same function on a batch events
     * DataFrame is the parity oracle and the DuckDB-checked projection.
     */
+  def enrichWithUserDim(events: DataFrame, customerDim: DataFrame): DataFrame =
+    events.join(
+        broadcast(customerDim.select(col("c_custkey"), col("c_mktsegment"),
+          col("c_nationkey"))),
+        col("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("c_mktsegment").as("segment"), col("c_nationkey").as("nationkey"))
+
   /** Streaming deduplication — the ingest-side retransmission filter a
     * training-data pipeline puts in front of every downstream consumer
     * (at-least-once sources re-deliver; exactly-once processing does not
-    * un-duplicate the SOURCE). Key = the logical event identity
-    * (user_id, event_type, ts).
+    * un-duplicate the SOURCE). A retransmission is a bit-identical
+    * re-delivery, so the key is the FULL projected row (user_id,
+    * event_type, ts, value): exact-copy semantics on both engines, with
+    * no reliance on any payload-determined-by-key data invariant — two
+    * genuinely distinct events that collide on (user_id, event_type, ts)
+    * but differ in value both survive, exactly like the oracle's
+    * DISTINCT.
     *
     * On a stream this is `dropDuplicatesWithinWatermark`: per-key seen
     * state is GC'd once the watermark passes `delay` beyond the key's
@@ -150,28 +163,15 @@ object Streams {
     * `dropDuplicates` on the same key; StreamingSpec runs THIS function
     * under readStream against the batch result (parity), and the
     * within-watermark drop semantics have their own MemoryStream test.
-    *
-    * Determinism note for the oracle: the projected columns must be
-    * functionally determined by the dedup key (true here — the key is
-    * unique in the base table and injected duplicates are exact row
-    * copies), because dropDuplicates keeps an arbitrary row per key.
     */
   def dedupEvents(events: DataFrame, delay: String = "10 minutes"): DataFrame = {
     val keyed = events.select(col("ts"), col("user_id"), col("event_type"),
       col("value"))
     if (keyed.isStreaming)
       keyed.withWatermark("ts", delay)
-        .dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
-    else keyed.dropDuplicates("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "ts", "value")
+    else keyed.dropDuplicates("user_id", "event_type", "ts", "value")
   }
-
-  def enrichWithUserDim(events: DataFrame, customerDim: DataFrame): DataFrame =
-    events.join(
-        broadcast(customerDim.select(col("c_custkey"), col("c_mktsegment"),
-          col("c_nationkey"))),
-        col("user_id") === col("c_custkey"), "left")
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        col("c_mktsegment").as("segment"), col("c_nationkey").as("nationkey"))
 
   /** Event-time watermark: rows more than `delay` behind the max observed
     * event time are dropped by stateful operators, which is what lets a

@@ -563,10 +563,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(1500))
     assert(!p.contains("CartesianProduct"), p.take(1500))
-    // dense ranking is native top-k; the only Window is the final ≤20-row
-    // per-query fusion rank
+    // dense ranking is native top-k; EXACTLY ONE Window exec survives —
+    // the final ≤20-row per-query fusion rank ("Window [" matches the
+    // exec node, not WindowGroupLimit) — so a tower regressing from
+    // TopKPerKey to a row_number window turns this red
     assert(p.contains("TopKPerKeyPartial"), p.take(1500))
-    assert("WindowGroupLimit".r.findAllIn(p).nonEmpty || p.contains("Window"),
-      p.take(1500))
+    assert("Window \\[".r.findAllIn(p).size == 1, p.take(1500))
   }
 }

@@ -103,12 +103,10 @@ class RetrievalSpec extends SparkSpec {
 
   test("bm25Search on the real corpus: every query returns k ranked rows") {
     val docs = Tables.documents(spark, sf)
-    val qs = docs.filter(col("doc_id") % 31 === 3)
-      .select(col("doc_id").as("q_id"),
-        explode(slice(graft.functions.TextFunctions.tokens(col("text")), 1, 5)).as("term"))
-      .filter(!col("term").isInCollection(graft.functions.TextFunctions.stopwords))
-      .distinct()
-    val res = Retrieval.bm25Search(docs, qs, k = 3).cache()
+    val qids = docs.filter(col("doc_id") % 31 === 3)
+      .select(col("doc_id").as("q_id"))
+    val res = Retrieval.bm25Search(docs,
+      Retrieval.probeTerms(docs, qids), k = 3).cache()
     val perQ = res.groupBy("q_id").agg(count(lit(1)).as("n"),
       max("rnk").as("maxr"), min("rnk").as("minr")).collect()
     assert(perQ.nonEmpty)

@@ -331,16 +331,19 @@ class StreamingSpec extends SparkSpec {
 
   test("dedupEvents parity: streamed doubled input == batch dedup of the same function") {
     // the q_stream_dedup scenario end-to-end on the REAL state path:
-    // every mod-7 user's events re-delivered once, files split so copies
-    // land in different micro-batches. delay = 90 days > the 30-day data
-    // span, so the horizon never drops anything and stream == batch
-    // exactly (the within-horizon DROP semantics are covered by the
-    // MemoryStream test below).
+    // every mod-7 user's events re-delivered once. Originals and
+    // re-deliveries are written as SEPARATE file sets, so with
+    // maxFilesPerTrigger=1 every duplicate is GUARANTEED to arrive in a
+    // different micro-batch from its original (a single round-robin
+    // repartition of the union would only split them probabilistically).
+    // delay = 90 days > the 30-day data span, so the horizon never drops
+    // anything and stream == batch exactly (the within-horizon DROP
+    // semantics are covered by the MemoryStream test below).
     val dir = tmp("graft-stream-dedup")
     val ev = batchEvents.select("ts", "user_id", "event_type", "value")
-    ev.unionAll(ev.filter(col("user_id") % 7 === 0))
-      .repartition(6)
-      .write.mode("overwrite").parquet(dir)
+    ev.repartition(3).write.mode("overwrite").parquet(dir)
+    ev.filter(col("user_id") % 7 === 0)
+      .repartition(3).write.mode("append").parquet(dir)
     val doubled = spark.read.parquet(dir)
     runToCompletion("t_dedup_parity", OutputMode.Append()) {
       Streams.dedupEvents(
