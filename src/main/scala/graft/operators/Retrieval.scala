@@ -64,23 +64,45 @@ object Retrieval {
         explode(TextFunctions.tokens(col("text"))).as("term"))
       .filter(!col("term").isInCollection(TextFunctions.stopwords))
 
-  /** Per-(doc, term) BM25 score table: (doc_id, term, tf, df, dl, score)
-    * with score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+  /** Distinct (doc_id, term, tf) counts — the SUFFICIENT STATISTIC of
+    * the BM25 index: df (postings per term), dl (tokens per doc) and
+    * Σtok all derive from it, so persisting tf alone (n-proportional
+    * parquet, one row per posting) is the whole index at rest.
+    */
+  def termFreq(docs: DataFrame): DataFrame =
+    keptTokens(docs).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Incremental index maintenance: re-ingest `changedDocs` (replaced
+    * texts, same doc_ids) into an existing tf statistic WITHOUT a corpus
+    * rebuild — drop every old posting of a changed doc (one anti-join,
+    * key-partitioned on doc_id), append its re-tokenized postings. At
+    * 100 TB this is the only affordable shape: cost is O(changed docs +
+    * old index), never O(corpus re-tokenization); df/dl/avgdl re-derive
+    * from the merged tf downstream. A doc whose new text is all
+    * stopwords simply vanishes from the postings (it still counts in N)
+    * — identical to what a from-scratch rebuild produces, which is
+    * exactly the contract q_bm25_incr pins cross-engine.
+    */
+  def upsertTermFreq(oldTf: DataFrame, changedDocs: DataFrame): DataFrame =
+    oldTf.join(changedDocs.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .unionAll(termFreq(changedDocs))
+
+  /** BM25 scores from a tf statistic + a 1-row (n) doc-count frame:
+    * (doc_id, term, tf, df, dl, score) with
+    * score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
     * idf = ln(1 + (N − df + 0.5)/(df + 0.5)), rounded to 6.
     *
     * dl = kept tokens in the doc, avgdl = total kept tokens / N docs —
     * both exact integers until the single double division, so the oracle
-    * reproduces them bit-exactly.
+    * reproduces them bit-exactly. N is ALL docs (a doc whose every token
+    * is a stopword still counts in N and in avgdl's mean).
     */
-  def bm25(docs: DataFrame): DataFrame = {
-    val toks = keptTokens(docs)
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+  def bm25FromStats(tf: DataFrame, nDocs: DataFrame): DataFrame = {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val dfreq = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
-    // corpus scalars: one row, broadcast — N is ALL docs (a doc whose
-    // every token is a stopword still counts in N and in avgdl's mean)
-    val g = docs.agg(count(lit(1)).as("n"))
-      .crossJoin(toks.agg(count(lit(1)).as("ntok")))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // corpus scalars: one row, broadcast
+    val g = nDocs.crossJoin(tf.agg(sum("tf").as("ntok")))
     val avgdl = col("ntok").cast("double") / col("n")
     val idf = log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val norm = lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl))
@@ -88,6 +110,12 @@ object Retrieval {
       .withColumn("score", round(idf * ((col("tf") * lit(2.2)) / (col("tf") + norm)), 6))
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("dl"), col("score"))
   }
+
+  /** Per-(doc, term) BM25 score table over a corpus (from-scratch build:
+    * tokenize → tf → [[bm25FromStats]]).
+    */
+  def bm25(docs: DataFrame): DataFrame =
+    bm25FromStats(termFreq(docs), docs.agg(count(lit(1)).as("n")))
 
   /** Ranked BM25 search: score every (query, doc) pair sharing ≥1 indexed
     * term, return the top `k` docs per query (self-matches excluded — the

@@ -1147,6 +1147,24 @@ object PipelineQueries {
     "q_bm25" -> ((s, d) =>
       Retrieval.bm25(Tables.documents(s, d)).orderBy("doc_id", "term")),
 
+    // Incremental BM25 index maintenance, driver-gated by the ALGEBRA:
+    // re-ingest every mod-5 doc with an appended token through
+    // Retrieval.upsertTermFreq (anti-join old postings + append new —
+    // O(changed + index), never a corpus re-tokenization), then score
+    // from the MERGED statistic. The oracle rebuilds from scratch over
+    // the post-update corpus — maintenance == rebuild is the claim, and
+    // any slip (a stale posting surviving the anti-join, a df/dl/avgdl
+    // derived from the wrong side, an N drift) breaks the hash.
+    "q_bm25_incr" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      val changed = base.filter(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit(" addendum")))
+      val tf = Retrieval.upsertTermFreq(Retrieval.termFreq(base), changed)
+      // update-only maintenance: N (doc count) is unchanged
+      Retrieval.bm25FromStats(tf, base.agg(count(lit(1)).as("n")))
+        .orderBy("doc_id", "term")
+    }),
+
     // Ranked BM25 top-3 retrieval over the inverted index: queries are
     // drawn in-plan (every doc_id ≡ 3 mod 31 contributes its first five
     // tokens, stopword-gated, DISTINCT — 2/16/161 queries across the
@@ -1814,6 +1832,30 @@ object PipelineQueries {
          dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
          dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM f GROUP BY 1),
          g AS (SELECT (SELECT count(*) FROM documents) AS n,
+                      (SELECT count(*) FROM f) AS ntok)
+         SELECT tf.doc_id, tf.term, tf.tf, dfq.df, dl.dl,
+                round(ln(1.0 + (g.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                      * ((tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (0.25 + 0.75
+                              * (dl.dl / (CAST(g.ntok AS DOUBLE) / g.n))))),
+                      6) AS score
+         FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+         ORDER BY doc_id, term""",
+    // incremental maintenance oracle = FROM-SCRATCH rebuild over the
+    // post-update corpus: the row's upsert algebra must reproduce it
+    "q_bm25_incr" ->
+      s"""WITH docs2 AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' addendum'
+                       ELSE text END AS text
+           FROM documents),
+         tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs2),
+         f AS (SELECT * FROM tok WHERE term NOT IN ($stopList)),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY 1, 2),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM f GROUP BY 1),
+         g AS (SELECT (SELECT count(*) FROM docs2) AS n,
                       (SELECT count(*) FROM f) AS ntok)
          SELECT tf.doc_id, tf.term, tf.tf, dfq.df, dl.dl,
                 round(ln(1.0 + (g.n - dfq.df + 0.5) / (dfq.df + 0.5))

@@ -77,6 +77,25 @@ class RetrievalSpec extends SparkSpec {
     assert(q9.head._5 === handBm25(1, 2, 2))
   }
 
+  test("upsert maintenance == from-scratch rebuild, incl. the all-stopword edge") {
+    // replace d1's text and wipe d2 to pure stopwords: the merged tf must
+    // equal re-tokenizing the post-update corpus, d2 vanishing from the
+    // postings while still counting in N (avgdl's denominator)
+    val changed = Seq((1L, "y y"), (2L, "the of and")).toDF("doc_id", "text")
+    val after = Seq((0L, "x x y"), (1L, "y y"), (2L, "the of and"))
+      .toDF("doc_id", "text")
+    val merged = Retrieval.bm25FromStats(
+        Retrieval.upsertTermFreq(Retrieval.termFreq(micro), changed),
+        micro.agg(count(lit(1)).as("n")))
+      .collect().map(_.toString).sorted.toSeq
+    val rebuilt = Retrieval.bm25(after)
+      .collect().map(_.toString).sorted.toSeq
+    assert(merged.nonEmpty && merged === rebuilt)
+    // d2 contributed no postings; d0/d1 rows exist
+    assert(!merged.exists(_.startsWith("[2,")))
+    assert(merged.exists(_.startsWith("[0,")) && merged.exists(_.startsWith("[1,")))
+  }
+
   test("hybrid RRF: fused rank positions reproduce the tower ranks by hand") {
     val got = SparkEntry.queries("q_hybrid_rrf")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3), r.getDouble(4)))
