@@ -140,10 +140,17 @@ object Retrieval {
     * partitions×k rows per query shuffle, vs. a window's full sort+
     * exchange of every candidate pair.
     */
-  def bm25Search(docs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    // queries are usually derived from `docs` — alias both sides so the
-    // self-join lineage is unambiguous
-    val sc = bm25(docs).alias("sc")
+  def bm25Search(docs: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    bm25SearchFrom(bm25(docs), queries, k)
+
+  /** [[bm25Search]] over a pre-built score table — the deployment shape:
+    * `scores` can come from [[bm25FromStats]] over a LOADED persisted tf
+    * index (q_bm25_serve_persisted) instead of a from-scratch build.
+    */
+  def bm25SearchFrom(scores: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // queries are usually derived from the same corpus — alias both
+    // sides so the self-join lineage is unambiguous
+    val sc = scores.alias("sc")
     val q = queries.alias("q")
     val matched = q.join(sc, col("q.term") === col("sc.term") &&
         col("sc.doc_id") =!= col("q.q_id"))

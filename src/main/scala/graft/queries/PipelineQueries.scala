@@ -119,6 +119,44 @@ object PipelineQueries {
     s"target/idx_serve$family/$tag/" + d.replaceAll("[^A-Za-z0-9._-]", "_")
   }
 
+  /** The ranked-BM25-search oracle, shared verbatim by q_bm25_search and
+    * q_bm25_serve_persisted (lossless persistence = identical results).
+    */
+  private val bm25SearchOracle: String =
+    s"""WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       f AS (SELECT * FROM tok WHERE term NOT IN ($stopList)),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY 1, 2),
+       dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM f GROUP BY 1),
+       g AS (SELECT (SELECT count(*) FROM documents) AS n,
+                    (SELECT count(*) FROM f) AS ntok),
+       sc AS (
+         SELECT tf.doc_id, tf.term,
+                round(ln(1.0 + (g.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                      * ((tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (0.25 + 0.75
+                              * (dl.dl / (CAST(g.ntok AS DOUBLE) / g.n))))),
+                      6) AS score
+         FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
+       q AS (
+         SELECT DISTINCT q_id, term FROM (
+           SELECT doc_id AS q_id,
+                  unnest(string_split(text, ' ')[1:5]) AS term
+           FROM documents WHERE doc_id % 31 = 3)
+         WHERE term NOT IN ($stopList)),
+       m AS (
+         SELECT q.q_id, sc.doc_id, count(*) AS n_hit,
+                sum(CAST(round(sc.score * 1000000.0, 0) AS BIGINT)) AS s6
+         FROM q JOIN sc ON q.term = sc.term AND sc.doc_id <> q.q_id
+         GROUP BY 1, 2),
+       r AS (
+         SELECT *, row_number() OVER (PARTITION BY q_id
+                     ORDER BY s6 DESC, doc_id) AS rnk FROM m)
+       SELECT q_id, rnk, doc_id, n_hit,
+              CAST(s6 AS DOUBLE) / 1000000.0 AS score FROM r
+       WHERE rnk <= 3 ORDER BY q_id, rnk"""
+
   private val bfAnchorCache = new PerSession[DataFrame]
   private def bfAnchor(s: SparkSession, d: String): DataFrame =
     bfAnchorCache.get(s, d) {
@@ -1181,6 +1219,27 @@ object PipelineQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // Persisted-deployment path for the lexical index, the same
+    // save→load→probe symmetry every ANN family carries: the tf
+    // sufficient statistic lands as n-proportional parquet (one row per
+    // posting — no driver-sized state at all, unlike the quantizer
+    // families), a fresh scan loads it back, and the probe must
+    // reproduce q_bm25_search's EXACT oracle — lossless persistence is
+    // the claim. df/dl/avgdl re-derive from the loaded postings, so a
+    // truncated or stale index breaks the hash, not just a recall band.
+    "q_bm25_serve_persisted" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dir = idxScratch(s, "bm25", d)
+      Retrieval.termFreq(docs).write.mode("overwrite").parquet(dir)
+      val tf = s.read.parquet(dir)
+      val qids = docs.filter(col("doc_id") % 31 === 3)
+        .select(col("doc_id").as("q_id"))
+      Retrieval.bm25SearchFrom(
+          Retrieval.bm25FromStats(tf, docs.agg(count(lit(1)).as("n"))),
+          Retrieval.probeTerms(docs, qids), k = 3)
+        .orderBy("q_id", "rnk")
+    }),
+
     // Hybrid retrieval — reciprocal-rank fusion of the sparse (BM25) and
     // dense (exact cosine) rankings, the standard two-tower search merge:
     // rrf = Σ 1/(60 + rank) over the two top-10 lists, final top-3 per
@@ -1867,41 +1926,12 @@ object PipelineQueries {
          ORDER BY doc_id, term""",
     // BM25 search: per-term scores (already round-6) summed as exact
     // ×10⁶ BIGINTs per (q_id, doc_id) — order-free — then row_number
-    // ties broken on doc_id; rnk replicates the native TopKPerKey rank
-    "q_bm25_search" ->
-      s"""WITH tok AS (
-           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-         f AS (SELECT * FROM tok WHERE term NOT IN ($stopList)),
-         tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY 1, 2),
-         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-         dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM f GROUP BY 1),
-         g AS (SELECT (SELECT count(*) FROM documents) AS n,
-                      (SELECT count(*) FROM f) AS ntok),
-         sc AS (
-           SELECT tf.doc_id, tf.term,
-                  round(ln(1.0 + (g.n - dfq.df + 0.5) / (dfq.df + 0.5))
-                        * ((tf.tf * 2.2)
-                           / (tf.tf + 1.2 * (0.25 + 0.75
-                                * (dl.dl / (CAST(g.ntok AS DOUBLE) / g.n))))),
-                        6) AS score
-           FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
-         q AS (
-           SELECT DISTINCT q_id, term FROM (
-             SELECT doc_id AS q_id,
-                    unnest(string_split(text, ' ')[1:5]) AS term
-             FROM documents WHERE doc_id % 31 = 3)
-           WHERE term NOT IN ($stopList)),
-         m AS (
-           SELECT q.q_id, sc.doc_id, count(*) AS n_hit,
-                  sum(CAST(round(sc.score * 1000000.0, 0) AS BIGINT)) AS s6
-           FROM q JOIN sc ON q.term = sc.term AND sc.doc_id <> q.q_id
-           GROUP BY 1, 2),
-         r AS (
-           SELECT *, row_number() OVER (PARTITION BY q_id
-                       ORDER BY s6 DESC, doc_id) AS rnk FROM m)
-         SELECT q_id, rnk, doc_id, n_hit,
-                CAST(s6 AS DOUBLE) / 1000000.0 AS score FROM r
-         WHERE rnk <= 3 ORDER BY q_id, rnk""",
+    // ties broken on doc_id; rnk replicates the native TopKPerKey rank.
+    // q_bm25_serve_persisted shares this oracle VERBATIM: the
+    // save→load→probe chain must be lossless, so the two rows may not
+    // drift apart — the shared val makes a one-sided edit impossible.
+    "q_bm25_search" -> bm25SearchOracle,
+    "q_bm25_serve_persisted" -> bm25SearchOracle,
     // hybrid RRF: the bm25 CTEs at top-10, the q_cosine_topk dot-product
     // CTEs restricted to the embedded probe set, fused with fixed-order
     // 1/(60+rank) terms; ranks are exact ints so the doubles agree

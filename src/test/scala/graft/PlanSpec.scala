@@ -555,6 +555,22 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("n_chars") && !read.contains("source"), read)
   }
 
+  test("persisted bm25 row scores from the LOADED postings parquet") {
+    // the lexical deployment row's point: the score side reads the saved
+    // tf index (target/idx_servebm25/<tag>/<sf>), not the in-session
+    // tokenize→tf lineage that built it; the probe keeps the search
+    // pins (native top-k, no window, no cartesian, UDF-free)
+    val df = SparkEntry.queries("q_bm25_serve_persisted")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val i = p.indexOf("== Initial Plan ==")
+    val f = if (i >= 0) p.substring(0, i) else p
+    assert(f.contains("idx_servebm25"),
+      s"expected a parquet scan of the saved tf index:\n${f.take(1500)}")
+    assert(f.contains("TopKPerKeyPartial") && !f.contains("Window"), f.take(1500))
+    assert(!f.contains("CartesianProduct") && !f.contains("ScalaUDF"), f.take(1500))
+  }
+
   test("hybrid rrf: dense tower broadcasts the query set, towers fuse without cartesian") {
     val p = finalPlanOf("q_hybrid_rrf")
     // the dense tower's query×corpus scoring broadcasts the (tiny) query
