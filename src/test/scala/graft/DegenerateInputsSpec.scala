@@ -42,6 +42,34 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(Dedup.lshCandidates(emptyDocs, "doc_id", "text").count() === 0)
   }
 
+  test("retrieval: empty corpora and empty probe sets pass through, upsert is identity") {
+    import spark.implicits._
+    val Retrieval = graft.operators.Retrieval
+    // empty corpus: no postings, no scores, no search hits — never a
+    // division error from avgdl's n=0 (the expression only evaluates on
+    // posting rows, of which there are none)
+    assert(Retrieval.bm25(emptyDocs).count() === 0)
+    val someQ = Seq((1L, "x")).toDF("q_id", "term")
+    assert(Retrieval.bm25Search(emptyDocs, someQ, k = 3).count() === 0)
+    // empty probe set over a real corpus: no hits
+    val docs = Seq((0L, "x y"), (1L, "x z")).toDF("doc_id", "text")
+    val noQ = Seq.empty[(Long, String)].toDF("q_id", "term")
+    assert(Retrieval.bm25Search(docs, noQ, k = 3).count() === 0)
+    assert(Retrieval.probeTerms(docs, Seq.empty[Long].toDF("q_id")).count() === 0)
+    // upserting an empty changed set is the identity on the statistic
+    val tf = Retrieval.termFreq(docs)
+    val merged = Retrieval.upsertTermFreq(tf, emptyDocs)
+    assert(merged.collect().map(_.toString).sorted.toSeq ===
+      tf.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("streaming dedup: empty input passes through on the batch branch") {
+    import spark.implicits._
+    val empty = Seq.empty[(java.sql.Timestamp, Long, String, Double)]
+      .toDF("ts", "user_id", "event_type", "value")
+    assert(graft.streaming.Streams.dedupEvents(empty).count() === 0)
+  }
+
   test("a single-row corpus yields no pairs and no neighbors") {
     assert(Similarity.bruteForceTopK(oneEmb, "vec_id", "embedding", k = 3)
       .count() === 0)
