@@ -205,6 +205,77 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** The n-proportional AT-REST state of the LSH dedup index: the
+    * exploded (id, bh) band rows — [[lshCandidates]]' join input,
+    * exposed so a pipeline can persist it once per corpus epoch (plain
+    * parquet, `bands` rows per doc) and dedup each later crawl
+    * increment against it incrementally ([[incrementalNearDupPairs]])
+    * instead of re-banding the historical corpus per batch. The same
+    * sufficient-statistic role [[graft.operators.Retrieval.termFreq]]
+    * plays for the lexical index.
+    */
+  def bandRows(df: DataFrame, idCol: String, textCol: String,
+               shingleN: Int = 3, bands: Int = 32, rows: Int = 4,
+               seed: Long = 42L): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(minhashBandKeys(col(textCol), shingleN, bands, rows, seed))
+        .as("bh"))
+
+  /** Maintain a persisted [[bandRows]] state under re-crawls — the
+    * [[graft.operators.Retrieval.upsertTermFreq]] shape: drop every old
+    * band row of a re-ingested id (one anti-join on id), append the
+    * batch's freshly-computed bands. O(batch + index); the historical
+    * corpus is never re-tokenized.
+    */
+  def upsertBandRows(oldBands: DataFrame, batch: DataFrame,
+                     idCol: String, textCol: String,
+                     shingleN: Int = 3, bands: Int = 32, rows: Int = 4,
+                     seed: Long = 42L): DataFrame =
+    oldBands.join(batch.select(col(idCol).as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .unionAll(bandRows(batch, idCol, textCol, shingleN, bands, rows, seed))
+
+  /** INCREMENTAL near-dup detection: all verified pairs TOUCHING a new
+    * document batch — batch-vs-historical-corpus plus batch-internal —
+    * against a PERSISTED [[bandRows]] state. The at-scale ingest shape:
+    * each increment pays O(batch bands) banding plus band-key equi-joins
+    * whose left side is batch-sized, never a re-band or self-join of the
+    * historical corpus (`oldBands` streams through the join shuffle
+    * once). `corpus` supplies the shingle sets for the exact verify —
+    * only candidate ids are looked up (the LSH bound keeps that set
+    * linear in the batch's true dup count).
+    *
+    * `oldBands` is the historical corpus's CURRENT band state. Rows it
+    * holds for ids that reappear in `batch` (a re-crawl) are harmless:
+    * the id-inequality keeps self-pairs out, and every candidate is
+    * verified against `corpus`'s current texts — but keeping the state
+    * fresh is [[upsertBandRows]]' job, and dedup recall against OTHER
+    * re-crawled docs is only as current as the state passed in.
+    * Recall: identical s-curve to [[nearDupPairs]] (same bands/rows), so
+    * at threshold 0.8 the output equals the true touching-pair set for
+    * practical purposes — q_dedup_incr's oracle states exactly that:
+    * the all-pairs ground truth restricted to pairs with a batch
+    * endpoint.
+    */
+  def incrementalNearDupPairs(oldBands: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              corpus: DataFrame, threshold: Double = 0.8,
+                              shingleN: Int = 3, bands: Int = 32,
+                              rows: Int = 4, seed: Long = 42L): DataFrame = {
+    val nb = bandRows(batch, idCol, textCol, shingleN, bands, rows, seed)
+    // batch × historical candidates (either orientation) + batch-internal
+    val cross = nb.as("l").join(oldBands.as("r"), col("l.bh") === col("r.bh") &&
+        col("l.id") =!= col("r.id"))
+      .select(least(col("l.id"), col("r.id")).as("a_id"),
+        greatest(col("l.id"), col("r.id")).as("b_id"))
+    val intra = nb.as("l").join(nb.as("r"),
+        col("l.bh") === col("r.bh") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a_id"), col("r.id").as("b_id"))
+    jaccardForPairs(cross.unionAll(intra).distinct(), corpus, idCol, textCol,
+        shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Near-duplicate pairs: LSH candidates re-verified with exact Jaccard ≥
     * threshold. With bands=32/rows=4 the LSH s-curve midpoint is ≈0.42, so
     * recall at threshold 0.8 is 1-(1-0.8⁴)³² ≈ 1-2.6e-11 — the verified

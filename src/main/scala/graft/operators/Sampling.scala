@@ -306,4 +306,141 @@ object Sampling {
     */
   def epochShuffle(df: DataFrame, keyCol: String, epoch: Int): DataFrame =
     df.orderBy(bucketOf(col(keyCol), epoch.toLong), col(keyCol))
+
+  /** Deterministic TOKEN-BUDGET mixture — the "N billion tokens of web,
+    * M of code" recipe real pretraining mixes are specified in: each
+    * stratum keeps the hash-ordered prefix of its documents whose
+    * cumulative token count stays within that stratum's budget. Rows
+    * mix, budgets are TOKENS — the unit the training run actually
+    * consumes — which is why neither [[balancedSample]] (equalizes row
+    * counts) nor [[sqrtTemperatureSample]] (smooths row rates) can
+    * express it: a domain of long documents exhausts a token budget in
+    * far fewer rows.
+    *
+    * `budgets` is a k-row (stratum, budget) frame — k = #domains, the
+    * same bounded-small-side shape as the samplers' count frames —
+    * joined null-safe (a NULL stratum can carry a budget) and broadcast.
+    * Strata absent from `budgets` are dropped: an unlisted domain has
+    * budget zero, exactly how a mix spec reads. The keep rule is EXACT
+    * integer arithmetic end to end: tokens sum as longs along the
+    * keyed-hash order ([[bucketOf]] ascending, key tie-break — an
+    * unbiased prefix, since the hash order is exchangeable with respect
+    * to content), and a row survives iff its inclusive running sum is ≤
+    * the budget. No floats anywhere, so an external oracle replays the
+    * boundary bit-identically.
+    *
+    * Cost shape: one broadcast join + ONE shuffle on the stratum column;
+    * the running sum is a per-stratum window, so each stratum sorts in
+    * one task (the [[samplePerKey]] bound — fine at k domains × docs
+    * that fit a task). The 100 TB path for a SINGLE giant stratum is a
+    * two-phase threshold search instead: range-partition the stratum by
+    * bucket, take per-range token subtotals (one small agg), pick the
+    * cutoff range by prefix-summing k subtotals driver-side, and window
+    * only inside the boundary range — same exact rule, no single-task
+    * sort. This entry point ships the window form because the budget
+    * contract, not the sort, is the operator.
+    */
+  def tokenBudgetSample(df: DataFrame, stratumCol: String, keyCol: String,
+                        tokenCol: String, budgets: DataFrame,
+                        budgetCol: String = "budget",
+                        seed: Long = 0L): DataFrame = {
+    require(budgets.columns.contains(stratumCol) &&
+      budgets.columns.contains(budgetCol),
+      s"tokenBudgetSample: budgets frame must carry ($stratumCol, $budgetCol)")
+    val bStr = "__graft_budget_stratum"
+    val bVal = "__graft_budget_value"
+    val cum = "__graft_budget_cum"
+    Seq(bStr, bVal, cum).foreach(c => require(!df.columns.contains(c),
+      s"tokenBudgetSample: input already has a '$c' column"))
+    // Materialize the k-row budget spec and re-ship it as a broadcast
+    // LocalRelation (the balancedSample pattern): bounded driver state
+    // (k = #domains), the budget subtree is never re-evaluated, and a
+    // caller deriving budgets FROM df itself (the "half of each
+    // stratum's tokens" shape) cannot trip self-join ambiguity.
+    val bSel = budgets.select(col(stratumCol).as(bStr),
+      col(budgetCol).cast("long").as(bVal))
+    val b = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(bSel.collect(): _*), bSel.schema)
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(bucketOf(col(keyCol), seed), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(b), df(stratumCol) <=> b(bStr))
+      .withColumn(cum, sum(col(tokenCol).cast("long")).over(w))
+      .filter(col(cum) <= col(bVal))
+      .drop(bStr, bVal, cum)
+  }
+
+  /** LEAKAGE-SAFE train/valid/test split: assign every near-duplicate
+    * CLUSTER — not every document — to one side. A doc-keyed
+    * [[splitLabel]] puts ~f_train·f_test of near-dup PAIRS across the
+    * train/test boundary, and a model that memorized the train copy is
+    * then scored on its test twin — the eval-contamination failure
+    * document-level dedup papers warn about. Splitting on the cluster
+    * canonical id closes it by construction: both endpoints of every
+    * dup edge share a canonical, hence a label.
+    *
+    * `pairs` is any near-dup edge set ((aCol, bCol) over `idCol`
+    * values — MinHash, SimHash, embedding pairs alike);
+    * [[Components.connectedComponents]] closes it transitively (A~B~C
+    * land together even when A~C misses the threshold — hash-to-min,
+    * O(log n) rounds over the DUP GRAPH only, a set tiny next to the
+    * corpus). Docs outside the graph are their own cluster. Output =
+    * the input plus `cluster` (long canonical id) and `split` (label).
+    *
+    * Cost shape at 100 TB: components iterate over pair-graph-sized
+    * frames; the corpus pays ONE left join against the component map
+    * (dup-graph-sized — AQE broadcasts it in the common sparse-dup
+    * case) plus [[splitLabel]]'s narrow per-row arithmetic. Split
+    * ratios hold approximately at cluster granularity — exact ratios
+    * at doc granularity are impossible once docs must move in groups.
+    */
+  def clusterSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String, bCol: String,
+                       fractions: Seq[(String, Double)],
+                       seed: Long = 0L): DataFrame = {
+    Seq("cluster", "split").foreach(c => require(!df.columns.contains(c),
+      s"clusterSafeSplit: input already has a '$c' column"))
+    val comp = Components.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("__graft_css_id"), col("comp").as("__graft_css_comp"))
+    df.join(comp, df(idCol) === comp("__graft_css_id"), "left")
+      .withColumn("cluster",
+        coalesce(col("__graft_css_comp"), col(idCol).cast("long")))
+      .withColumn("split", splitLabel(col("cluster"), fractions, seed))
+      .drop("__graft_css_id", "__graft_css_comp")
+  }
+
+  /** Per-stratum QUANTILE gate — adaptive-threshold curation: keep the
+    * top `keepNum/keepDen` fraction of each stratum under `ord` (pass
+    * score-descending plus a unique tie-break key). The per-language
+    * quality-classifier cut of corpus curation: an absolute threshold
+    * over-prunes whichever language the scorer is miscalibrated on,
+    * while a per-stratum fraction adapts to each stratum's own score
+    * distribution. Complements [[samplePerKey]] (fixed k per group) and
+    * `q_domain_cap`'s top-k: the kept COUNT here scales with the
+    * stratum, keeping floor(cnt·num/den) rows.
+    *
+    * The keep rule is exact integer cross-multiplication — row survives
+    * iff rank·keepDen ≤ count·keepNum — never a float fraction, so the
+    * boundary row is the same on every engine. One shuffle on the
+    * stratum column; rank and count ride the same window partition
+    * (single sort, no second pass). Same per-stratum single-task sort
+    * bound (and the same two-phase escape) as [[tokenBudgetSample]].
+    */
+  def stratumQuantileGate(df: DataFrame, stratumCol: String,
+                          keepNum: Int, keepDen: Int,
+                          ord: Column*): DataFrame = {
+    require(keepDen > 0 && keepNum > 0 && keepNum <= keepDen,
+      s"stratumQuantileGate: keep fraction $keepNum/$keepDen must be in (0, 1]")
+    require(ord.nonEmpty, "stratumQuantileGate: pass an ordering " +
+      "(score desc + a unique tie-break key)")
+    val rn = "__graft_sqg_rn"
+    val cnt = "__graft_sqg_cnt"
+    Seq(rn, cnt).foreach(c => require(!df.columns.contains(c),
+      s"stratumQuantileGate: input already has a '$c' column"))
+    val w = Window.partitionBy(stratumCol)
+    df.withColumn(rn, row_number().over(w.orderBy(ord: _*)))
+      .withColumn(cnt, count(lit(1)).over(w))
+      .filter(col(rn).cast("long") * keepDen <= col(cnt) * keepNum)
+      .drop(rn, cnt)
+  }
 }

@@ -552,6 +552,47 @@ object Similarity {
     IvfIndex(data, v, cells)
   }
 
+  /** Assign a vector batch to a TRAINED quantizer's cells — the
+    * centroids stay FROZEN (the public-ANN `add` semantics: an inverted
+    * file absorbs new vectors by nearest-cell assignment; retraining is
+    * a separate, rarer epoch event). Emits rows in the [[IvfIndex]]
+    * `assigned` schema (nid, nv, nnrm, cell): one narrow codegen'd
+    * kernel scan over the batch, no shuffle, O(batch) work.
+    */
+  def ivfAssign(kernel: graft.functions.NearestCellsKernel, batch: DataFrame,
+                idCol: String, vecCol: String): DataFrame = {
+    val v = normed(batch, idCol, vecCol)
+    v.select(col("id").as("nid"), col("v").as("nv"), col("nrm").as("nnrm"),
+      graft.functions.NearestCells.cell(col("v"), kernel).as("cell"))
+  }
+
+  /** INCREMENTAL dense ingest — the [[graft.operators.Retrieval
+    * .upsertTermFreq]] symmetry for the ANN family: merge a new or
+    * re-crawled vector batch into a trained [[IvfIndex]] WITHOUT
+    * retraining. Stale rows of re-ingested ids drop via one anti-join
+    * (key-partitioned on id), the batch enters through frozen-quantizer
+    * [[ivfAssign]] — O(batch + index), never a corpus re-encode or a
+    * Lloyd re-run. Because a full-width probe (nprobe = nlist) is exact
+    * REGARDLESS of the quantizer, the merged index reproduces the exact
+    * brute force over the merged corpus verbatim — the maintenance ==
+    * rebuild contract q_ann_incr pins cross-engine; at serving widths
+    * the quantizer simply ages as the corpus drifts, which is the
+    * documented trade every production IVF deployment makes between
+    * retrain epochs.
+    */
+  def ivfUpsert(index: IvfIndex, batch: DataFrame,
+                idCol: String, vecCol: String): IvfIndex = {
+    val fresh = ivfAssign(index.kernel, batch, idCol, vecCol)
+    val assigned = index.assigned
+      .join(batch.select(col(idCol).cast("long").as("nid")).distinct(),
+        Seq("nid"), "left_anti")
+      .unionByName(fresh)
+    IvfIndex(assigned,
+      assigned.select(col("nid").as("id"), col("nv").as("v"),
+        col("nnrm").as("nrm")),
+      index.kernel)
+  }
+
   /** PROBE half of [[ivfTopK]] against a trained [[IvfIndex]]:
     * self-kNN — the corpus queries itself.
     */

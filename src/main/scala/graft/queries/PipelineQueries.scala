@@ -386,6 +386,24 @@ object PipelineQueries {
       Dedup.nearDupPairs(Tables.documents(s, d), "doc_id", "text", threshold = 0.8)
         .orderBy("a_id", "b_id")),
 
+    // INCREMENTAL ingest dedup: this crawl's increment (doc_id % 11 = 0)
+    // deduped against the historical corpus's PERSISTED band state —
+    // batch-sized banding + band-key joins, never a re-band or self-join
+    // of the history (Dedup.bandRows / incrementalNearDupPairs). Output
+    // = every verified pair touching the batch; the oracle is the
+    // all-pairs ground truth restricted to batch-endpoint pairs, so
+    // "incremental == from-scratch on the touching set" is the
+    // driver-gated claim (the q_bm25_incr symmetry for dedup).
+    "q_dedup_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+      Dedup.incrementalNearDupPairs(
+          Dedup.bandRows(old, "doc_id", "text"), batch, "doc_id", "text",
+          docs, threshold = 0.8)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Near-dup CLUSTERS: the MinHash+LSH verified pair set (= the exact
     // Jaccard ≥ 0.8 ground truth) closed under transitivity via
     // Components.connectedComponents (hash-to-min label propagation);
@@ -433,6 +451,51 @@ object PipelineQueries {
       Sampling.sqrtTemperatureSample(Tables.documents(s, d), "lang", "doc_id")
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")),
+
+    // Token-budget mixing — the unit real mix specs are written in:
+    // each language keeps its hash-ordered document prefix until HALF
+    // its total whitespace tokens are consumed (budgets derived in-plan
+    // as exact `div 2` longs, so the row binds — is a strict subset —
+    // at every scale by construction). Pure integer running-sum rule,
+    // replayed verbatim by the oracle's window; the budget frame is a
+    // k-row broadcast (Sampling.tokenBudgetSample).
+    "q_token_budget_mix" -> ((s, d) => {
+      val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        size(TextFunctions.tokens(col("text"))).as("n_tok"))
+      val budgets = t.groupBy("lang").agg(expr("sum(n_tok) div 2").as("budget"))
+      Sampling.tokenBudgetSample(t, "lang", "doc_id", "n_tok", budgets)
+        .orderBy("doc_id")
+    }),
+
+    // Leakage-safe corpus split: near-dup CLUSTERS (MinHash pairs closed
+    // under transitivity) are the split unit, so no near-duplicate pair
+    // can straddle train/test — the eval-contamination guard a doc-keyed
+    // split (q_split_sample) structurally lacks. Oracle = the recursive-
+    // CTE component closure over the same ground-truth pairs + the same
+    // binary-exact bucket cuts, keyed on the cluster canonical.
+    "q_cluster_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      Sampling.clusterSafeSplit(docs.select(col("doc_id")), "doc_id", pairs,
+          "a_id", "b_id",
+          Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125))
+        .orderBy("doc_id")
+    }),
+
+    // Adaptive per-language quality gate: keep the top 3/5 of each
+    // language by the shared quality heuristic (round-6 double — its
+    // cross-engine equality is already pinned by q_quality_score, so
+    // ordering on it plus the doc_id tie-break cannot diverge). The
+    // keep rule is exact integer cross-multiplication rank·5 ≤ cnt·3 —
+    // floor(0.6·cnt) rows per language, scaling with the stratum where
+    // q_domain_cap's fixed k cannot.
+    "q_quality_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      Sampling.stratumQuantileGate(docs, "lang", 3, 5,
+          col("quality").desc, col("doc_id"))
+        .orderBy("doc_id")
+    }),
 
     // Near-dup dedup END-TO-END: the survivor set after transitive
     // clustering — every doc either outside the near-dup graph or the
@@ -596,6 +659,31 @@ object PipelineQueries {
     // self-exclusion while the oracle keeps the pair), via the
     // broadcast-1-row scalar-join pattern — so no self-exclusion
     // fires on either engine at ANY scale.
+    // INCREMENTAL dense ingest: last epoch's index (trained on
+    // vec_id % 9 != 0) absorbs this epoch's increment (% 9 == 0) by
+    // frozen-quantizer assignment + anti-join upsert — no Lloyd re-run,
+    // no corpus re-encode (Similarity.ivfUpsert — the q_bm25_incr
+    // symmetry for the ANN family). A full-width probe is exact
+    // REGARDLESS of the quantizer, so the merged index must reproduce
+    // the exact serving oracle VERBATIM: incremental ingest == full
+    // rebuild under the exact probe, hash-pinned cross-engine.
+    "q_ann_incr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val old = emb.filter(pmod(col("vec_id"), lit(9)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(9)) === 0)
+      val nOld = old.count()
+      val nl = AnnParams.nlist(nOld)
+      val up = Similarity.ivfUpsert(
+        Similarity.ivfIndex(old, "vec_id", "embedding", nl),
+        batch, "vec_id", "embedding")
+      AnnParams.observeClamps(
+        Similarity.ivfProbeFor(up, serveWorkload(emb), "vec_id", "embedding",
+            k = 5, nprobe = nl)
+          .withColumn("sim", round(col("sim"), 6))
+          .orderBy("qid", "rank"),
+        nOld)._1
+    }),
+
     "q_ann_serve" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val n = embCount(s, d)
@@ -1379,6 +1467,31 @@ object PipelineQueries {
        SELECT v AS doc_id, min(r) AS component FROM reach
        GROUP BY v ORDER BY doc_id"""
 
+  /** The per-doc quality heuristic as CTEs ending in
+    * `qsc(doc_id, lang, quality)` — shared VERBATIM by q_quality_score
+    * and q_quality_gate, so the quantity the gate ranks on can never
+    * silently drift from the quantity the score row pins (the
+    * bm25SearchOracle sharing discipline).
+    */
+  private val qualityCtes: String =
+    s"""m AS (
+         SELECT doc_id, lang,
+                CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+                CAST(len(text) AS DOUBLE) AS n_char,
+                CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct,
+                CAST(len(list_filter(string_split(text, ' '),
+                  t -> list_contains([$stopList], t))) AS DOUBLE) AS n_stop
+         FROM documents),
+       qsc AS (
+         SELECT doc_id, lang,
+                round(least(n_tok/50.0, 1.0) * 0.4
+                  + (CASE WHEN n_char/greatest(n_tok, 1.0) BETWEEN 3.0 AND 10.0
+                          THEN 1.0 ELSE 0.5 END) * 0.2
+                  + least(n_stop/greatest(n_tok, 1.0) * 4.0, 1.0) * 0.2
+                  + (1.0 - least(n_punct/greatest(n_char, 1.0) * 10.0, 1.0)) * 0.2,
+                  6) AS quality
+         FROM m)"""
+
   /** The exact serving oracle: brute-force top-5 over the shifted
     * modulo-10 workload, shift derived in-plan from max(vec_id)+1 —
     * shared verbatim by q_ann_serve (in-session index at full probe
@@ -1428,6 +1541,13 @@ object PipelineQueries {
          WHERE rn = 1 ORDER BY user_id, event_type""",
     "q_jaccard_pairs" -> jaccardGroundTruth,
     "q_minhash_neardup" -> jaccardGroundTruth,
+    // incremental dedup: the identical ground truth, restricted to pairs
+    // with an endpoint in the increment batch
+    "q_dedup_incr" ->
+      s"""WITH $jaccardCtes
+         SELECT a_id, b_id, jaccard FROM jp
+         WHERE a_id % 11 = 0 OR b_id % 11 = 0
+         ORDER BY a_id, b_id""",
     // Transitive closure of the ground-truth pair set: reach(v, r) holds
     // when r is reachable from v over near-dup edges; min(r) per v is the
     // component's canonical id.
@@ -1484,6 +1604,57 @@ object PipelineQueries {
                < CAST(m.minc AS HUGEINT)
                  * CAST(4294967296 AS HUGEINT) * CAST(4294967296 AS HUGEINT)
          ORDER BY b.doc_id""",
+    // token-budget mixing: the same whitespace token count as
+    // q_token_count's n_ws, budgets = exact integer halves of each
+    // language's total, the keep rule a pure integer running sum along
+    // the Knuth-hash order (null-safe budget join — same contract as
+    // the stratified samplers above)
+    "q_token_budget_mix" ->
+      """WITH t AS (SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tok FROM documents),
+         b AS (SELECT lang, sum(n_tok) // 2 AS budget FROM t GROUP BY lang),
+         r AS (SELECT t.doc_id, t.lang, t.n_tok, b.budget,
+                 sum(t.n_tok) OVER (PARTITION BY t.lang
+                   ORDER BY (CAST(t.doc_id AS HUGEINT) * 2654435761) % 4294967296,
+                            t.doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+               FROM t JOIN b ON t.lang IS NOT DISTINCT FROM b.lang)
+         SELECT doc_id, lang, n_tok FROM r WHERE cum <= budget
+         ORDER BY doc_id""",
+    // leakage-safe split: component closure over the ground-truth pair
+    // set (the componentsOracle CTEs verbatim), split cuts keyed on the
+    // cluster canonical — same binary-exact thresholds as q_split_sample
+    "q_cluster_split" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         edges AS (SELECT a_id AS a, b_id AS b FROM jp
+                   UNION ALL SELECT b_id, a_id FROM jp),
+         reach(v, r) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+         comp AS (SELECT v, min(r) AS c FROM reach GROUP BY v),
+         x AS (SELECT d.doc_id, coalesce(cp.c, d.doc_id) AS cluster
+               FROM documents d LEFT JOIN comp cp ON d.doc_id = cp.v)
+         SELECT doc_id, cluster,
+                CASE WHEN b < 3221225472 THEN 'train'
+                     WHEN b < 3758096384 THEN 'valid'
+                     ELSE 'test' END AS split
+         FROM (SELECT doc_id, cluster,
+                 (CAST(cluster AS HUGEINT) * 2654435761) % 4294967296 AS b
+               FROM x)
+         ORDER BY doc_id""",
+    // adaptive quality gate: rank within language on the SHARED quality
+    // CTEs (qualityCtes — verbatim the q_quality_score quantity), keep
+    // iff rank·5 ≤ count·3 (exact integer cross-multiplication)
+    "q_quality_gate" ->
+      s"""WITH $qualityCtes,
+         r AS (SELECT doc_id, lang, quality,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY quality DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS cnt
+               FROM qsc)
+         SELECT doc_id, lang, quality FROM r
+         WHERE rn * 5 <= cnt * 3 ORDER BY doc_id""",
     // All-pairs recomputation of the poly-hash SimHash fingerprint: the
     // same (h1<<31)|h2 rolling hash per token (codepoint fold), the same
     // TF-weighted bit votes, then brute-force hamming ≤ 3. The Spark side
@@ -1625,6 +1796,9 @@ object PipelineQueries {
     // the persisted round-trip must land on the SAME exact rows — one
     // oracle text, two gated paths (in-session index vs save→load)
     "q_ann_serve_persisted" -> serveExactOracleSql,
+    // and the INCREMENTALLY-ingested index too: a third gated path to
+    // the same exact rows (frozen-quantizer upsert, full-width probe)
+    "q_ann_incr" -> serveExactOracleSql,
     "q_hard_negatives" ->
       """WITH v AS (
            SELECT vec_id, label,
@@ -1828,22 +2002,7 @@ object PipelineQueries {
                 len(string_split(text, ' ')) AS n_ws
          FROM documents ORDER BY doc_id""",
     "q_quality_score" ->
-      s"""WITH m AS (
-           SELECT doc_id,
-                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
-                  CAST(len(text) AS DOUBLE) AS n_char,
-                  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS n_punct,
-                  CAST(len(list_filter(string_split(text, ' '),
-                    t -> list_contains([$stopList], t))) AS DOUBLE) AS n_stop
-           FROM documents)
-         SELECT doc_id,
-                round(least(n_tok/50.0, 1.0) * 0.4
-                  + (CASE WHEN n_char/greatest(n_tok, 1.0) BETWEEN 3.0 AND 10.0
-                          THEN 1.0 ELSE 0.5 END) * 0.2
-                  + least(n_stop/greatest(n_tok, 1.0) * 4.0, 1.0) * 0.2
-                  + (1.0 - least(n_punct/greatest(n_char, 1.0) * 10.0, 1.0)) * 0.2,
-                  6) AS quality
-         FROM m ORDER BY doc_id""",
+      s"WITH $qualityCtes SELECT doc_id, quality FROM qsc ORDER BY doc_id",
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          s AS (SELECT doc_id,

@@ -118,6 +118,29 @@ class DegenerateInputsSpec extends SparkSpec {
     assert(err2.getMessage.contains("empty"))
   }
 
+  test("budget / quantile-gate / cluster-split operators are total on empty inputs") {
+    import spark.implicits._
+    val e = emptyDocs.withColumn("lang", lit("en")).withColumn("n_tok", lit(1))
+    val b = Seq(("en", 100L)).toDF("lang", "budget")
+    // empty corpus, real budgets → empty out (budgets are a SPEC, not
+    // learned state — no stratum floor to fail on, unlike balancedSample)
+    assert(Sampling.tokenBudgetSample(e, "lang", "doc_id", "n_tok", b)
+      .count() === 0)
+    // real corpus, EMPTY budget frame: every stratum is unlisted → empty
+    val d = Seq((1L, "en", 3), (2L, "en", 4)).toDF("doc_id", "lang", "n_tok")
+    assert(Sampling.tokenBudgetSample(d, "lang", "doc_id", "n_tok", b.limit(0))
+      .count() === 0)
+    // empty pair set: every doc is its own cluster, split = splitLabel
+    val noPairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    val s = Sampling.clusterSafeSplit(d.select("doc_id"), "doc_id", noPairs,
+      "a", "b", Seq("all" -> 1.0))
+    assert(s.count() === 2 &&
+      s.filter(col("cluster") === col("doc_id")).count() === 2)
+    // empty input through the gate: empty out, no window error
+    assert(Sampling.stratumQuantileGate(e, "lang", 1, 2, col("doc_id"))
+      .count() === 0)
+  }
+
   test("zero-norm vectors score 0.0, never NaN — and never outrank real neighbors") {
     // An all-zeros embedding is representable clean data. Unguarded,
     // 0/0 = NaN, and Spark's double ordering places NaN above every

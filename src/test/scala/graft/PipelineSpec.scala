@@ -346,6 +346,132 @@ class PipelineSpec extends SparkSpec {
     assert(t2 === temp.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("incremental dedup == full-corpus dedup restricted to batch-touching pairs") {
+    import spark.implicits._
+    val old = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+    val incr = Dedup.incrementalNearDupPairs(
+        Dedup.bandRows(old, "doc_id", "text"), batch, "doc_id", "text",
+        docs, threshold = 0.8)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .filter(col("a_id") % 11 === 0 || col("b_id") % 11 === 0)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr.nonEmpty && incr === full)
+    // upsertBandRows: a re-crawled doc's stale bands are REPLACED — the
+    // state equals bands(old docs unchanged) ∪ bands(new text)
+    val changed = batch.limit(1)
+      .select(col("doc_id"), lit("completely new text of the recrawl").as("text"))
+    val state0 = Dedup.bandRows(docs, "doc_id", "text")
+    val state1 = Dedup.upsertBandRows(state0, changed, "doc_id", "text")
+    val cid = changed.collect()(0).getLong(0)
+    val gotBands = state1.filter(col("id") === cid)
+      .collect().map(_.getLong(1)).sorted.toSeq
+    val wantBands = Dedup.bandRows(changed, "doc_id", "text")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(gotBands === wantBands)
+    assert(state1.count() === state0.count())
+  }
+
+  test("tokenBudgetSample: exact prefix rule, monotone budgets, unlisted strata drop") {
+    import graft.operators.Sampling
+    val t = docs.select(col("doc_id"), col("lang"),
+      size(TextFunctions.tokens(col("text"))).as("n_tok")).cache()
+    // budget = each stratum's full total → keep-all (boundary inclusive)
+    val totals = t.groupBy("lang").agg(sum("n_tok").as("budget"))
+    assert(Sampling.tokenBudgetSample(t, "lang", "doc_id", "n_tok", totals)
+      .count() === t.count())
+    // half budgets: a strict subset, and EXACTLY the hash-order prefix
+    // under the inclusive running-sum rule (replicated driver-side)
+    val halves = t.groupBy("lang").agg(expr("sum(n_tok) div 2").as("budget"))
+    val keptIds = Sampling.tokenBudgetSample(t, "lang", "doc_id", "n_tok", halves)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty && keptIds.size < t.count())
+    val rows = t.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val budg = halves.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val expect = rows.groupBy(_._2).flatMap { case (lang, rs) =>
+      var cum = 0L
+      rs.sortBy { case (id, _, _) => ((id * 2654435761L) % 4294967296L, id) }
+        .iterator
+        .takeWhile { case (_, _, n) => cum += n; cum <= budg(lang) }
+        .map(_._1)
+    }.toSet
+    assert(keptIds === expect)
+    // a smaller budget keeps a PREFIX of the larger budget's keep-set
+    val quarterIds = Sampling.tokenBudgetSample(t, "lang", "doc_id", "n_tok",
+        t.groupBy("lang").agg(expr("sum(n_tok) div 4").as("budget")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(quarterIds.subsetOf(keptIds))
+    // a stratum absent from the budget frame has budget zero: dropped
+    val noEn = Sampling.tokenBudgetSample(t, "lang", "doc_id", "n_tok",
+      halves.filter(col("lang") =!= "en"))
+    assert(noEn.filter(col("lang") === "en").count() === 0)
+    assert(noEn.count() > 0)
+  }
+
+  test("clusterSafeSplit: clusters move whole; singletons match splitLabel") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    val fr = Seq("train" -> 0.5, "test" -> 0.5)
+    val ds = (1L to 10L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val out = Sampling.clusterSafeSplit(ds, "id", pairs, "a", "b", fr)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // transitive closure: {1,2,3} one cluster even though (1,3) is no pair
+    assert(Set(1L, 2L, 3L).map(out(_)._1) === Set(1L))
+    assert(Set(7L, 8L).map(out(_)._1) === Set(7L))
+    Seq(4L, 5L, 6L, 9L, 10L).foreach(i => assert(out(i)._1 === i))
+    assert(Set(1L, 2L, 3L).map(out(_)._2).size === 1)
+    assert(out(7L)._2 === out(8L)._2)
+    // docs outside the dup graph label exactly like the doc-keyed split
+    val naive = ds.select(col("id"),
+        Sampling.splitLabel(col("id"), fr).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq(4L, 5L, 6L, 9L, 10L).foreach(i => assert(out(i)._2 === naive(i)))
+    // the contract on the real corpus: NO near-dup pair straddles splits
+    val p = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+    val lbl = Sampling.clusterSafeSplit(docs.select("doc_id"), "doc_id", p,
+        "a_id", "b_id",
+        Seq("train" -> 0.75, "valid" -> 0.125, "test" -> 0.125))
+      .select(col("doc_id"), col("split"))
+    val straddle = p
+      .join(lbl.toDF("a_id", "sa"), "a_id")
+      .join(lbl.toDF("b_id", "sb"), "b_id")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(p.count() > 0 && straddle === 0L)
+  }
+
+  test("stratumQuantileGate keeps floor(cnt·num/den) best rows per stratum") {
+    import graft.operators.Sampling
+    val scored = docs.select(col("doc_id"), col("lang"),
+      TextFunctions.qualityScore(col("text")).as("q")).cache()
+    val kept = Sampling.stratumQuantileGate(scored, "lang", 3, 5,
+      col("q").desc, col("doc_id")).cache()
+    val cnts = scored.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptCnt = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, n) <- cnts)
+      assert(keptCnt.getOrElse(lang, 0L) === n * 3 / 5,
+        s"$lang: expected floor(${n}·3/5)")
+    // every kept row outranks (or round-6 ties) every dropped row in its
+    // stratum — the gate is a true quantile cut, not a biased sample
+    val dropped = scored.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+    val bad = kept.groupBy("lang").agg(min("q").as("wk"))
+      .join(dropped.groupBy("lang").agg(max("q").as("bd")), "lang")
+      .filter(col("wk") < col("bd")).count()
+    assert(bad === 0L)
+    // num == den keeps everything; out-of-range fractions fail loudly
+    assert(Sampling.stratumQuantileGate(scored, "lang", 1, 1, col("doc_id"))
+      .count() === scored.count())
+    intercept[IllegalArgumentException](
+      Sampling.stratumQuantileGate(scored, "lang", 0, 5, col("doc_id")))
+    intercept[IllegalArgumentException](
+      Sampling.stratumQuantileGate(scored, "lang", 6, 5, col("doc_id")))
+  }
+
   test("bucketOf: seeds are independent hash functions, ANSI-safe at any key") {
     import graft.operators.Sampling
     import spark.implicits._

@@ -189,6 +189,44 @@ class PqOpsSpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf == bf)
   }
 
+  test("ivfUpsert == frozen-quantizer rebuild; re-ingest replaces stale rows") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    def vecs(ids: Range) = ids
+      .map(i => (i.toLong, Seq.fill(8)(rng.nextDouble().toFloat)))
+      .toDF("vec_id", "embedding")
+    val old = vecs(0 until 50).cache()
+    val batch = vecs(50 until 60).cache()
+    val idx = S.ivfIndex(old, "vec_id", "embedding", nlist = 4)
+    val up = S.ivfUpsert(idx, batch, "vec_id", "embedding")
+    // maintenance == rebuild at the FIXED quantizer: upserting the batch
+    // lands on exactly the rows frozen-quantizer assignment of the whole
+    // merged corpus produces (same kernel, same cells, same doubles)
+    val rebuilt = S.ivfAssign(idx.kernel, old.unionAll(batch),
+      "vec_id", "embedding")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getInt(3))
+    assert(up.assigned.select("nid", "nv", "nnrm", "cell").collect().map(key).toSet ===
+      rebuilt.select("nid", "nv", "nnrm", "cell").collect().map(key).toSet)
+    // full-width probe over the merged index == exact brute force over
+    // the merged corpus (the q_ann_incr claim, pinned here in-miniature)
+    val ext = vecs(100 until 105)
+    val got = S.ivfProbeFor(up, ext, "vec_id", "embedding", k = 3, nprobe = 4)
+      .orderBy("qid", "rank").collect().toSeq
+    val bf = S.bruteForceTopKFor(ext, old.unionAll(batch), "vec_id",
+        "embedding", k = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(got.nonEmpty && got == bf)
+    // a RE-CRAWLED id (same id, new vector) replaces its stale row
+    val recrawl = Seq((7L, Seq.fill(8)(rng.nextDouble().toFloat)))
+      .toDF("vec_id", "embedding")
+    val up2 = S.ivfUpsert(up, recrawl, "vec_id", "embedding")
+    val row7 = up2.assigned.filter(col("nid") === 7L).collect()
+    val want = S.ivfAssign(idx.kernel, recrawl, "vec_id", "embedding").collect()
+    assert(row7.length === 1 && key(row7(0)) === key(want(0)))
+    assert(up2.assigned.count() === 60)
+  }
+
   test("lshIndex + lshProbeFor with the corpus as queries equals lshTopK") {
     // LSH is data-oblivious: the index is just the banded corpus, so an
     // external probe that buckets its queries through the same seeded
