@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus DRIFT monitoring: compare the token distributions of two
+  * corpus snapshots (last crawl vs this crawl, last epoch's mix vs
+  * today's) and surface the terms whose probability moved most — the
+  * population-stability check a production training-data pipeline runs
+  * before a new snapshot is allowed into the mix (PSI — population
+  * stability index — is the standard industry form; Kullback–Leibler
+  * 1951 is the underlying quantity).
+  *
+  * Determinism design (what makes this oracle-checkable where a naive
+  * KL sum is not): with Laplace-smoothed probabilities
+  * p(t) = (c_a(t)+1)/(n_a+V) and q(t) = (c_b(t)+1)/(n_b+V) over the
+  * JOINT vocabulary V, every term's |p−q| shares ONE common denominator
+  * (n_a+V)·(n_b+V) — so ranking by |p−q| is ranking by the EXACT
+  * integer |(c_a+1)·(n_b+V) − (c_b+1)·(n_a+V)|. The drift ORDER (which
+  * terms moved most, the monitor's actionable output) is therefore pure
+  * integer arithmetic that no engine pair can disagree on; the per-term
+  * PSI contribution (p−q)·ln(p/q) rides along as an IEEE double with a
+  * fixed operation order, rounded to 6 (the corpus-wide float rule).
+  *
+  * Scale shape: two explode → partial+final hash aggregations (term
+  * counts per snapshot), one full-outer shuffle join on term (absent =
+  * count 0 — the smoothing exists exactly so those terms still carry
+  * mass), corpus scalars as a 1-row broadcast, then narrow per-row
+  * arithmetic. Nothing is driver-proportional; the monitor's output is
+  * bounded by the caller's top-k.
+  *
+  * Integer-exactness bound: the cross-product terms are computed in
+  * DecimalType(38,0); they stay exact while (c+1)·(n+V) < 10^38 — a
+  * snapshot pair would need ~10^19 tokens apiece to approach it, and
+  * the same exact-rule discipline as [[Sampling.sqrtTemperatureSample]]
+  * applies (fail loudly rather than drift silently — here the decimal
+  * simply cannot overflow first, since c ≤ n and V ≤ n bound each
+  * factor by 2n and 10^19 tokens of one snapshot overflow nothing).
+  *
+  * Reference scope: not in the reference repo; public-technique
+  * addition (PSI monitoring, Laplace smoothing — textbook methods).
+  */
+object Drift {
+
+  /** Per-term token counts of one snapshot: (term, c). */
+  private def termCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+
+  /** Per-term drift between snapshots `a` and `b`:
+    * (term, c_a, c_b, drift, psi6) — `drift` the exact integer
+    * |(c_a+1)·(n_b+V) − (c_b+1)·(n_a+V)| (the |p−q| numerator over the
+    * shared denominator; DecimalType(38,0)), `psi6` the term's PSI
+    * contribution (p−q)·ln(p/q) rounded to 6. Callers rank by
+    * (drift desc, term) and keep their top-k; Σ psi6 over ALL rows is
+    * the corpus PSI.
+    */
+  def termDrift(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ca = termCounts(a, textCol).withColumnRenamed("c", "c_a")
+    val cb = termCounts(b, textCol).withColumnRenamed("c", "c_b")
+    val joined = ca.join(cb, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    // corpus scalars — one row, broadcast: snapshot token totals and the
+    // joint vocabulary size (every term of either side, by construction
+    // of the full-outer join)
+    val g = joined.agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"),
+      count(lit(1)).as("v"))
+    val da = (col("n_a") + col("v")).cast(dec) // shared denominator of p
+    val db = (col("n_b") + col("v")).cast(dec)
+    val xa = (col("c_a") + lit(1L)).cast(dec)  // smoothed numerators
+    val xb = (col("c_b") + lit(1L)).cast(dec)
+    val p = (col("c_a") + lit(1L)).cast("double") /
+      (col("n_a") + col("v")).cast("double")
+    val q = (col("c_b") + lit(1L)).cast("double") /
+      (col("n_b") + col("v")).cast("double")
+    joined.crossJoin(broadcast(g))
+      .select(col("term"), col("c_a"), col("c_b"),
+        abs(xa * db - xb * da).as("drift"),
+        round((p - q) * log(p / q), 6).as("psi6"))
+  }
+}

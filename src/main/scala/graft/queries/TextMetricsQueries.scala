@@ -21,6 +21,23 @@ object TextMetricsQueries {
   private val docs = (s: SparkSession, d: String) => Tables.documents(s, d)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Snapshot-drift monitor (operators.Drift): the even-doc_id half
+    // stands in for last crawl, the odd half for this one; emit the 15
+    // terms whose Laplace-smoothed probability moved most. The RANKING
+    // is the exact integer |(c_a+1)(n_b+V) − (c_b+1)(n_a+V)| (one
+    // shared denominator for every term — see Drift's scaladoc), so
+    // which terms a deployment gets paged about cannot differ between
+    // engines; the per-term PSI contribution rides as a round-6 double
+    // with fixed operation order.
+    "q_corpus_drift" -> ((s, d) => {
+      val t = docs(s, d)
+      graft.operators.Drift.termDrift(
+          t.filter(pmod(col("doc_id"), lit(2)) === 0),
+          t.filter(pmod(col("doc_id"), lit(2)) === 1), "text")
+        .orderBy(col("drift").desc, col("term"))
+        .limit(15)
+    }),
+
     // Shannon entropy of the token distribution per language — the
     // vocabulary-concentration metric (low entropy = template/boiler-
     // plate spam). Two aggregations: token counts shuffle on
@@ -170,6 +187,30 @@ object TextMetricsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // drift: the same joint-vocabulary Laplace smoothing, the exact
+    // HUGEINT cross-product rank, the same fixed-order IEEE psi term
+    "q_corpus_drift" ->
+      """WITH ta AS (SELECT unnest(string_split(text, ' ')) AS term
+                     FROM documents WHERE doc_id % 2 = 0),
+         ca AS (SELECT term, count(*) AS c_a FROM ta GROUP BY term),
+         tb AS (SELECT unnest(string_split(text, ' ')) AS term
+                FROM documents WHERE doc_id % 2 = 1),
+         cb AS (SELECT term, count(*) AS c_b FROM tb GROUP BY term),
+         j AS (SELECT coalesce(ca.term, cb.term) AS term,
+                      coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+               FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+         g AS (SELECT sum(c_a) AS n_a, sum(c_b) AS n_b, count(*) AS v FROM j),
+         r AS (SELECT term, c_a, c_b,
+                 abs(CAST(c_a + 1 AS HUGEINT) * (g.n_b + g.v)
+                   - CAST(c_b + 1 AS HUGEINT) * (g.n_a + g.v)) AS drift,
+                 round((CAST(c_a + 1 AS DOUBLE) / CAST(g.n_a + g.v AS DOUBLE)
+                      - CAST(c_b + 1 AS DOUBLE) / CAST(g.n_b + g.v AS DOUBLE))
+                     * ln((CAST(c_a + 1 AS DOUBLE) / CAST(g.n_a + g.v AS DOUBLE))
+                        / (CAST(c_b + 1 AS DOUBLE) / CAST(g.n_b + g.v AS DOUBLE))),
+                     6) AS psi6
+               FROM j CROSS JOIN g)
+         SELECT term, c_a, c_b, CAST(drift AS DECIMAL(38,0)) AS drift, psi6
+         FROM r ORDER BY drift DESC, term LIMIT 15""",
     "q_mixture_index" ->
       """WITH c AS (SELECT lang, source, count(*) AS n
                     FROM documents GROUP BY 1, 2),

@@ -346,6 +346,28 @@ class PipelineSpec extends SparkSpec {
     assert(t2 === temp.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("termDrift: zero on identical snapshots, nonnegative psi, joint vocabulary") {
+    import graft.operators.Drift
+    // identical snapshots: p == q for every term → integer drift 0 and
+    // psi exactly 0.0 (no rounding residue — the numerators are equal)
+    val self = Drift.termDrift(docs, docs, "text")
+    assert(self.filter(col("drift") =!= 0 || col("psi6") =!= 0.0).count() === 0)
+    val a = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val b = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val dd = Drift.termDrift(a, b, "text").cache()
+    // each PSI term (p−q)·ln(p/q) is nonnegative by construction — a
+    // negative value means the two factors' signs disagreed, i.e. the
+    // arithmetic drifted from the definition
+    assert(dd.filter(col("psi6") < 0).count() === 0)
+    // the row set IS the joint vocabulary — absent-in-one terms survive
+    // the full-outer join with count 0 (that is what the smoothing is for)
+    def vocab(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(TextFunctions.tokens(col("text"))).as("t")).distinct()
+    assert(dd.count() ===
+      vocab(a).unionAll(vocab(b)).distinct().count())
+    assert(dd.filter(col("drift") > 0).count() > 0)
+  }
+
   test("incremental dedup == full-corpus dedup restricted to batch-touching pairs") {
     import spark.implicits._
     val old = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)

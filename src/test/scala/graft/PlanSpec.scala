@@ -586,4 +586,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerKeyPartial"), p.take(1500))
     assert("Window \\[".r.findAllIn(p).size == 1, p.take(1500))
   }
+
+  test("mixing/split/incremental rows: broadcast spec sides, stratum windows, no cartesian") {
+    def logicalWindows(name: String) = {
+      spark.catalog.clearCache()
+      SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    }
+    // token-budget mix: the k-row budget spec joins as a BROADCAST, and
+    // the running-sum window is partitioned by stratum — a global
+    // (empty-partitionSpec) window here would be the single-reducer
+    // cliff at corpus scale
+    val mixWin = logicalWindows("q_token_budget_mix")
+    assert(mixWin.nonEmpty && mixWin.forall(_.partitionSpec.nonEmpty))
+    val mix = finalPlanOf("q_token_budget_mix")
+    assert(mix.contains("BroadcastHashJoin"), mix.take(1000))
+    assert(!mix.contains("CartesianProduct") &&
+      !mix.contains("BroadcastNestedLoop"), mix.take(1000))
+    // quality gate: same partitioned-window contract (rank and count
+    // share the one stratum partition)
+    val gateWin = logicalWindows("q_quality_gate")
+    assert(gateWin.nonEmpty && gateWin.forall(_.partitionSpec.nonEmpty))
+    // cluster split + incremental dedup: keyed equi-joins only — the
+    // component map and band state meet the corpus through hash joins,
+    // never a nested loop
+    for (name <- Seq("q_cluster_split", "q_dedup_incr")) {
+      val p = finalPlanOf(name)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), s"$name: ${p.take(1000)}")
+    }
+    // incremental ANN ingest: the upserted index probes through the
+    // same native-kernel cell equi-join as the serving rows — no
+    // ScalaUDF boxing, no cartesian fallback. ONE BroadcastNestedLoop
+    // is by construction: serveWorkload's 1-row shift scalar broadcast
+    // (the same bounded crossJoin every serving row carries).
+    val ann = finalPlanOf("q_ann_incr")
+    assert(!ann.contains("ScalaUDF"), ann.take(1000))
+    assert(!ann.contains("CartesianProduct"), ann.take(1000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(ann).size <= 1, ann.take(1000))
+  }
 }
