@@ -738,6 +738,95 @@ object FuzzQueries {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Wave 4 (round 14, continuation): two aggregation surfaces no earlier
+  // wave reached. (a) VALUE-based RANGE frames with numeric offsets: the
+  // frame is defined by ORDER-key VALUES, so peers (ties) enter the
+  // frame TOGETHER — semantics a ROWS frame cannot express, and
+  // deterministic by construction over order-free aggregates (decimal
+  // sum / min / count) even though the within-peer row order is not
+  // total. (b) DISTINCT aggregates over null-injected arguments: both
+  // engines drop NULLs from the distinct set, but only a gated row
+  // proves they agree once nullif starts injecting them (the wave-3
+  // grouping-key probe never reached aggregate ARGUMENTS).
+  // ---------------------------------------------------------------------
+
+  private case class RCase(alias: String, agg: Int, key: String,
+                           desc: Boolean, lo: Long, hi: Long) {
+    private def aggSql = agg match {
+      case 0 => "CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))%OVER% AS DOUBLE)"
+      case 1 => "min(l_extendedprice)%OVER%"
+      case _ => "count(*)%OVER%"
+    }
+    def sparkCol: Column = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+        .orderBy(if (desc) col(key).desc else col(key).asc)
+        .rangeBetween(-lo, hi)
+      (agg match {
+        case 0 => sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
+        case 1 => min(col("l_extendedprice")).over(w)
+        case _ => count(lit(1)).over(w)
+      }).as(alias)
+    }
+    def sql: String = {
+      val dir = if (desc) "DESC" else "ASC"
+      def bound(n: Long, side: String) =
+        if (n == 0) "CURRENT ROW" else s"$n $side"
+      val over = "OVER (PARTITION BY l_returnflag, l_linestatus " +
+        s"ORDER BY $key $dir RANGE BETWEEN ${bound(lo, "PRECEDING")} " +
+        s"AND ${bound(hi, "FOLLOWING")})"
+      s"${aggSql.replace("%OVER%", s" $over")} AS $alias"
+    }
+  }
+
+  private val winCases4: Seq[(String, Seq[RCase])] = {
+    val rng = new scala.util.Random(777777777L)
+    (0 until 3).map { i =>
+      val cases = (0 until 3).map { j =>
+        RCase(s"r$j", rng.nextInt(3), pick(rng, "l_orderkey", "l_linenumber"),
+          rng.nextBoolean(), rng.nextInt(4).toLong, rng.nextInt(4).toLong)
+      }
+      (f"q_fuzzwin4_$i%02d", cases)
+    }
+  }
+
+  private def runWin4(s: SparkSession, d: String, cases: Seq[RCase]): DataFrame =
+    Tables.lineitem(s, d)
+      .select(Seq(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice")) ++ cases.map(_.sparkCol): _*)
+      .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+
+  private def winSqlOf4(cases: Seq[RCase]): String =
+    s"""SELECT l_orderkey, l_linenumber, l_extendedprice,
+              ${cases.map(_.sql).mkString(", ")}
+       FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice"""
+
+  private val aggCases4: Seq[(String, Int, Int)] = {
+    val rng = new scala.util.Random(161803398L)
+    (0 until 2).map { i =>
+      (f"q_fuzzagg4_$i%02d", 1 + rng.nextInt(7), 1 + rng.nextInt(40))
+    }
+  }
+
+  private def runAgg4(s: SparkSession, d: String, v1: Int, v2: Int): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(expr(s"nullif(l_linenumber, $v1)")).as("cd_line"),
+        countDistinct(expr(s"nullif(l_quantity, $v2)")).as("cd_qty"),
+        sum_distinct(expr(s"CAST(nullif(l_quantity, $v2) AS DECIMAL(18,2))"))
+          .cast("double").as("sd_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def aggSqlOf4(v1: Int, v2: Int): String =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              count(DISTINCT nullif(l_linenumber, $v1)) AS cd_line,
+              count(DISTINCT nullif(l_quantity, $v2)) AS cd_qty,
+              CAST(sum(DISTINCT CAST(nullif(l_quantity, $v2) AS DECIMAL(18,2)))
+                   AS DOUBLE) AS sd_qty
+       FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"""
+
   private def setSqlOf(a: P, b: P, op: String): String =
     s"""SELECT * FROM (
          SELECT l_returnflag, l_linestatus, l_linenumber FROM lineitem
@@ -877,6 +966,12 @@ object FuzzQueries {
       (winCases ++ winCases2).map { case (name, cs) =>
         name -> ((s: SparkSession, d: String) => runWin(s, d, cs))
       }.toMap ++
+      winCases4.map { case (name, cs) =>
+        name -> ((s: SparkSession, d: String) => runWin4(s, d, cs))
+      }.toMap ++
+      aggCases4.map { case (name, v1, v2) =>
+        name -> ((s: SparkSession, d: String) => runAgg4(s, d, v1, v2))
+      }.toMap ++
       (aggCases ++ aggCases2).map { case (name, c) =>
         name -> ((s: SparkSession, d: String) => runAgg(s, d, c))
       }.toMap ++
@@ -901,6 +996,8 @@ object FuzzQueries {
         name -> setSqlOf3(a, b, op, v)
       }.toMap ++
       (winCases ++ winCases2).map { case (name, cs) => name -> winSqlOf(cs) }.toMap ++
+      winCases4.map { case (name, cs) => name -> winSqlOf4(cs) }.toMap ++
+      aggCases4.map { case (name, v1, v2) => name -> aggSqlOf4(v1, v2) }.toMap ++
       (aggCases ++ aggCases2).map { case (name, c) => name -> aggSqlOf(c) }.toMap ++
       (setCases ++ setCases2).map { case (name, (a, b, op)) =>
         name -> setSqlOf(a, b, op)
