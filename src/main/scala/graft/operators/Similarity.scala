@@ -398,6 +398,33 @@ object Similarity {
       dim, tables, bitsPerTable, seed)
   }
 
+  /** INCREMENTAL ingest for the LSH family: merge a new/re-crawled
+    * batch into a banded [[LshIndex]]. LSH is data-oblivious — the
+    * hyperplanes are a pure function of the index CONFIG (dim, tables,
+    * bits, seed), so ingest is exactly re-banding the batch under that
+    * config plus the anti-join replacement of stale ids: the upserted
+    * index is BIT-IDENTICAL to a from-scratch rebuild over the merged
+    * corpus (q_ann_incr_lsh rides the serving interval oracle verbatim
+    * on that identity). O(batch + index); the historical banded table
+    * is never recomputed — the same maintenance shape as
+    * [[graft.operators.Dedup.upsertBandRows]] on the text side.
+    */
+  def lshUpsert(index: LshIndex, batch: DataFrame,
+                idCol: String, vecCol: String): LshIndex = {
+    val v = batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("bks", hyperplaneBuckets(col("v"), index.dim, index.tables,
+        index.bitsPerTable, index.seed))
+    val ids = batch.select(col(idCol).as("id")).distinct()
+    LshIndex(
+      index.banded.join(ids, Seq("id"), "left_anti")
+        .unionByName(v.select(col("id"),
+          posexplode(col("bks")).as(Seq("tbl", "bk")))),
+      index.slim.join(ids, Seq("id"), "left_anti")
+        .unionByName(v.select(col("id"), col("v"), col("nrm"))),
+      index.dim, index.tables, index.bitsPerTable, index.seed)
+  }
+
   /** PROBE a bucketed [[LshIndex]] with an EXTERNAL query set — the
     * serving shape, completing LSH's parity with [[ivfProbeFor]] /
     * [[ivfPqProbe]] / [[pqSearch]]: queries bucket through the same
@@ -844,6 +871,18 @@ object Similarity {
       .select(col("id"), graft.functions.PqOps.code(col("v"), k).as("code"))
   }
 
+  /** INCREMENTAL ingest for the flat-ADC family: encode the batch with
+    * the FROZEN codebooks ([[pqEncode]] — no retraining) and replace
+    * any re-ingested id's stale code by anti-join. Bit-identical to a
+    * frozen-codebook re-encode of the merged corpus, so every recall
+    * property measured for the model transfers by construction.
+    */
+  def pqUpsert(encoded: DataFrame, model: PQModel, batch: DataFrame,
+               idCol: String, vecCol: String): DataFrame =
+    encoded.join(batch.select(col(idCol).cast("long").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .unionByName(pqEncode(batch, idCol, vecCol, model))
+
   // ADC scoring is graft.functions.AdcScore — a native codegen
   // expression, because it runs once per (vector × query) pair and a
   // Scala UDF's per-pair boxed conversion of the 512-double table
@@ -968,6 +1007,30 @@ object Similarity {
         graft.functions.PqOps.ivfEncode(asDouble(col(vecCol)), fused).as("cc"))
       .select(col("id"), col("cc.cell").as("cell"), col("cc.code").as("code"))
     IvfPqIndex(encoded, fused, codes)
+  }
+
+  /** INCREMENTAL ingest for the IVF-PQ family — [[ivfUpsert]]'s shape
+    * with BOTH quantizers frozen: the batch runs the fused
+    * cell-assign + PQ-encode kernel (one narrow scan, the exact
+    * [[ivfPqIndex]] encode path), stale rows of re-ingested ids drop by
+    * anti-join. The merged `encoded` is bit-identical to re-encoding
+    * the whole corpus under the frozen kernels (PqOpsSpec pins it), so
+    * the index's measured recall properties carry over; q_ann_incr_ivfpq
+    * additionally drives the merged index through a full-width,
+    * full-candidate probe + exact re-rank, which must reproduce the
+    * exact serving oracle verbatim.
+    */
+  def ivfPqUpsert(index: IvfPqIndex, batch: DataFrame,
+                  idCol: String, vecCol: String): IvfPqIndex = {
+    val fresh = batch
+      .select(col(idCol).as("id").cast("long"),
+        graft.functions.PqOps.ivfEncode(asDouble(col(vecCol)), index.fused).as("cc"))
+      .select(col("id"), col("cc.cell").as("cell"), col("cc.code").as("code"))
+    val merged = index.encoded
+      .join(batch.select(col(idCol).cast("long").as("id")).distinct(),
+        Seq("id"), "left_anti")
+      .unionByName(fresh)
+    IvfPqIndex(merged, index.fused, index.codes)
   }
 
   /** PROBE half of [[ivfPqSearch]] against a trained [[IvfPqIndex]]. */

@@ -261,6 +261,33 @@ object PipelineQueries {
       .crossJoin(broadcast(emb.agg((max(col("vec_id")) + 1L).as("shift"))))
       .select((col("vec_id") + col("shift")).as("vec_id"), col("embedding"))
 
+  /** Exact top-5 over a COMPLETE candidate set: when a probe ran at full
+    * width with candK = corpus size, every corpus row is a candidate for
+    * every query, and the canonical-cosine re-rank (sim desc, nid
+    * tie-break, round-6 projection) is the exact brute force regardless
+    * of what quantizers produced the candidates — so every row built on
+    * this helper shares [[serveExactOracleSql]] verbatim. The per-query
+    * window ranks n rows; that is the deliberate audit shape (the same
+    * cost the exact anchors pay), not a serving path.
+    */
+  private def exactTop5(emb: DataFrame, workload: DataFrame,
+                        cand: DataFrame): DataFrame = {
+    val qv = workload.select(col("vec_id").as("q_vid"),
+      col("embedding").as("q_emb"))
+    val cv = emb.select(col("vec_id").as("n_vid"), col("embedding").as("n_emb"))
+    val scored = cand.select(col("qid"), col("id"))
+      .join(qv, col("qid") === col("q_vid"))
+      .join(cv, col("id") === col("n_vid"))
+      .select(col("qid"), col("id").as("nid"),
+        Similarity.cosine(col("q_emb"), col("n_emb")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("qid", "rank")
+  }
+
   /** Shared recall-contract projection for the ANN rows: recall@5 of the
     * ANN result vs the exact brute-force anchor on the sampled queries,
     * emitted as (n_queries, recall_band bucketized to 0.1, recall_ok vs
@@ -682,6 +709,71 @@ object PipelineQueries {
           .withColumn("sim", round(col("sim"), 6))
           .orderBy("qid", "rank"),
         nOld)._1
+    }),
+
+    // IVF-PQ incremental ingest (Similarity.ivfPqUpsert — BOTH
+    // quantizers frozen, batch runs the fused encode kernel, stale ids
+    // replaced by anti-join). Gate: full probe width × candK = n makes
+    // the candidate set the whole corpus, and the exact cosine re-rank
+    // of a complete candidate set is the exact brute force REGARDLESS
+    // of the quantizers — so the merged index must reproduce the exact
+    // serving oracle verbatim, proving every batch row searchable
+    // end-to-end through the upserted encoded table. (The approximate-
+    // width quality claim needs no new grid: PqOpsSpec pins the upsert
+    // bit-identical to a frozen-kernel re-encode of the merged corpus,
+    // so the family's measured recall properties transfer.)
+    "q_ann_incr_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val old = emb.filter(pmod(col("vec_id"), lit(9)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(9)) === 0)
+      val nl = AnnParams.nlist(old.count())
+      val up = Similarity.ivfPqUpsert(
+        Similarity.ivfPqIndex(old, "vec_id", "embedding", nl, m = 8, codes = 64),
+        batch, "vec_id", "embedding")
+      val workload = serveWorkload(emb)
+      val cand = Similarity.ivfPqProbe(up, workload, "vec_id", "embedding",
+        k = embCount(s, d).toInt, nprobe = nl)
+      exactTop5(emb, workload, cand)
+    }),
+
+    // Flat-ADC incremental ingest (Similarity.pqUpsert — frozen
+    // codebooks). Same exact gate: candK = n candidates, exact re-rank,
+    // the exact serving oracle verbatim.
+    "q_ann_incr_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val old = emb.filter(pmod(col("vec_id"), lit(9)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(9)) === 0)
+      val model = Similarity.pqTrain(old, "vec_id", "embedding",
+        m = 8, codes = 64)
+      val up = Similarity.pqUpsert(
+        Similarity.pqEncode(old, "vec_id", "embedding", model), model,
+        batch, "vec_id", "embedding")
+      val workload = serveWorkload(emb)
+      val cand = Similarity.pqSearch(up, model, workload, "vec_id",
+        "embedding", embCount(s, d).toInt)
+      exactTop5(emb, workload, cand)
+    }),
+
+    // LSH incremental ingest (Similarity.lshUpsert). LSH is
+    // data-oblivious, so the upserted banded table is BIT-IDENTICAL to
+    // a from-scratch rebuild over the merged corpus under the same
+    // config — the probe therefore lands on exactly q_ann_serve_lsh's
+    // results, and this row rides that row's interval oracle verbatim.
+    "q_ann_incr_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = embCount(s, d)
+      val old = emb.filter(pmod(col("vec_id"), lit(9)) =!= 0)
+      val batch = emb.filter(pmod(col("vec_id"), lit(9)) === 0)
+      // the deployment's pinned index CONFIG (set when the index was
+      // created over the full corpus — the serving row's parameters)
+      val idx = Similarity.lshIndex(old, "vec_id", "embedding", dim = 64,
+        tables = AnnParams.LshTables, bitsPerTable = AnnParams.lshBits(n))
+      val up = Similarity.lshUpsert(idx, batch, "vec_id", "embedding")
+      val ann = Similarity.lshProbeFor(up, serveWorkload(emb, every = 7),
+        "vec_id", "embedding", k = 5)
+      AnnParams.observeClamps(
+        recallIntervalContract(serveBfAnchor(s, d), ann, lo = 0.73, hi = 0.86),
+        n)._1
     }),
 
     "q_ann_serve" -> ((s, d) => {
@@ -1760,6 +1852,14 @@ object PipelineQueries {
                 CAST(0.73 AS DOUBLE) AS band_lo,
                 CAST(0.86 AS DOUBLE) AS band_hi FROM embeddings
          WHERE vec_id % 7 = 0""",
+    // the upserted LSH index is bit-identical to the rebuild (data-
+    // oblivious banding), so the incremental row rides the SAME oracle
+    "q_ann_incr_lsh" ->
+      """SELECT count(*) AS n_queries,
+                true AS recall_in_band,
+                CAST(0.73 AS DOUBLE) AS band_lo,
+                CAST(0.86 AS DOUBLE) AS band_hi FROM embeddings
+         WHERE vec_id % 7 = 0""",
     "q_ann_serve_ivfpq" ->
       """SELECT count(*) AS n_queries,
                 true AS recall_in_band,
@@ -1796,9 +1896,12 @@ object PipelineQueries {
     // the persisted round-trip must land on the SAME exact rows — one
     // oracle text, two gated paths (in-session index vs save→load)
     "q_ann_serve_persisted" -> serveExactOracleSql,
-    // and the INCREMENTALLY-ingested index too: a third gated path to
-    // the same exact rows (frozen-quantizer upsert, full-width probe)
+    // and the INCREMENTALLY-ingested indexes too: more gated paths to
+    // the same exact rows — frozen-quantizer upserts probed at full
+    // width (IVF) or full width + full candK + exact re-rank (PQ-coded)
     "q_ann_incr" -> serveExactOracleSql,
+    "q_ann_incr_ivfpq" -> serveExactOracleSql,
+    "q_ann_incr_pq" -> serveExactOracleSql,
     "q_hard_negatives" ->
       """WITH v AS (
            SELECT vec_id, label,

@@ -227,6 +227,52 @@ class PqOpsSpec extends SparkSpec {
     assert(up2.assigned.count() === 60)
   }
 
+  test("ivfPq/pq/lsh upserts are bit-identical to frozen-quantizer rebuilds") {
+    import spark.implicits._
+    val S = graft.operators.Similarity
+    def vecs(ids: Range) = ids
+      .map(i => (i.toLong, Seq.fill(16)(rng.nextDouble().toFloat)))
+      .toDF("vec_id", "embedding")
+    val old = vecs(0 until 200).cache()
+    val batch = vecs(200 until 240).cache()
+    val full = old.unionAll(batch)
+    // IVF-PQ: upsert == fused-kernel re-encode of the merged corpus
+    val ipq = S.ivfPqIndex(old, "vec_id", "embedding", nlist = 4, m = 4,
+      codes = 8)
+    val upPq = S.ivfPqUpsert(ipq, batch, "vec_id", "embedding")
+    val rebuilt = S.ivfPqUpsert(
+      ipq.copy(encoded = ipq.encoded.limit(0)), full, "vec_id", "embedding")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(rowsOf(upPq.encoded) === rowsOf(rebuilt.encoded))
+    assert(upPq.encoded.count() === 240)
+    // flat PQ: same claim through pqUpsert/pqEncode
+    val model = S.pqTrain(old, "vec_id", "embedding", m = 4, codes = 8,
+      sampleMod = 1)
+    val enc = S.pqEncode(old, "vec_id", "embedding", model)
+    val upFlat = S.pqUpsert(enc, model, batch, "vec_id", "embedding")
+    def flatRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    assert(flatRows(upFlat) ===
+      flatRows(S.pqEncode(full, "vec_id", "embedding", model)))
+    // LSH: data-oblivious — upserted banded/slim tables equal a rebuild
+    val lsh = S.lshIndex(old, "vec_id", "embedding", dim = 16, tables = 4,
+      bitsPerTable = 4)
+    val upLsh = S.lshUpsert(lsh, batch, "vec_id", "embedding")
+    val reLsh = S.lshIndex(full, "vec_id", "embedding", dim = 16, tables = 4,
+      bitsPerTable = 4)
+    def banded(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(banded(upLsh.banded) === banded(reLsh.banded))
+    assert(upLsh.slim.count() === 240)
+    // re-crawl replacement: a changed vector's row is replaced, not doubled
+    val recrawl = Seq((3L, Seq.fill(16)(rng.nextDouble().toFloat)))
+      .toDF("vec_id", "embedding")
+    val upPq2 = S.ivfPqUpsert(upPq, recrawl, "vec_id", "embedding")
+    assert(upPq2.encoded.count() === 240 &&
+      upPq2.encoded.filter(col("id") === 3L).count() === 1)
+  }
+
   test("lshIndex + lshProbeFor with the corpus as queries equals lshTopK") {
     // LSH is data-oblivious: the index is just the banded corpus, so an
     // external probe that buckets its queries through the same seeded
