@@ -600,6 +600,39 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus VERSION DIFF — the snapshot comparison that drives every
+    // incremental operator above: classify each doc_id across two
+    // corpus versions as added / removed / changed / same. Version A is
+    // derived in-plan from the corpus (mod-13 ids absent = "B added
+    // them", mod-17 texts suffixed = "B changed them", mod-23 ghost
+    // rows at shifted ids = "B removed them" — shift from max+1, the
+    // serveWorkload idiom); the comparison is a sha2-256 full-outer
+    // join, so at corpus scale the shuffle carries 64-byte digests,
+    // never the payloads (the q_dedup_exact discipline). The
+    // changed ∪ added output is exactly what a deployment feeds to
+    // upsertTermFreq / ivfUpsert / upsertBandRows.
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val shift = docs.agg((max(col("doc_id")) + 1L).as("shift"))
+      val ghosts = docs.filter(pmod(col("doc_id"), lit(23)) === 0)
+        .crossJoin(broadcast(shift))
+        .select((col("doc_id") + col("shift")).as("doc_id"), col("text"))
+      val a = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(17)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+        .unionByName(ghosts)
+      def h(df: DataFrame, c: String) = df.select(col("doc_id"),
+        sha2(col("text").cast("binary"), 256).as(c))
+      h(a, "ha").join(h(docs, "hb"), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("ha").isNull, "added")
+            .when(col("hb").isNull, "removed")
+            .when(col("ha") === col("hb"), "same")
+            .otherwise("changed").as("status"))
+        .orderBy("doc_id")
+    }),
+
     // Normalized exact dedup: q_text_normalize's canonicalization feeding
     // the hash-first dedup — trivially-variant copies (case, punctuation,
     // whitespace) collapse to one survivor. Same sha2 grouping and
@@ -1709,6 +1742,26 @@ object PipelineQueries {
          comp AS (SELECT v, min(r) AS c FROM reach GROUP BY v)
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> c)
+         ORDER BY doc_id""",
+    // version diff: text equality stands in for the digest equality the
+    // engine uses (equal texts ⟺ equal sha2 digests)
+    "q_corpus_diff" ->
+      """WITH s AS (SELECT max(doc_id) + 1 AS shift FROM documents),
+         a AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+                       ELSE text END AS text
+           FROM documents WHERE doc_id % 13 <> 0
+           UNION ALL
+           SELECT doc_id + s.shift, text
+           FROM documents CROSS JOIN s WHERE doc_id % 23 = 0),
+         b AS (SELECT doc_id, text FROM documents)
+         SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                CASE WHEN a.doc_id IS NULL THEN 'added'
+                     WHEN b.doc_id IS NULL THEN 'removed'
+                     WHEN a.text = b.text THEN 'same'
+                     ELSE 'changed' END AS status
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
          ORDER BY doc_id""",
     "q_dedup_normalized" ->
       """WITH n AS (
