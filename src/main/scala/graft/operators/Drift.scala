@@ -82,4 +82,41 @@ object Drift {
         abs(xa * db - xb * da).as("drift"),
         round((p - q) * log(p / q), 6).as("psi6"))
   }
+
+  /** EMBEDDING drift between two snapshot corpora — the dense-side
+    * counterpart of [[termDrift]]: per-dimension mean shift of the
+    * embedding distribution (encoder regressions, corpus-composition
+    * shifts, and upstream preprocessing changes all show up as the
+    * mean vector moving; production vector stores run exactly this
+    * check before deciding a reindex epoch).
+    *
+    * Determinism: a double mean is a shuffle-order-dependent sum, so
+    * each component is QUANTIZED first — round(x, 6) cast to
+    * DECIMAL(18,6) — and summed in decimal (exact addition, any order;
+    * the q_entropy discipline). The only doubles are the two final
+    * divisions and their difference, in fixed order, rounded to 6. The
+    * decimal→double casts are exact while a snapshot's per-dimension
+    * sum stays under 2^53/10^6 ≈ 9e9 — i.e. ~10^10 unit-scale vectors
+    * per snapshot — and the sums themselves are emitted, so a consumer
+    * can audit the bound.
+    *
+    * Scale shape: one posexplode per snapshot (n·dim narrow rows) into
+    * a partial+final hash aggregation on the dimension key (dim rows
+    * out), one tiny join. Output: (dim, n_a, n_b, sum_a, sum_b,
+    * shift6) — dim is 1-based, matching SQL array subscripts.
+    */
+  def embedDrift(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val out = org.apache.spark.sql.types.DecimalType(28, 6)
+    def agg(df: DataFrame, n: String, sm: String) = df
+      .select(posexplode(col(vecCol)).as(Seq("p", "x")))
+      .select((col("p") + 1).as("dim"),
+        round(col("x").cast("double"), 6).cast(dec).as("x"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as(n), sum("x").cast(out).as(sm))
+    agg(a, "n_a", "sum_a").join(agg(b, "n_b", "sum_b"), Seq("dim"))
+      .select(col("dim"), col("n_a"), col("n_b"), col("sum_a"), col("sum_b"),
+        round(col("sum_a").cast("double") / col("n_a") -
+          col("sum_b").cast("double") / col("n_b"), 6).as("shift6"))
+  }
 }

@@ -38,6 +38,19 @@ object TextMetricsQueries {
         .limit(15)
     }),
 
+    // Dense-side drift (operators.Drift.embedDrift): per-dimension mean
+    // shift of the embedding distribution between the two snapshot
+    // halves — components quantized round-6 → DECIMAL before the sum so
+    // shuffle order cannot move a bit (the q_entropy discipline); the
+    // only doubles are the two final divisions in fixed order.
+    "q_embed_drift" -> ((s, d) => {
+      val emb = graft.Tables.embeddings(s, d)
+      graft.operators.Drift.embedDrift(
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+          emb.filter(pmod(col("vec_id"), lit(2)) === 1), "embedding")
+        .orderBy("dim")
+    }),
+
     // Shannon entropy of the token distribution per language — the
     // vocabulary-concentration metric (low entropy = template/boiler-
     // plate spam). Two aggregations: token counts shuffle on
@@ -211,6 +224,25 @@ object TextMetricsQueries {
                FROM j CROSS JOIN g)
          SELECT term, c_a, c_b, CAST(drift AS DECIMAL(38,0)) AS drift, psi6
          FROM r ORDER BY drift DESC, term LIMIT 15""",
+    // dense drift: identical quantize-then-decimal-sum pipeline; dims
+    // are 1-based array subscripts on both engines
+    "q_embed_drift" ->
+      """WITH ex AS (
+           SELECT vec_id, i AS dim,
+                  CAST(round(CAST(embedding[i] AS DOUBLE), 6)
+                       AS DECIMAL(18,6)) AS x
+           FROM embeddings,
+                unnest(generate_series(1, len(embedding))) AS t(i)),
+         a AS (SELECT dim, count(*) AS n_a,
+                      CAST(sum(x) AS DECIMAL(28,6)) AS sum_a
+               FROM ex WHERE vec_id % 2 = 0 GROUP BY dim),
+         b AS (SELECT dim, count(*) AS n_b,
+                      CAST(sum(x) AS DECIMAL(28,6)) AS sum_b
+               FROM ex WHERE vec_id % 2 = 1 GROUP BY dim)
+         SELECT a.dim, n_a, n_b, sum_a, sum_b,
+                round(CAST(sum_a AS DOUBLE) / n_a
+                    - CAST(sum_b AS DOUBLE) / n_b, 6) AS shift6
+         FROM a JOIN b ON a.dim = b.dim ORDER BY a.dim""",
     "q_mixture_index" ->
       """WITH c AS (SELECT lang, source, count(*) AS n
                     FROM documents GROUP BY 1, 2),

@@ -366,6 +366,11 @@ class PipelineSpec extends SparkSpec {
     assert(dd.count() ===
       vocab(a).unionAll(vocab(b)).distinct().count())
     assert(dd.filter(col("drift") > 0).count() > 0)
+    // dense side: identical snapshots shift exactly 0.0 in every
+    // dimension (decimal sums equal, the rounded difference is exact 0),
+    // and the row set covers every dimension once
+    val ed = Drift.embedDrift(embeddings, embeddings, "embedding")
+    assert(ed.count() === 64 && ed.filter(col("shift6") =!= 0.0).count() === 0)
   }
 
   test("incremental dedup == full-corpus dedup restricted to batch-touching pairs") {
