@@ -141,6 +141,35 @@ class DegenerateInputsSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("incremental upserts are total on empty batches and empty states") {
+    import spark.implicits._
+    val emb = (0L until 80L)
+      .map(i => (i, Seq.fill(8)(((i * 31 + 7) % 97).toDouble / 97.0)))
+      .toDF("vec_id", "embedding")
+    val none = emb.limit(0)
+    // empty batch: the merged index IS the old index, row for row
+    val ivf = Similarity.ivfIndex(emb, "vec_id", "embedding", nlist = 4)
+    assert(Similarity.ivfUpsert(ivf, none, "vec_id", "embedding")
+      .assigned.count() === 80)
+    val lsh = Similarity.lshIndex(emb, "vec_id", "embedding", dim = 8,
+      tables = 2, bitsPerTable = 2)
+    assert(Similarity.lshUpsert(lsh, none, "vec_id", "embedding")
+      .banded.count() === lsh.banded.count())
+    // empty band state: incremental dedup degrades to batch-internal
+    // pairs only (nothing historical to match against), no join error
+    val docs = Seq((1L, "a a a a"), (2L, "a a a a"), (3L, "b b b b"))
+      .toDF("doc_id", "text")
+    val emptyBands = Dedup.bandRows(docs.limit(0), "doc_id", "text")
+    val pairs = Dedup.incrementalNearDupPairs(emptyBands, docs, "doc_id",
+      "text", docs, threshold = 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 2L)))
+    // empty batch against a real state: no pairs, not an error
+    assert(Dedup.incrementalNearDupPairs(
+      Dedup.bandRows(docs, "doc_id", "text"), docs.limit(0), "doc_id",
+      "text", docs, threshold = 0.8).count() === 0)
+  }
+
   test("zero-norm vectors score 0.0, never NaN — and never outrank real neighbors") {
     // An all-zeros embedding is representable clean data. Unguarded,
     // 0/0 = NaN, and Spark's double ordering places NaN above every
