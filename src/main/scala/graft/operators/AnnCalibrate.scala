@@ -126,7 +126,19 @@ object AnnCalibrate {
   private[graft] def exactReRank(emb: DataFrame, idCol: String,
                                  vecCol: String, cand: DataFrame,
                                  k: Int,
-                                 querySrc: Option[DataFrame] = None): DataFrame = {
+                                 querySrc: Option[DataFrame] = None): DataFrame =
+    exactTopK(emb, idCol, vecCol, cand, k, querySrc).select("qid", "nid")
+
+  /** [[exactReRank]] keeping the rank and the round-6 similarity — the
+    * (qid, rank, nid, sim) projection the exact-oracle audit rows
+    * (q_ann_incr_ivfpq / q_ann_incr_pq via exactTop5) hash against.
+    * SAME scoring join, comparator, and tie rule — one definition, per
+    * the header's one-copy contract; exactReRank is its projection.
+    */
+  private[graft] def exactTopK(emb: DataFrame, idCol: String,
+                               vecCol: String, cand: DataFrame,
+                               k: Int,
+                               querySrc: Option[DataFrame] = None): DataFrame = {
     val v = emb.select(col(idCol).cast("long").as("vid"), col(vecCol).as("emb"))
     val qv = querySrc.getOrElse(emb)
       .select(col(idCol).cast("long").as("q_vid"), col(vecCol).as("q_emb"))
@@ -138,7 +150,9 @@ object AnnCalibrate {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k).select("qid", "nid")
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk").as("rank"), col("nid"),
+        round(col("sim"), 6).as("sim"))
   }
 
   /** A reusable top-k calibration anchor: the deterministic held-out

@@ -65,10 +65,19 @@ object Drift {
         coalesce(col("c_a"), lit(0L)).as("c_a"),
         coalesce(col("c_b"), lit(0L)).as("c_b"))
     // corpus scalars — one row, broadcast: snapshot token totals and the
-    // joint vocabulary size (every term of either side, by construction
-    // of the full-outer join)
-    val g = joined.agg(sum("c_a").as("n_a"), sum("c_b").as("n_b"),
-      count(lit(1)).as("v"))
+    // joint vocabulary size. Derived from the per-side aggregates and a
+    // vocab-sized union-distinct, NOT from `joined`: a second reference
+    // to `joined` would re-execute the full-outer shuffle join for one
+    // scalar row (Spark shares no subtrees across references). The
+    // per-side tokenize+count aggregations still evaluate once per
+    // reference (here and in the join) — a caller monitoring truly
+    // large snapshot pairs persists ca/cb around the call; on a
+    // monitor's once-per-snapshot cadence that re-pay is the audit
+    // cost, and the join itself now runs exactly once.
+    val g = ca.agg(sum("c_a").as("n_a"))
+      .crossJoin(cb.agg(sum("c_b").as("n_b")))
+      .crossJoin(ca.select("term").unionAll(cb.select("term")).distinct()
+        .agg(count(lit(1)).as("v")))
     val da = (col("n_a") + col("v")).cast(dec) // shared denominator of p
     val db = (col("n_b") + col("v")).cast(dec)
     val xa = (col("c_a") + lit(1L)).cast(dec)  // smoothed numerators
@@ -114,9 +123,20 @@ object Drift {
         round(col("x").cast("double"), 6).cast(dec).as("x"))
       .groupBy("dim")
       .agg(count(lit(1)).as(n), sum("x").cast(out).as(sm))
-    agg(a, "n_a", "sum_a").join(agg(b, "n_b", "sum_b"), Seq("dim"))
+    // FULL outer on dim: a dimension present in only one snapshot (an
+    // encoder width change — exactly the regression class this monitor
+    // exists for) must surface as a row with the other side's count 0
+    // and shift6 NULL (no mean to difference), never silently vanish
+    // through an inner join.
+    agg(a, "n_a", "sum_a").join(agg(b, "n_b", "sum_b"), Seq("dim"), "full_outer")
+      .select(col("dim"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("sum_a"), lit(0).cast(out)).as("sum_a"),
+        coalesce(col("sum_b"), lit(0).cast(out)).as("sum_b"))
       .select(col("dim"), col("n_a"), col("n_b"), col("sum_a"), col("sum_b"),
-        round(col("sum_a").cast("double") / col("n_a") -
-          col("sum_b").cast("double") / col("n_b"), 6).as("shift6"))
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("sum_a").cast("double") / col("n_a") -
+            col("sum_b").cast("double") / col("n_b"), 6)).as("shift6"))
   }
 }

@@ -359,8 +359,17 @@ object Sampling {
     // stratum's tokens" shape) cannot trip self-join ambiguity.
     val bSel = budgets.select(col(stratumCol).as(bStr),
       col(budgetCol).cast("long").as(bVal))
+    val specRows = bSel.collect()
+    // a duplicated stratum row would match every doc of that stratum
+    // once PER SPEC ROW — doubled output rows and a double-counted
+    // running sum, silently. A mix spec is a function stratum → budget;
+    // enforce it loudly (the splitLabel fractions-sum discipline).
+    val dupes = specRows.groupBy(_.get(0)).collect { case (k, rs) if rs.length > 1 => k }
+    require(dupes.isEmpty,
+      s"tokenBudgetSample: budgets frame lists strata ${dupes.mkString(", ")} " +
+        "more than once — a budget spec must carry one row per stratum")
     val b = df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(bSel.collect(): _*), bSel.schema)
+      java.util.Arrays.asList(specRows: _*), bSel.schema)
     val w = Window.partitionBy(stratumCol)
       .orderBy(bucketOf(col(keyCol), seed), col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -411,17 +411,18 @@ object Similarity {
     */
   def lshUpsert(index: LshIndex, batch: DataFrame,
                 idCol: String, vecCol: String): LshIndex = {
-    val v = batch.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
-      .withColumn("bks", hyperplaneBuckets(col("v"), index.dim, index.tables,
-        index.bitsPerTable, index.seed))
+    // the batch bands through lshIndex ITSELF under the old index's
+    // config — one banding definition, so the bit-identical-to-rebuild
+    // contract (q_ann_incr_lsh's whole oracle premise) cannot
+    // desynchronize from a future lshIndex edit
+    val fresh = lshIndex(batch, idCol, vecCol, index.dim, index.tables,
+      index.bitsPerTable, index.seed)
     val ids = batch.select(col(idCol).as("id")).distinct()
     LshIndex(
       index.banded.join(ids, Seq("id"), "left_anti")
-        .unionByName(v.select(col("id"),
-          posexplode(col("bks")).as(Seq("tbl", "bk")))),
+        .unionByName(fresh.banded),
       index.slim.join(ids, Seq("id"), "left_anti")
-        .unionByName(v.select(col("id"), col("v"), col("nrm"))),
+        .unionByName(fresh.slim),
       index.dim, index.tables, index.bitsPerTable, index.seed)
   }
 

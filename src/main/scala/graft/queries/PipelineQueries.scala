@@ -325,27 +325,19 @@ object PipelineQueries {
     * every query, and the canonical-cosine re-rank (sim desc, nid
     * tie-break, round-6 projection) is the exact brute force regardless
     * of what quantizers produced the candidates — so every row built on
-    * this helper shares [[serveExactOracleSql]] verbatim. The per-query
-    * window ranks n rows; that is the deliberate audit shape (the same
-    * cost the exact anchors pay), not a serving path.
+    * this helper shares [[serveExactOracleSql]] verbatim. The scoring
+    * join, comparator, and tie rule are [[AnnCalibrate.exactTopK]] —
+    * the ONE re-rank definition the calibration and recall contracts
+    * already share (a second copy here is exactly the drift its header
+    * warns about). The per-query window ranks n rows; that is the
+    * deliberate audit shape (the same cost the exact anchors pay), not
+    * a serving path.
     */
   private def exactTop5(emb: DataFrame, workload: DataFrame,
-                        cand: DataFrame): DataFrame = {
-    val qv = workload.select(col("vec_id").as("q_vid"),
-      col("embedding").as("q_emb"))
-    val cv = emb.select(col("vec_id").as("n_vid"), col("embedding").as("n_emb"))
-    val scored = cand.select(col("qid"), col("id"))
-      .join(qv, col("qid") === col("q_vid"))
-      .join(cv, col("id") === col("n_vid"))
-      .select(col("qid"), col("id").as("nid"),
-        Similarity.cosine(col("q_emb"), col("n_emb")).as("sim"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
-      .orderBy(col("sim").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
-      .select(col("qid"), col("rank"), col("nid"),
-        round(col("sim"), 6).as("sim"))
+                        cand: DataFrame): DataFrame =
+    AnnCalibrate.exactTopK(emb, "vec_id", "embedding",
+        cand.select(col("qid"), col("id")), 5, querySrc = Some(workload))
       .orderBy("qid", "rank")
-  }
 
   /** Shared recall-contract projection for the ANN rows: recall@5 of the
     * ANN result vs the exact brute-force anchor on the sampled queries,
@@ -622,13 +614,18 @@ object PipelineQueries {
           when(pmod(col("doc_id"), lit(17)) === 0,
             concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
         .unionByName(ghosts)
-      def h(df: DataFrame, c: String) = df.select(col("doc_id"),
-        sha2(col("text").cast("binary"), 256).as(c))
-      h(a, "ha").join(h(docs, "hb"), Seq("doc_id"), "full_outer")
+      // presence is tested on explicit marker columns, NEVER on digest
+      // nullity (sha2 of a NULL text is NULL — a present null-text doc
+      // must classify by presence + null-safe equality, not read as
+      // absent), and the digest compare is null-safe for the same
+      // reason: two null texts are the same document state
+      def h(df: DataFrame, c: String, in: String) = df.select(col("doc_id"),
+        sha2(col("text").cast("binary"), 256).as(c), lit(1).as(in))
+      h(a, "ha", "in_a").join(h(docs, "hb", "in_b"), Seq("doc_id"), "full_outer")
         .select(col("doc_id"),
-          when(col("ha").isNull, "added")
-            .when(col("hb").isNull, "removed")
-            .when(col("ha") === col("hb"), "same")
+          when(col("in_a").isNull, "added")
+            .when(col("in_b").isNull, "removed")
+            .when(col("ha") <=> col("hb"), "same")
             .otherwise("changed").as("status"))
         .orderBy("doc_id")
     }),
@@ -1743,8 +1740,9 @@ object PipelineQueries {
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> c)
          ORDER BY doc_id""",
-    // version diff: text equality stands in for the digest equality the
-    // engine uses (equal texts ⟺ equal sha2 digests)
+    // version diff: null-safe text equality stands in for the engine's
+    // null-safe digest equality (equal-or-both-null texts ⟺ <=> on the
+    // sha2 digests); presence classifies on the join keys
     "q_corpus_diff" ->
       """WITH s AS (SELECT max(doc_id) + 1 AS shift FROM documents),
          a AS (
@@ -1759,7 +1757,7 @@ object PipelineQueries {
          SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
                 CASE WHEN a.doc_id IS NULL THEN 'added'
                      WHEN b.doc_id IS NULL THEN 'removed'
-                     WHEN a.text = b.text THEN 'same'
+                     WHEN a.text IS NOT DISTINCT FROM b.text THEN 'same'
                      ELSE 'changed' END AS status
          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
          ORDER BY doc_id""",

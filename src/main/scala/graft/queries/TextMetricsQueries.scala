@@ -239,10 +239,15 @@ object TextMetricsQueries {
          b AS (SELECT dim, count(*) AS n_b,
                       CAST(sum(x) AS DECIMAL(28,6)) AS sum_b
                FROM ex WHERE vec_id % 2 = 1 GROUP BY dim)
-         SELECT a.dim, n_a, n_b, sum_a, sum_b,
-                round(CAST(sum_a AS DOUBLE) / n_a
-                    - CAST(sum_b AS DOUBLE) / n_b, 6) AS shift6
-         FROM a JOIN b ON a.dim = b.dim ORDER BY a.dim""",
+         SELECT coalesce(a.dim, b.dim) AS dim,
+                coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+                CAST(coalesce(sum_a, 0) AS DECIMAL(28,6)) AS sum_a,
+                CAST(coalesce(sum_b, 0) AS DECIMAL(28,6)) AS sum_b,
+                CASE WHEN coalesce(n_a, 0) > 0 AND coalesce(n_b, 0) > 0
+                     THEN round(CAST(sum_a AS DOUBLE) / n_a
+                              - CAST(sum_b AS DOUBLE) / n_b, 6)
+                     END AS shift6
+         FROM a FULL OUTER JOIN b ON a.dim = b.dim ORDER BY dim""",
     "q_mixture_index" ->
       """WITH c AS (SELECT lang, source, count(*) AS n
                     FROM documents GROUP BY 1, 2),

@@ -371,6 +371,16 @@ class PipelineSpec extends SparkSpec {
     // and the row set covers every dimension once
     val ed = Drift.embedDrift(embeddings, embeddings, "embedding")
     assert(ed.count() === 64 && ed.filter(col("shift6") =!= 0.0).count() === 0)
+    // a dimension present in only ONE snapshot (encoder width change)
+    // surfaces as a zero-count row with a NULL shift — never vanishes
+    import spark.implicits._
+    val wide = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
+    val narrow = Seq((2L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val wd = Drift.embedDrift(wide, narrow, "embedding").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(wd.keySet === Set(1, 2, 3) && wd(3) === ((1L, 0L)))
+    assert(Drift.embedDrift(wide, narrow, "embedding")
+      .filter(col("dim") === 3 && col("shift6").isNull).count() === 1)
   }
 
   test("incremental dedup == full-corpus dedup restricted to batch-touching pairs") {
@@ -436,6 +446,13 @@ class PipelineSpec extends SparkSpec {
       halves.filter(col("lang") =!= "en"))
     assert(noEn.filter(col("lang") === "en").count() === 0)
     assert(noEn.count() > 0)
+    // a duplicated stratum row is a malformed spec — loud, never a
+    // silently double-counted running sum
+    val err = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSample(t, "lang", "doc_id", "n_tok",
+        halves.unionAll(halves))
+    }
+    assert(err.getMessage.contains("more than once"))
   }
 
   test("clusterSafeSplit: clusters move whole; singletons match splitLabel") {
