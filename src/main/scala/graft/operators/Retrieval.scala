@@ -72,6 +72,50 @@ object Retrieval {
   def termFreq(docs: DataFrame): DataFrame =
     keptTokens(docs).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
+  /** POSITIONAL postings: (doc_id, term, pos), pos 1-based — the index
+    * state exact-phrase search needs and the tf statistic cannot carry.
+    * Stopwords are NOT removed here: phrase semantics are exact token
+    * ADJACENCY, and dropping tokens would shift positions and match
+    * phrases the document does not contain. One narrow posexplode;
+    * n-proportional like termFreq (one row per token instead of one per
+    * distinct (doc, term)).
+    */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("p", "term")))
+      .select(col("doc_id"), col("term"), (col("p") + 1).as("pos"))
+
+  /** Exact-phrase search over [[positionalPostings]] — the token-level
+    * ExactSubstr probe (benchmark decontamination asks "does this exact
+    * sequence appear anywhere in the corpus", which BM25's bag-of-words
+    * scoring cannot answer): (q_id, doc_id, n_occ) for every document
+    * containing a query's token sequence CONTIGUOUSLY, with the
+    * occurrence count.
+    *
+    * `phrase`: (q_id, term, off) — 1-based in-phrase offsets, every
+    * phrase exactly `phraseLen` terms. The plan is the classic
+    * anchored-position join done set-at-a-time: ONE equi-join of the
+    * (tiny, broadcast) phrase terms against the postings on term — cost
+    * Σ df(term) over query terms, the posting lists of the phrase's
+    * terms only, never a corpus scan — then each match votes for the
+    * occurrence START it implies (pos − off + 1) and a start with
+    * phraseLen distinct votes is a contiguous match (a posting row can
+    * satisfy two offsets of a repeated term only at DIFFERENT starts,
+    * so the per-start vote count is exact). Two keyed aggregations with
+    * map-side partials; no window, no per-phrase iteration.
+    */
+  def phraseSearch(postings: DataFrame, phrase: DataFrame,
+                   phraseLen: Int): DataFrame = {
+    require(phraseLen >= 1, s"phraseLen must be >= 1, got $phraseLen")
+    val m = broadcast(phrase).alias("q")
+      .join(postings.alias("p"), col("q.term") === col("p.term"))
+      .select(col("q.q_id").as("q_id"), col("p.doc_id").as("doc_id"),
+        (col("p.pos") - col("q.off") + lit(1)).as("start"))
+    m.groupBy("q_id", "doc_id", "start").agg(count(lit(1)).as("k"))
+      .filter(col("k") === phraseLen)
+      .groupBy("q_id", "doc_id").agg(count(lit(1)).as("n_occ"))
+  }
+
   /** Incremental index maintenance: re-ingest `changedDocs` (replaced
     * texts, same doc_ids) into an existing tf statistic WITHOUT a corpus
     * rebuild — drop every old posting of a changed doc (one anti-join,

@@ -1482,6 +1482,28 @@ object PipelineQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // Exact-PHRASE search (Retrieval.positionalPostings/phraseSearch):
+    // the token-level ExactSubstr decontamination probe — every mod-41
+    // doc's first three tokens as a contiguous phrase, every document
+    // containing that exact sequence with its occurrence count. The
+    // ~40-word vocabulary makes trigram collisions real (phrases DO
+    // recur across docs), so n_occ counting is exercised, not vacuous.
+    // Bag-of-words retrieval cannot answer this; position adjacency
+    // can, at Σ df(phrase terms) join cost — never a corpus text scan.
+    "q_phrase_search" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val probes = docs
+        .filter(pmod(col("doc_id"), lit(41)) === 0 &&
+          size(TextFunctions.tokens(col("text"))) >= 3)
+        .select(col("doc_id").as("q_id"),
+          posexplode(slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as(Seq("o", "term")))
+        .select(col("q_id"), col("term"), (col("o") + 1).as("off"))
+      Retrieval.phraseSearch(Retrieval.positionalPostings(docs), probes,
+          phraseLen = 3)
+        .orderBy("q_id", "doc_id")
+    }),
+
     // Persisted-deployment path for the lexical index, the same
     // save→load→probe symmetry every ANN family carries: the tf
     // sufficient statistic lands as n-proportional parquet (one row per
@@ -2297,6 +2319,21 @@ object PipelineQueries {
     // save→load→probe chain must be lossless, so the two rows may not
     // drift apart — the shared val makes a one-sided edit impossible.
     "q_bm25_search" -> bm25SearchOracle,
+    // phrase search: same anchored-start vote counting in SQL — a start
+    // with 3 votes is a contiguous trigram match
+    "q_phrase_search" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         tok AS (SELECT doc_id, ws[i] AS term, i AS pos
+                 FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+         q AS (SELECT doc_id AS q_id, ws[i] AS term, i AS off
+               FROM w, unnest(generate_series(1, 3)) AS t(i)
+               WHERE doc_id % 41 = 0 AND len(ws) >= 3),
+         m AS (SELECT q.q_id, tok.doc_id, tok.pos - q.off + 1 AS start
+               FROM q JOIN tok ON q.term = tok.term),
+         hit AS (SELECT q_id, doc_id, start FROM m
+                 GROUP BY q_id, doc_id, start HAVING count(*) = 3)
+         SELECT q_id, doc_id, count(*) AS n_occ FROM hit
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_bm25_serve_persisted" -> bm25SearchOracle,
     // hybrid RRF: the bm25 CTEs at top-10, the q_cosine_topk dot-product
     // CTEs restricted to the embedded probe set, fused with fixed-order

@@ -120,6 +120,29 @@ class RetrievalSpec extends SparkSpec {
     assert(srcs.contains("both") || srcs.contains("dense"))
   }
 
+  test("phraseSearch: contiguity, overlap counting, repeated-term phrases") {
+    // d0 has "a b a b a": "a b a" occurs at starts 1 and 3 (OVERLAPPING
+    // occurrences both count); d1 has the tokens but never contiguously;
+    // d2 has one occurrence mid-document.
+    val docs = Seq(
+      (0L, "a b a b a"),
+      (1L, "a x b y a z"),
+      (2L, "z z a b a z")
+    ).toDF("doc_id", "text")
+    val post = Retrieval.positionalPostings(docs)
+    val phrase = Seq((9L, "a", 1), (9L, "b", 2), (9L, "a", 3))
+      .toDF("q_id", "term", "off")
+    val got = Retrieval.phraseSearch(post, phrase, phraseLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === Map((9L, 0L) -> 2L, (9L, 2L) -> 1L))
+    // bag-of-words would match d1 (all terms present) — adjacency must not
+    assert(!got.contains((9L, 1L)))
+    // positions are 1-based and stopwords are KEPT (adjacency would
+    // break if the indexed positions skipped them)
+    val p = post.filter(col("doc_id") === 0L && col("pos") === 1L).collect()
+    assert(p.length === 1 && p(0).getString(1) === "a")
+  }
+
   test("bm25Search on the real corpus: every query returns k ranked rows") {
     val docs = Tables.documents(spark, sf)
     val qids = docs.filter(col("doc_id") % 31 === 3)
