@@ -592,6 +592,44 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL corpus-statistics maintenance — the pre-aggregated
+    // per-language stats table (doc count, token count, distinct-term
+    // sketch) kept current by MERGING the increment's partial stats
+    // with the persisted ones, never rescanning the history: counts and
+    // sums merge by addition (snapshot doc sets are disjoint — the
+    // ingest contract), and the HLL sketch is count-distinct in its
+    // MERGEABLE-state form (register-wise union; the only way distinct
+    // counts can be maintained incrementally at all). The oracle
+    // recomputes from scratch over the full corpus: maintenance ==
+    // rebuild EXACTLY for the algebraic stats, and the sketch estimate
+    // lands in the ±10% band vs the exact distinct count (the
+    // q_approx_distinct discipline — and at this vocabulary size the
+    // HLL sparse mode is exact in practice).
+    "q_stats_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def partial(df: DataFrame) = df
+        .select(col("lang"), col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tok"),
+          hll_sketch_agg(col("term")).as("sk"))
+      val merged = partial(docs.filter(pmod(col("doc_id"), lit(11)) =!= 0))
+        .unionByName(partial(docs.filter(pmod(col("doc_id"), lit(11)) === 0)))
+        .groupBy("lang")
+        .agg(sum("n_docs").as("n_docs"), sum("n_tok").as("n_tok"),
+          hll_union_agg(col("sk")).as("sk"))
+      val exact = docs
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("lang").agg(countDistinct(col("term")).as("nd_exact"))
+      merged.join(exact, Seq("lang"))
+        .select(col("lang"), col("n_docs"), col("n_tok"), col("nd_exact"),
+          hll_sketch_estimate(col("sk"))
+            .between(col("nd_exact") * 0.9, col("nd_exact") * 1.1)
+            .as("in_band"))
+        .orderBy("lang")
+    }),
+
     // Corpus VERSION DIFF — the snapshot comparison that drives every
     // incremental operator above: classify each doc_id across two
     // corpus versions as added / removed / changed / same. Version A is
@@ -1762,6 +1800,16 @@ object PipelineQueries {
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT v FROM comp WHERE v <> c)
          ORDER BY doc_id""",
+    // incremental stats: from-scratch recompute; exact equality for the
+    // algebraic stats, `true` for the sketch band (the engine emits the
+    // measured in-band boolean)
+    "q_stats_incr" ->
+      """WITH t AS (SELECT lang, doc_id,
+                           unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+         SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tok,
+                count(DISTINCT term) AS nd_exact, true AS in_band
+         FROM t GROUP BY lang ORDER BY lang""",
     // version diff: null-safe text equality stands in for the engine's
     // null-safe digest equality (equal-or-both-null texts ⟺ <=> on the
     // sha2 digests); presence classifies on the join keys
