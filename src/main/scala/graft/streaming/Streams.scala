@@ -219,6 +219,44 @@ object Streams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** STREAMING lexical-index maintenance: [[graft.operators.Retrieval
+    * .upsertTermFreq]] applied per micro-batch through foreachBatch —
+    * the continuous-ingest path of the inverted index. Each arriving
+    * batch of new/re-crawled docs drops its ids' stale postings (one
+    * anti-join against the current state) and appends its re-tokenized
+    * ones; cost per batch is O(batch + state), never a corpus
+    * re-tokenization. State is the n-proportional tf parquet, written
+    * VERSIONED per epoch (`v=<batchId>`): a retried epoch overwrites
+    * its OWN version directory and re-reads the same predecessor, so
+    * replays are idempotent (the [[idempotentBatchSink]] discipline —
+    * read-modify-write against the path being read would corrupt it).
+    * The version listing here is a local-FS scan; a production
+    * deployment swaps in its table format's manifest — the per-batch
+    * algebra is the operator, not the listing. StreamingSpec pins
+    * stream-maintained state == a from-scratch batch rebuild over the
+    * final corpus, with the re-crawl split across micro-batches.
+    */
+  def termFreqMaintenanceSink(docs: DataFrame, stateDir: String,
+                              checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val prev = Option(new java.io.File(stateDir).listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("v="))
+          .map(_.getName.stripPrefix("v=").toLong)
+          .filter(_ < id)
+          .sorted.lastOption
+        val old = prev
+          .map(v => spark.read.parquet(s"$stateDir/v=$v"))
+          .getOrElse(graft.operators.Retrieval.termFreq(batch.limit(0)))
+        graft.operators.Retrieval.upsertTermFreq(old, batch)
+          .write.mode("overwrite").parquet(s"$stateDir/v=$id")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
   case class UserMax(user_id: Long, max_value: Double)
 
   /** The same running-max through Spark 4's `transformWithState` — the

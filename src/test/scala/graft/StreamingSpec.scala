@@ -329,6 +329,38 @@ class StreamingSpec extends SparkSpec {
     assert(canon(replayed.select("event_id", "user_id", "value")) === canon(ev))
   }
 
+  test("streaming index maintenance: per-batch upserts == batch rebuild of the final corpus") {
+    import spark.implicits._
+    val state = tmp("graft-tfm-state")
+    val ckpt = tmp("graft-tfm-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.termFreqMaintenanceSink(
+      in.toDF().toDF("doc_id", "text"), state, ckpt)
+    // epoch 0: the initial crawl
+    in.addData((1L, "alpha beta alpha"), (2L, "beta gamma"), (3L, "delta"))
+    q.processAllAvailable()
+    // epoch 1: new docs PLUS a re-crawl of doc 2 (changed text) — the
+    // replacement must cross the micro-batch boundary through the
+    // persisted state, not a within-batch shortcut
+    in.addData((4L, "alpha"), (5L, "epsilon zeta"), (2L, "omega omega"))
+    q.processAllAvailable()
+    q.stop()
+    val versions = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong)
+    val got = spark.read.parquet(s"$state/v=${versions.max}")
+    val finalCorpus = Seq((1L, "alpha beta alpha"), (3L, "delta"),
+      (4L, "alpha"), (5L, "epsilon zeta"), (2L, "omega omega"))
+      .toDF("doc_id", "text")
+    val want = graft.operators.Retrieval.termFreq(finalCorpus)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows(got) === rows(want))
+    // the stale posting of doc 2's first crawl is GONE, not shadowed
+    assert(got.filter(col("doc_id") === 2L && col("term") === "gamma")
+      .count() === 0)
+  }
+
   test("dedupEvents parity: streamed doubled input == batch dedup of the same function") {
     // the q_stream_dedup scenario end-to-end on the REAL state path:
     // every mod-7 user's events re-delivered once. Originals and
