@@ -668,6 +668,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Quality-aware dedup survivors: within each near-dup cluster keep
+    // the HIGHEST-QUALITY copy (argmax quality, doc_id tie-break) — the
+    // production survivor rule. q_neardup_survivors' min-id canonical
+    // picks an ARBITRARY copy; a real pipeline keeps the best one.
+    // Composition of three shared, already-gated pieces: the
+    // ground-truth pair set, the component closure, and the SHARED
+    // quality score (qualityCtes — round-6, so the argmax cannot
+    // tie-break differently across engines). The per-cluster window
+    // ranks dup-graph-sized groups only; the corpus pays one anti-join.
+    "q_best_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      val members = Components.connectedComponents(pairs, "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("comp"))
+        .join(docs.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text")).as("q")), "doc_id")
+      val w = Window.partitionBy("comp").orderBy(col("q").desc, col("doc_id"))
+      val losers = members.withColumn("rn", row_number().over(w))
+        .filter(col("rn") > 1).select("doc_id")
+      docs.select(col("doc_id"))
+        .join(losers, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }),
+
     // Normalized exact dedup: q_text_normalize's canonicalization feeding
     // the hash-first dedup — trivially-variant copies (case, punctuation,
     // whitespace) collapse to one survivor. Same sha2 grouping and
@@ -1788,6 +1812,25 @@ object PipelineQueries {
     // component's canonical id.
     "q_dedup_components" -> componentsOracle,
     "q_dedup_components_star" -> componentsOracle,
+    // quality-argmax survivors: the component closure joined to the
+    // SHARED quality CTEs; rank > 1 within a cluster = dropped copy
+    "q_best_survivors" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         edges AS (SELECT a_id AS a, b_id AS b FROM jp
+                   UNION ALL SELECT b_id, a_id FROM jp),
+         reach(v, r) AS (
+           SELECT DISTINCT a, a FROM edges
+           UNION
+           SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v),
+         comp AS (SELECT v, min(r) AS c FROM reach GROUP BY v),
+         $qualityCtes,
+         rk AS (SELECT comp.v AS doc_id,
+                  row_number() OVER (PARTITION BY comp.c
+                    ORDER BY qsc.quality DESC, comp.v) AS rn
+                FROM comp JOIN qsc ON comp.v = qsc.doc_id)
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM rk WHERE rn > 1)
+         ORDER BY doc_id""",
     "q_neardup_survivors" ->
       s"""WITH RECURSIVE $jaccardCtes,
          edges AS (SELECT a_id AS a, b_id AS b FROM jp

@@ -383,6 +383,29 @@ class PipelineSpec extends SparkSpec {
       .filter(col("dim") === 3 && col("shift6").isNull).count() === 1)
   }
 
+  test("quality-argmax survivors: one best copy per cluster, singletons untouched") {
+    import graft.operators.Components
+    val kept = SparkEntry.queries("q_best_survivors")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+    val comp = Components.connectedComponents(pairs, "a_id", "b_id")
+      .select(col("id").as("doc_id"), col("comp"))
+      .join(docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val clustered = comp.map(_._1).toSet
+    // exactly one survivor per cluster, and it carries the cluster max
+    // quality (tie-break by doc_id makes it unique)
+    comp.groupBy(_._2).foreach { case (_, ms) =>
+      val survivors = ms.filter(m => kept.contains(m._1))
+      assert(survivors.length === 1)
+      assert(survivors.head._3 === ms.map(_._3).max)
+    }
+    // docs outside the dup graph all survive
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((all -- clustered).subsetOf(kept))
+  }
+
   test("incremental dedup == full-corpus dedup restricted to batch-touching pairs") {
     import spark.implicits._
     val old = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
