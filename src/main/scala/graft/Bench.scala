@@ -14,6 +14,19 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // HARD wall budget (VERDICT r14 #3): r14 shipped NO bench artifact —
+    // the corpus grew 16%, per-sweep wall hit ~300-345 s, and the worst
+    // case (settle + warm-up + 3 reps + 2 resweeps) crossed the driver's
+    // timeout, which killed the run with rc=124 and parsed:null. The
+    // budget is measured from here (settle + every sweep counts) and the
+    // loop DEGRADES deterministically to fit — drop resweeps, then
+    // remaining reps, then promote the warm-up sweep to measured — so a
+    // tight budget ships a smaller-rep artifact instead of none.
+    val bench0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - bench0) / 1e9
+    val maxWall = sys.env.get("SPARK_GRAFT_MAX_WALL_S").flatMap(_.toIntOption)
+      .filter(_ > 0).getOrElse(1140)
+    def remainS: Double = maxWall - elapsedS
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(master = s"local[$cpus]",
@@ -90,8 +103,11 @@ object Bench {
     // into a still-busy box stays attributable from the JSON alone.
     val settleLoad = sys.env.get("SPARK_GRAFT_SETTLE_LOAD")
       .flatMap(_.toDoubleOption).getOrElse(1.0)
-    val settleMax = sys.env.get("SPARK_GRAFT_SETTLE_S")
-      .flatMap(_.toIntOption).getOrElse(120)
+    // settle never eats more than 1/8 of the wall budget: waiting for a
+    // quiet box is pointless if the wait itself forces a rep drop
+    val settleMax = math.min(
+      sys.env.get("SPARK_GRAFT_SETTLE_S").flatMap(_.toIntOption).getOrElse(120),
+      maxWall / 8)
     val settle0 = System.nanoTime()
     while (settleMax > 0 && osBean.getSystemLoadAverage >= settleLoad &&
            (System.nanoTime() - settle0) / 1e9 < settleMax) {
@@ -101,29 +117,109 @@ object Bench {
       Thread.sleep(math.max(1L, math.min(5000L, remainMs)))
     }
     val settledS = math.round((System.nanoTime() - settle0) / 1e9).toInt
+    // Degradation ledger: every budget-forced deviation from the
+    // requested (warm, reps, resweeps) plan is recorded and shipped in
+    // both artifacts so a smaller-than-usual rep count stays explained.
+    val degraded = scala.collection.mutable.ArrayBuffer[String]()
+    // Entries displaced by an accepted replacement. They came from a
+    // REAL measured run, so they stay evidence for each query's min
+    // (min is the additive-noise filter — any observed run bounds the
+    // true cost from above) even though the sweep they belonged to no
+    // longer ships as a wall. Without this, a replacement could RAISE a
+    // query's reported min: the outlier sweep's busy window may have
+    // opened after some query ran its fastest rep.
+    val displaced = scala.collection.mutable.Map[String, Double]()
+    // LAST-RESORT artifact emission (VERDICT r14 #3): if anything kills
+    // the JVM before the normal emit — the driver's timeout foremost —
+    // a shutdown hook ships whatever complete sweeps exist, flagged
+    // "killed-partial", instead of the rc=124/parsed:null hole r14
+    // shipped. Completed-sweep granularity: per-query entries are only
+    // appended at sweep boundaries, so the snapshot is always rectangular.
+    @volatile var effRepsNow = 1
+    val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def emergencyEmit(): Unit = if (emitted.compareAndSet(false, true)) {
+      try {
+        val snap = BenchInput(names.map(_._1), times.toMap,
+          firstErr.toMap, effRepsNow, sfDir, warm, loads.toSeq, settledS,
+          0, displaced.toMap, Map.empty, degraded.toSeq :+ "killed-partial")
+        val j = BenchFormat.metricsLine(snap)
+        Files.createDirectories(Paths.get("target"))
+        Files.writeString(Paths.get("target/bench.json"), j + "\n")
+        Files.writeString(Paths.get("target/bench_detail.json"),
+          BenchFormat.detailLine(snap) + "\n")
+        System.out.println(s"GRAFT_BENCH_JSON $j")
+        System.out.println(j)
+        System.out.flush()
+      } catch { case _: Throwable => () }
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => emergencyEmit()))
     // One full corpus sweep; returns (name -> seconds) for the queries
-    // that ran. noop sink, not count(): count() lets Catalyst prune
-    // projections entirely for narrow queries, under-measuring
-    // expression work; noop materializes every output column.
-    def runSweep(): Map[String, Double] = {
+    // that ran, plus whether the sweep COMPLETED (a sweep stops early
+    // when the wall budget is nearly spent — 5 s reserve for the emit
+    // path — so the artifact always ships). noop sink, not count():
+    // count() lets Catalyst prune projections entirely for narrow
+    // queries, under-measuring expression work; noop materializes every
+    // output column.
+    def runSweep(): (Map[String, Double], Boolean) = {
       loads += osBean.getSystemLoadAverage
       val res = scala.collection.mutable.Map[String, Double]()
+      var complete = true
       for ((name, fn) <- names if !firstErr.contains(name)) {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          res(name) = (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          firstErr(name) = e.toString.replaceAll("[\\r\\n\\t]", " ").take(300)
+        if (complete && remainS < 5) {
+          System.err.println(f"[bench] wall budget spent at $elapsedS%.0f s — aborting sweep")
+          complete = false
+        }
+        if (complete) {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            res(name) = (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            firstErr(name) = e.toString.replaceAll("[\\r\\n\\t]", " ").take(300)
+          }
         }
       }
-      res.toMap
+      (res.toMap, complete)
     }
-    for (sweep <- -warm until reps) {
-      val res = runSweep()
-      if (sweep >= 0) for ((n, t) <- res) times(n) = times(n) :+ t
+    // warm-up sweeps: their per-query times are kept so a budget too
+    // tight for even one measured sweep can PROMOTE the last warm-up to
+    // measured (last-resort degrade — a real measured run, just colder)
+    var warmRes: Map[String, Double] = Map.empty
+    var warmComplete = false
+    for (_ <- 0 until warm) {
+      val (r, c) = runSweep(); warmRes = r; warmComplete = c
     }
+    // measured sweeps: stop adding when the last completed sweep's wall
+    // no longer fits the remaining budget (×1.15 headroom — sweeps drift)
+    var repsDone = 0
+    var stop = false
+    var lastWall = warmRes.values.sum
+    while (repsDone < reps && !stop) {
+      if (repsDone >= 1 && remainS < lastWall * 1.15) {
+        degraded += s"reps$reps->$repsDone"; stop = true
+      } else {
+        val (res, complete) = runSweep()
+        if (complete) {
+          for ((n, t) <- res) times(n) = times(n) :+ t
+          lastWall = res.values.sum
+          repsDone += 1
+          effRepsNow = repsDone
+        } else {
+          // an aborted measured sweep ships nothing of its own: ragged
+          // rep lists would poison sweepWalls' like-for-like reading
+          degraded += s"sweep-aborted@$repsDone"; stop = true
+        }
+      }
+    }
+    if (repsDone == 0 && warm > 0 && warmComplete) {
+      for ((n, t) <- warmRes) times(n) = times(n) :+ t
+      repsDone = 1
+      effRepsNow = 1
+      degraded += "warmup-promoted"
+      System.err.println("[bench] budget too tight for a measured sweep — promoted the warm-up")
+    }
+    val effReps = math.max(repsDone, 1)
     // Warn-PROOFING, not just warn-awareness (VERDICT r12 #5): the
     // settle wait dodges a busy START, but a busy window OPENING mid-run
     // still inflated one sweep's wall in three shipped artifacts. When
@@ -142,16 +238,8 @@ object Bench {
     val maxResweeps = sys.env.get("SPARK_GRAFT_RESWEEPS").flatMap(_.toIntOption)
       .filter(_ >= 0).getOrElse(2)
     def wallsNow: IndexedSeq[Double] = BenchFormat.sweepWalls(BenchInput(
-      names.map(_._1), times.toMap, firstErr.toMap, reps, sfDir))
+      names.map(_._1), times.toMap, firstErr.toMap, effReps, sfDir))
     var resweeps = 0
-    // Entries displaced by an accepted replacement. They came from a
-    // REAL measured run, so they stay evidence for each query's min
-    // (min is the additive-noise filter — any observed run bounds the
-    // true cost from above) even though the sweep they belonged to no
-    // longer ships as a wall. Without this, a replacement could RAISE a
-    // query's reported min: the outlier sweep's busy window may have
-    // opened after some query ran its fastest rep.
-    val displaced = scala.collection.mutable.Map[String, Double]()
     var keepGoing = true
     while (keepGoing && resweeps < maxResweeps) {
       // ONE walls computation per iteration drives both the stop
@@ -160,10 +248,17 @@ object Bench {
       val w = wallsNow
       if (!(w.size >= 2 && w.min > 0 && (w.max - w.min) / w.min > 0.05))
         keepGoing = false
-      else {
+      else if (remainS < lastWall * 1.15) {
+        // budget-first degrade order (VERDICT r14 #3): resweeps are the
+        // FIRST thing dropped — the honest >5% warn is cheaper than a
+        // timeout-killed artifact
+        degraded += s"resweeps$maxResweeps->$resweeps"
+        keepGoing = false
+      } else {
         val bad = w.indexOf(w.max)
         System.err.println(s"[bench] walls disagree >5% — re-running sweep $bad")
-        val res = runSweep()
+        val (res, resweepComplete) = runSweep()
+        if (!resweepComplete) degraded += s"resweep-aborted@$resweeps"
         // the replacement is taken ONLY if it improves on the outlier's
         // wall — a retry that lands in the same (or a new) busy window
         // must not make the shipped walls worse than what was measured.
@@ -172,7 +267,7 @@ object Bench {
         // failure ships as `resweep_errors` in the detail artifact, not
         // in `errors` — see the partition below); the spent retry is
         // recorded either way.
-        val fullRep = times.toSeq.filter(_._2.length == reps)
+        val fullRep = times.toSeq.filter(_._2.length == effReps)
         val newWall = fullRep.flatMap { case (n, _) => res.get(n) }.sum
         if (res.nonEmpty && fullRep.forall { case (n, _) => res.contains(n) } &&
             newWall < w(bad)) {
@@ -210,18 +305,19 @@ object Bench {
     // stderr) and keep `errors` (and the non-zero exit) for queries
     // whose shipped numbers are genuinely incomplete.
     val (resweepOnlyErr, realErr) = firstErr.toMap
-      .partition { case (n, _) => times(n).length == reps }
+      .partition { case (n, _) => times(n).length == effReps }
     if (resweepOnlyErr.nonEmpty)
       System.err.println("[bench] failed only in a replacement sweep " +
         s"(measured reps complete): ${resweepOnlyErr.keys.toSeq.sorted.mkString(", ")}")
     val input = BenchInput(names.map(_._1),
-      times.toMap, realErr, reps, sfDir, warm, loads.toSeq, settledS,
-      resweeps, displaced.toMap, resweepOnlyErr)
+      times.toMap, realErr, effReps, sfDir, warm, loads.toSeq, settledS,
+      resweeps, displaced.toMap, resweepOnlyErr, degraded.toSeq)
     val json = BenchFormat.metricsLine(input)
     Files.createDirectories(Paths.get("target"))
     Files.writeString(Paths.get("target/bench.json"), json + "\n")
     val detail = BenchFormat.detailLine(input)
     Files.writeString(Paths.get("target/bench_detail.json"), detail + "\n")
+    emitted.set(true)
     spark.stop()
     // Emit metrics after spark.stop's shutdown chatter: a sentinel-
     // prefixed copy any line-scanner can strip, then the bare JSON line

@@ -59,7 +59,8 @@ final case class BenchInput(names: Seq[String],
                             settleS: Int = 0,
                             resweeps: Int = 0,
                             displaced: Map[String, Double] = Map.empty,
-                            resweepErrors: Map[String, String] = Map.empty) {
+                            resweepErrors: Map[String, String] = Map.empty,
+                            degraded: Seq[String] = Nil) {
   def timesOf(n: String): List[Double] = times.getOrElse(n, Nil)
 
   /** Reported per-query minimum: min over the shipped sweep entries AND
@@ -139,6 +140,11 @@ object BenchFormat {
         // replacement sweeps that ran (VERDICT r12 #5) — ~14 chars,
         // present only when a busy window was actually dodged
         (if (in.resweeps > 0) s""","resweeps":${in.resweeps}""" else "") +
+        // wall-budget degradations (VERDICT r14 #3) — present only when
+        // the run had to shrink its plan to fit SPARK_GRAFT_MAX_WALL_S,
+        // so a smaller-than-requested rep count stays self-explaining
+        (if (in.degraded.nonEmpty)
+          s""","degraded":"${esc(in.degraded.mkString(";"))}"""" else "") +
         (if (walls.size >= 2 && walls.min > 0 &&
              (walls.max - walls.min) / walls.min > 0.05)
           s""","warn":"walls disagree >5%"""" else "")
@@ -286,6 +292,8 @@ object BenchFormat {
       else s""","loadavg":[${in.loads.map(v => f"$v%.1f").mkString(",")}]"""
     val settlePart = if (in.settleS > 0) s""","settle_s":${in.settleS}""" else ""
     val resweepPart = if (in.resweeps > 0) s""","resweeps":${in.resweeps}""" else ""
+    val degradedPart = if (in.degraded.isEmpty) ""
+      else s""","degraded":"${esc(in.degraded.mkString(";"))}""""
     // entries overwritten by an accepted replacement sweep — they still
     // participate in per-query minima (BenchInput.displaced scaladoc),
     // so triage can see where a reported min came from
@@ -298,6 +306,6 @@ object BenchFormat {
     val displacedPart = if (in.displaced.isEmpty) "" else
       s""","displaced":${in.names.flatMap(n => in.displaced.get(n).map(t =>
         "\"" + n + "\":" + math.round(t * 100))).mkString("{", ",", "}")}"""
-    s"""{"reps":${in.reps},"warmup":${in.warmup},"qunit":"cs","order":"sweep","sweep_wall_s":[${sweepWalls(in).map(v => f"$v%.2f").mkString(",")}]$loadPart$settlePart$resweepPart$resweepErrPart$displacedPart,"queries":$qd$errPart,"sf":"${in.sfDir}"}"""
+    s"""{"reps":${in.reps},"warmup":${in.warmup},"qunit":"cs","order":"sweep","sweep_wall_s":[${sweepWalls(in).map(v => f"$v%.2f").mkString(",")}]$loadPart$settlePart$resweepPart$degradedPart$resweepErrPart$displacedPart,"queries":$qd$errPart,"sf":"${in.sfDir}"}"""
   }
 }

@@ -15,48 +15,50 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     AggQueries.defs("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.defs ++
-      SubqueryQueries.defs ++
-      JoinQueries.defs ++
-      FlagshipQueries.defs ++
-      TpchQueries.defs ++
-      AggQueries.defs ++
-      WindowQueries.defs ++
-      ScalarQueries.defs ++
-      StatsQueries.defs ++
-      TextMetricsQueries.defs ++
-      FuzzQueries.defs ++
-      KMeansQueries.defs ++
-      PipelineQueries.defs ++
-      DocStructQueries.defs ++
-      CurationQueries.defs ++
-      GraphQueries.defs ++
-      FunnelQueries.defs ++
-      StreamQueries.defs
+  private val defGroups: Seq[Map[String, (SparkSession, String) => DataFrame]] =
+    Seq(RelationalQueries.defs, SubqueryQueries.defs, JoinQueries.defs,
+      FlagshipQueries.defs, TpchQueries.defs, AggQueries.defs,
+      WindowQueries.defs, ScalarQueries.defs, StatsQueries.defs,
+      TextMetricsQueries.defs, FuzzQueries.defs, KMeansQueries.defs,
+      PipelineQueries.defs, DocStructQueries.defs, CurationQueries.defs,
+      GraphQueries.defs, FunnelQueries.defs, StreamQueries.defs)
+
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * The disjointness require is load-bearing: `++` over maps is
+    * latest-wins, so a name accidentally declared in two groups would
+    * silently REPLACE the earlier row — the corpus would shrink by one
+    * and nothing would fail (round 15 caught exactly this: a second
+    * `q_decontaminate` shadowed the existing curation row until a count
+    * diff surfaced it). A duplicate now names itself at first touch.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val dup = defGroups.flatMap(_.keys)
+      .groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+    require(dup.isEmpty,
+      s"query name(s) declared in more than one group: ${dup.mkString(", ")}")
+    defGroups.reduce(_ ++ _)
+  }
+
+  private val oracleGroups: Seq[Map[String, String]] =
+    Seq(RelationalQueries.oracles, SubqueryQueries.oracles,
+      JoinQueries.oracles, FlagshipQueries.oracles, TpchQueries.oracles,
+      AggQueries.oracles, WindowQueries.oracles, ScalarQueries.oracles,
+      StatsQueries.oracles, TextMetricsQueries.oracles, FuzzQueries.oracles,
+      KMeansQueries.oracles, PipelineQueries.oracles, DocStructQueries.oracles,
+      CurationQueries.oracles, GraphQueries.oracles, FunnelQueries.oracles,
+      StreamQueries.oracles)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (driver records a weaker rows-only check for those).
+    * (driver records a weaker rows-only check for those). Same
+    * disjointness contract as [[queries]].
     */
-  def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++
-      SubqueryQueries.oracles ++
-      JoinQueries.oracles ++
-      FlagshipQueries.oracles ++
-      TpchQueries.oracles ++
-      AggQueries.oracles ++
-      WindowQueries.oracles ++
-      ScalarQueries.oracles ++
-      StatsQueries.oracles ++
-      TextMetricsQueries.oracles ++
-      FuzzQueries.oracles ++
-      KMeansQueries.oracles ++
-      PipelineQueries.oracles ++
-      DocStructQueries.oracles ++
-      CurationQueries.oracles ++
-      GraphQueries.oracles ++
-      FunnelQueries.oracles ++
-      StreamQueries.oracles
+  def oracleSql: Map[String, String] = {
+    val dup = oracleGroups.flatMap(_.keys)
+      .groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
+    require(dup.isEmpty,
+      s"oracle name(s) declared in more than one group: ${dup.mkString(", ")}")
+    oracleGroups.reduce(_ ++ _)
+  }
 }

@@ -27,7 +27,11 @@ object TextFunctions {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit("""\w+|[^\w\s]"""), lit(0))
 
-  def tokenCount(text: Column): Column = size(bpeTokens(text))
+  /** int64, not Spark size()'s int32 — every hashed integer column in
+    * the corpus standardizes on BIGINT (the oracle engines' count type),
+    * so the driver's type-aware compare never sees width skew.
+    */
+  def tokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
 
   /** English-ish stopword list used by quality scoring and TF-IDF. */
   val stopwords: Seq[String] = Seq(

@@ -151,7 +151,9 @@ object AnnCalibrate {
       .partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("qid"), col("rk").as("rank"), col("nid"),
+      // long, matching the TopKPerKey rank and every engine's window
+      // rank type — the corpus-wide no-width-skew rule for hashed ints
+      .select(col("qid"), col("rk").cast("long").as("rank"), col("nid"),
         round(col("sim"), 6).as("sim"))
   }
 

@@ -529,4 +529,74 @@ object Dedup {
         count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
   }
+
+  /** Duplicated-span REMOVAL — the actual Lee et al. 2022 ExactSubstr
+    * deliverable ([[dupNgrams]] only DETECTS): rewrite each document
+    * with every occurrence of a cross-document duplicated n-word span
+    * excised, overlapping spans merged. Removing (not just flagging)
+    * repeated sequences is what the paper shows improves the trained
+    * model — boilerplate shared across otherwise-distinct documents
+    * survives document-level dedup entirely.
+    *
+    * Span semantics: a word window of width `n` is duplicated when its
+    * ngram occurs in ≥ `minDocs` DISTINCT documents; EVERY occurrence
+    * (in every holding doc) is removed, the paper's symmetric rule —
+    * dropping "all but one" would need an arbitrary survivor pick that
+    * the next crawl would reshuffle. Overlap merging needs no interval
+    * algebra: each duplicated start expands to its n covered word
+    * positions (a bounded ×n explode) and the covered-position UNION
+    * (`distinct`) IS the merged span set — adjacent/overlapping spans
+    * cover one contiguous run.
+    *
+    * Plan shape (all-relational, every step linear in corpus size):
+    * tokenize with positions (one posexplode), window starts (one
+    * explode), ONE groupBy(ngram) with a map-side-combining distinct
+    * count for the duplicated-ngram set, an equi-join of windows
+    * against that set, the ×n covered-position expansion, one LEFT ANTI
+    * equi-join on (doc_id, pos), and a final groupBy(doc_id) that
+    * reassembles surviving words in position order. No window function,
+    * no range join, no per-doc state beyond the doc itself — the same
+    * shuffle keys (ngram, then doc_id) at 100 TB. Docs whose every word
+    * is covered still ship (empty text, n_kept 0) via the left join
+    * back to the corpus — silently dropping a fully-boilerplate doc
+    * would misreport the corpus row count downstream.
+    *
+    * Output: (doc_id, text, n_words, n_kept) — `text` the cleaned doc,
+    * `n_words` the pre-removal width, so n_words − n_kept is the
+    * per-doc removal count and their corpus sums are the audit totals.
+    */
+  def exactSubstrRemoval(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"window width must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = df.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("ws"))
+    val tokens = base
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "word")))
+      .select(col("doc_id"), (col("p") + 1).as("pos"), col("word"))
+    val wins = base
+      .select(col("doc_id"), posexplode(wordNgrams(col("ws"), n))
+        .as(Seq("p", "ngram")))
+      .select(col("doc_id"), (col("p") + 1).as("start"), col("ngram"))
+    val dups = wins.groupBy("ngram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("ngram")
+    val covered = wins.join(dups, "ngram")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
+      .distinct()
+    val kept = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x("word")), " ").as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_text"), lit("")).as("text"),
+        col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

@@ -119,7 +119,7 @@ object Drift {
     val out = org.apache.spark.sql.types.DecimalType(28, 6)
     def agg(df: DataFrame, n: String, sm: String) = df
       .select(posexplode(col(vecCol)).as(Seq("p", "x")))
-      .select((col("p") + 1).as("dim"),
+      .select((col("p") + 1).cast("long").as("dim"),
         round(col("x").cast("double"), 6).cast(dec).as("x"))
       .groupBy("dim")
       .agg(count(lit(1)).as(n), sum("x").cast(out).as(sm))

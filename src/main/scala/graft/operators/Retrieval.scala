@@ -206,4 +206,28 @@ object Retrieval {
       .select(col("q_id"), col("rank").as("rnk"), col("doc_id"),
         col("n_hit"), (col("s6").cast("double") / lit(1000000.0)).as("score"))
   }
+
+  /** Benchmark DECONTAMINATION — the end-to-end eval-leakage gate
+    * [[phraseSearch]] exists to power: drop every corpus document that
+    * contains ANY eval-set phrase as a contiguous token sequence (the
+    * GPT-3/PaLM-style n-gram decontamination rule; bag-of-words overlap
+    * would both over-drop paraphrases and under-drop verbatim leaks).
+    *
+    * `evalPhrases`: (q_id, term, off) — the [[phraseSearch]] probe
+    * shape, every phrase exactly `phraseLen` terms. Returns the
+    * SURVIVING documents (original columns, untouched). Cost is the
+    * phraseSearch join — Σ df over the eval phrases' terms, never a
+    * corpus scan — plus one LEFT ANTI equi-join on doc_id; the eval set
+    * is benchmark-sized (thousands of phrases), so the probe side stays
+    * broadcastable at any corpus size. A doc matching several phrases
+    * is dropped once (the distinct), and the drop rule is exact-match
+    * deterministic — rerunning on the same corpus drops the same rows.
+    */
+  def decontaminate(docs: DataFrame, evalPhrases: DataFrame,
+                    phraseLen: Int): DataFrame = {
+    val contaminated = phraseSearch(positionalPostings(docs), evalPhrases,
+        phraseLen)
+      .select("doc_id").distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
 }

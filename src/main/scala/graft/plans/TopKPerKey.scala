@@ -15,7 +15,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
   Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.LongType
 
 /** Whole-operator Catalyst extension: top-k rows per key, with rank.
   *
@@ -84,7 +84,10 @@ object TopKPerKeyNode {
     val order = orderSpec.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }
-    val rank = AttributeReference("rank", IntegerType, nullable = false)()
+    // LongType, not IntegerType: every SQL engine's window-rank output
+    // is int64, and the whole corpus standardizes hashed integer columns
+    // on int64 so the driver's type-aware compare never sees width skew
+    val rank = AttributeReference("rank", LongType, nullable = false)()
     Bridge.ofRows(df.sparkSession, TopKPerKeyNode(keys, order, k, rank, plan))
   }
 }
@@ -206,7 +209,7 @@ case class TopKPerKeyFinalExec(keys: Seq[Expression], order: Seq[SortOrder],
         }
         if (emitted < kk) {
           emitted += 1
-          rankRow.update(0, emitted)
+          rankRow.update(0, emitted.toLong)
           Iterator.single(outProj(joined(row, rankRow)))
         } else Iterator.empty
       }

@@ -257,7 +257,7 @@ object AggQueries {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          expr("regr_count(l_extendedprice, l_quantity)").as("n"),
+          expr("CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)").as("n"),
           round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
           round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6).as("icept"),
           round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
@@ -438,7 +438,7 @@ object AggQueries {
          GROUP BY r_name ORDER BY r_name""",
     "q_regr" ->
       """SELECT l_returnflag,
-                regr_count(l_extendedprice, l_quantity) AS n,
+                CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
                 round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
                 round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
                 round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,

@@ -77,6 +77,17 @@ object CurationQueries {
       graft.operators.Dedup.dupNgrams(docs(s, d), "doc_id", "text")
         .orderBy(col("n_docs").desc, col("ngram"))),
 
+    // Duplicated-span REMOVAL (Dedup.exactSubstrRemoval) — the actual
+    // Lee et al. 2022 ExactSubstr deliverable that q_dup_ngrams only
+    // detects: every occurrence of a cross-document duplicated 8-gram
+    // excised from every holding doc, overlapping spans merged (the
+    // covered-position union — no interval algebra), fully-removed docs
+    // kept as empty rows. Output is exact strings and integer counts —
+    // nothing float, so the hash gate has no representation surface.
+    "q_exact_substr_removal" -> ((s, d) =>
+      graft.operators.Dedup.exactSubstrRemoval(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Sequence packing: assign documents to fixed-token-budget training
     // sequences. This is the deterministic streaming variant — documents
     // are packed contiguously in doc_id order within each language shard
@@ -110,7 +121,7 @@ object CurationQueries {
             substring(col("text"), 1, 64),
             substring(regexp_replace(col("text"),
               "\\b(customer|supplier|user)\\b", "[ENTITY]"), 1, 64))
-            .as("lev"))
+            .cast("long").as("lev"))
         .orderBy("doc_id")),
 
     // PII-style entity redaction: map-only regexp scrub. The pattern
@@ -207,8 +218,9 @@ object CurationQueries {
         .select(col("doc_id"),
           posexplode(transform(sequence(lit(0), nChunks - 1),
             i => array_join(slice(col("w"), i * 24 + 1, lit(32)), " "))))
-        .withColumnRenamed("pos", "chunk_id")
+        .withColumn("chunk_id", col("pos").cast("long")).drop("pos")
         .withColumnRenamed("col", "chunk")
+        .select(col("doc_id"), col("chunk_id"), col("chunk"))
         .orderBy("doc_id", "chunk_id")
     }),
 
@@ -231,7 +243,7 @@ object CurationQueries {
       // ships — the exchange carries 4 scalar columns per row.
       graft.plans.TopKPerKeyNode.topKPerKey(
           scored.select(col("doc_id"), col("lang"), col("source"),
-            size(col("w")).as("toks")),
+            size(col("w")).cast("long").as("toks")),
           keyCols = Seq("source"), orderSpec = Seq(("doc_id", false)), k = 15)
         .select(col("doc_id"), col("lang"), col("source"), col("toks"))
         .orderBy("doc_id")
@@ -340,6 +352,41 @@ object CurationQueries {
          SELECT ngram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
          FROM g GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2
          ORDER BY n_docs DESC, ngram""",
+    // removal: the q_dup_ngrams windows, joined back to their start
+    // positions, expanded to covered positions (start..start+7), and
+    // every uncovered word re-assembled in position order; docs with
+    // every word covered surface as empty strings via the outer join
+    "q_exact_substr_removal" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         tok AS (
+           SELECT doc_id, i AS pos, words[i] AS word
+           FROM w, unnest(generate_series(1, CAST(len(words) AS BIGINT))) AS t(i)),
+         g AS (
+           SELECT doc_id, i AS start, array_to_string(words[i:i+7], ' ') AS ngram
+           FROM w, unnest(CASE WHEN len(words) >= 8
+                               THEN generate_series(1, CAST(len(words) AS BIGINT) - 7)
+                               ELSE CAST([] AS BIGINT[]) END) AS t(i)),
+         dup AS (SELECT ngram FROM g GROUP BY ngram
+                 HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (
+           SELECT DISTINCT g.doc_id, g.start + o AS pos
+           FROM g JOIN dup USING (ngram),
+                unnest(generate_series(CAST(0 AS BIGINT), CAST(7 AS BIGINT))) AS t(o)),
+         kept AS (
+           SELECT tok.doc_id, tok.pos, tok.word
+           FROM tok LEFT JOIN cov
+             ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+           WHERE cov.pos IS NULL),
+         agg AS (
+           SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text,
+                  count(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT w.doc_id, coalesce(agg.text, '') AS text,
+                CAST(len(w.words) AS BIGINT) AS n_words,
+                coalesce(agg.n_kept, 0) AS n_kept
+         FROM w LEFT JOIN agg USING (doc_id)
+         ORDER BY doc_id""",
     "q_rep_ratio" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
          SELECT doc_id, round($repSql, 6) AS rep

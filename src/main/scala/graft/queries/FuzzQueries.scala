@@ -213,10 +213,13 @@ object FuzzQueries {
                          col: org.apache.spark.sql.expressions.WindowSpec => Column,
                          framed: Boolean)
 
+  // the three rank functions cast to long: Spark emits int32 where
+  // every other engine's window rank is int64 — the corpus-wide rule
+  // keeps hashed integer columns free of width skew
   private def genWFn(rng: scala.util.Random): WFn = rng.nextInt(8) match {
-    case 0 => WFn("row_number()", w => row_number().over(w), framed = false)
-    case 1 => WFn("rank()", w => rank().over(w), framed = false)
-    case 2 => WFn("dense_rank()", w => dense_rank().over(w), framed = false)
+    case 0 => WFn("row_number()", w => row_number().over(w).cast("long"), framed = false)
+    case 1 => WFn("rank()", w => rank().over(w).cast("long"), framed = false)
+    case 2 => WFn("dense_rank()", w => dense_rank().over(w).cast("long"), framed = false)
     case 3 =>
       val k = 1 + rng.nextInt(3)
       WFn(s"lag(l_quantity, $k)", w => lag(col("l_quantity"), k).over(w), framed = false)
@@ -431,7 +434,7 @@ object FuzzQueries {
         """grouping(l_returnflag) + 2 * grouping(l_linestatus)
                 + 4 * grouping(l_linenumber)"""
     s"""SELECT l_returnflag, l_linestatus, l_linenumber,
-              $gidSql AS gid,
+              CAST($gidSql AS BIGINT) AS gid,
               count(*) AS n,
               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
               min(l_extendedprice) AS mn
@@ -462,7 +465,7 @@ object FuzzQueries {
     val gid = (if (c.kind == 0) lit(0)
       else grouping(col("l_returnflag"))
         + lit(2) * grouping(col("l_linestatus"))
-        + lit(4) * grouping(col("l_linenumber"))).as("gid")
+        + lit(4) * grouping(col("l_linenumber"))).cast("long").as("gid")
     val agged = grouped.agg(gid,
       count(lit(1)).as("n"),
       sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
@@ -565,7 +568,7 @@ object FuzzQueries {
     val gid = (if (c.kind == 0) lit(0)
       else grouping(col("l_returnflag"))
         + lit(2) * grouping(col("l_linestatus"))
-        + lit(4) * grouping(col("ln_n"))).as("gid")
+        + lit(4) * grouping(col("ln_n"))).cast("long").as("gid")
     val agged = grouped.agg(gid,
       count(lit(1)).as("n"),
       sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
@@ -599,7 +602,7 @@ object FuzzQueries {
         """grouping(l_returnflag) + 2 * grouping(l_linestatus)
                 + 4 * grouping(ln_n)"""
     s"""SELECT l_returnflag, l_linestatus, ln_n,
-              $gidSql AS gid,
+              CAST($gidSql AS BIGINT) AS gid,
               count(*) AS n,
               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
               min(l_extendedprice) AS mn
@@ -885,7 +888,10 @@ object FuzzQueries {
     def sql: String = name
   }
   private case class NLen(e: SE) extends NE {
-    def col: Column = length(e.col); def sql = s"length(${e.sql})"
+    // cast long: Spark length() is int32, DuckDB's is BIGINT — and the
+    // width propagates through every arithmetic node above this leaf
+    def col: Column = length(e.col).cast("long")
+    def sql = s"length(${e.sql})"
   }
   private case class NAdd(e: NE, k: Int) extends NE {
     def col: Column = e.col + k; def sql = s"(${e.sql} + $k)"

@@ -538,7 +538,7 @@ object PipelineQueries {
     // k-row broadcast (Sampling.tokenBudgetSample).
     "q_token_budget_mix" -> ((s, d) => {
       val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-        size(TextFunctions.tokens(col("text"))).as("n_tok"))
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
       val budgets = t.groupBy("lang").agg(expr("sum(n_tok) div 2").as("budget"))
       Sampling.tokenBudgetSample(t, "lang", "doc_id", "n_tok", budgets)
         .orderBy("doc_id")
@@ -1450,7 +1450,7 @@ object PipelineQueries {
       val b = Sampling.bucketOf(col("doc_id"), 2L)
       Sampling.withGlobalRank(Tables.documents(s, d).select(col("doc_id")),
           "pos", b, col("doc_id"))
-        .withColumn("pos", col("pos").cast("int"))
+        .withColumn("pos", col("pos").cast("long"))
         .orderBy("pos")
     }),
 
@@ -1467,7 +1467,7 @@ object PipelineQueries {
       Tables.documents(s, d)
         .select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_bpe"),
-          size(TextFunctions.tokens(col("text"))).as("n_ws"))
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_ws"))
         .orderBy("doc_id")),
 
     "q_quality_score" -> ((s, d) =>
@@ -1566,6 +1566,30 @@ object PipelineQueries {
         .orderBy("q_id", "doc_id")
     }),
 
+    // Benchmark decontamination end-to-end (Retrieval.decontaminate):
+    // the q_phrase_search probe set doubles as the stand-in eval set —
+    // every corpus doc containing one of its 3-token phrases VERBATIM
+    // is dropped (the GPT-3-style n-gram leakage rule; the probe docs
+    // drop themselves, correctly — any doc carrying eval text verbatim
+    // is leakage). Complements q_decontaminate (CurationQueries), which
+    // FLAGS gram-hash overlap: this row is the exact-POSITIONAL drop —
+    // contiguity through positionalPostings, no hash false positives,
+    // and the output is the cleaned corpus itself. Pure integer/string
+    // columns, nothing float in the hash.
+    "q_decontaminate_phrase" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val probes = docs
+        .filter(pmod(col("doc_id"), lit(41)) === 0 &&
+          size(TextFunctions.tokens(col("text"))) >= 3)
+        .select(col("doc_id").as("q_id"),
+          posexplode(slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as(Seq("o", "term")))
+        .select(col("q_id"), col("term"), (col("o") + 1).as("off"))
+      Retrieval.decontaminate(docs, probes, phraseLen = 3)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Persisted-deployment path for the lexical index, the same
     // save→load→probe symmetry every ANN family carries: the tf
     // sufficient statistic lands as n-proportional parquet (one row per
@@ -1624,7 +1648,8 @@ object PipelineQueries {
           when(col("rs").isNotNull && col("rd").isNotNull, "both")
             .when(col("rs").isNotNull, "sparse").otherwise("dense").as("src"))
       val w = Window.partitionBy("q_id").orderBy(col("rrf").desc, col("doc_id"))
-      fused.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      fused.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
         .select(col("q_id"), col("rnk"), col("doc_id"), col("src"),
           round(col("rrf"), 6).as("rrf"))
         .orderBy("q_id", "rnk")
@@ -1636,7 +1661,7 @@ object PipelineQueries {
     "q_multimodal_meta" -> ((s, d) =>
       MultiModal.withPayload(Tables.documents(s, d))
         .select(col("doc_id"),
-          length(col("payload")).as("n_bytes"),
+          length(col("payload")).cast("long").as("n_bytes"),
           ascii(substring(col("payload").cast("string"), 1, 1)).as("header_byte"),
           col("meta.lang").as("lang"), col("meta.nChars").as("n_chars"))
         .orderBy("doc_id")),
@@ -1680,7 +1705,8 @@ object PipelineQueries {
       val resized = MultiModal.resize(s,
         MultiModal.media(s, Tables.documents(s, d)), targetLen = 96)
       MultiModal.extractFeatures(s, resized).toDF()
-        .select(col("docId").as("doc_id"), col("nBytes").as("n_bytes"),
+        .select(col("docId").as("doc_id"),
+          col("nBytes").cast("long").as("n_bytes"),
           col("width"), col("height"), col("checksum"))
         .orderBy("doc_id")
     }),
@@ -2367,7 +2393,7 @@ object PipelineQueries {
            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
          f AS (SELECT * FROM tok WHERE term NOT IN ($stopList)),
          tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY 1, 2),
-         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
          dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM f GROUP BY 1),
          g AS (SELECT (SELECT count(*) FROM documents) AS n,
                       (SELECT count(*) FROM f) AS ntok)
@@ -2391,7 +2417,7 @@ object PipelineQueries {
            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs2),
          f AS (SELECT * FROM tok WHERE term NOT IN ($stopList)),
          tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY 1, 2),
-         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
          dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM f GROUP BY 1),
          g AS (SELECT (SELECT count(*) FROM docs2) AS n,
                       (SELECT count(*) FROM f) AS ntok)
@@ -2425,6 +2451,22 @@ object PipelineQueries {
                  GROUP BY q_id, doc_id, start HAVING count(*) = 3)
          SELECT q_id, doc_id, count(*) AS n_occ FROM hit
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // decontamination: the q_phrase_search match CTEs reduced to the
+    // contaminated-doc set, anti-joined back to the corpus
+    "q_decontaminate_phrase" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         tok AS (SELECT doc_id, ws[i] AS term, i AS pos
+                 FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+         q AS (SELECT doc_id AS q_id, ws[i] AS term, i AS off
+               FROM w, unnest(generate_series(1, 3)) AS t(i)
+               WHERE doc_id % 41 = 0 AND len(ws) >= 3),
+         m AS (SELECT q.q_id, tok.doc_id, tok.pos - q.off + 1 AS start
+               FROM q JOIN tok ON q.term = tok.term),
+         hit AS (SELECT doc_id FROM m
+                 GROUP BY q_id, doc_id, start HAVING count(*) = 3)
+         SELECT doc_id, lang, source FROM documents
+         WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM hit)
+         ORDER BY doc_id""",
     "q_bm25_serve_persisted" -> bm25SearchOracle,
     // hybrid RRF: the bm25 CTEs at top-10, the q_cosine_topk dot-product
     // CTEs restricted to the embedded probe set, fused with fixed-order

@@ -273,7 +273,7 @@ object ScalarQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"),
-          size(filter(col("w"), x => length(x) > 4)).as("n_long"),
+          size(filter(col("w"), x => length(x) > 4)).cast("long").as("n_long"),
           aggregate(transform(col("w"), x => length(x)),
             lit(0), (acc, x) => acc + x).cast("long").as("chars"),
           exists(col("w"), x => x === "spark").as("has_spark"),
@@ -338,9 +338,9 @@ object ScalarQueries {
          ORDER BY o_orderkey, d""",
     "q_map_fns" ->
       """SELECT c_custkey,
-                CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'AUTOMOBILE' THEN 2
+                CAST(CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'AUTOMOBILE' THEN 2
                      WHEN 'MACHINERY' THEN 3 WHEN 'HOUSEHOLD' THEN 4
-                     WHEN 'FURNITURE' THEN 5 END AS seg_code,
+                     WHEN 'FURNITURE' THEN 5 END AS BIGINT) AS seg_code,
                 CAST(5 AS BIGINT) AS n_keys
          FROM customer ORDER BY c_custkey""",
     "q_json_fns" ->

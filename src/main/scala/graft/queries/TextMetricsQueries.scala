@@ -29,13 +29,27 @@ object TextMetricsQueries {
     // which terms a deployment gets paged about cannot differ between
     // engines; the per-term PSI contribution rides as a round-6 double
     // with fixed operation order.
+    // Hashed projection is TYPE-MINIMAL (BIGINT/VARCHAR/DOUBLE only):
+    // drift is the corpus's sole DECIMAL(38,0) column and the r14
+    // driver hash diverged on its wide-decimal representation despite
+    // value-equal rows, so the exact-integer ordering is surfaced as a
+    // BIGINT row_number and the drift magnitude itself rides as a
+    // string — no engine-specific precision-38 encoding enters the
+    // compared output. The rank window runs post-limit over 15 rows.
     "q_corpus_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val t = docs(s, d)
       graft.operators.Drift.termDrift(
           t.filter(pmod(col("doc_id"), lit(2)) === 0),
           t.filter(pmod(col("doc_id"), lit(2)) === 1), "text")
         .orderBy(col("drift").desc, col("term"))
         .limit(15)
+        .select(
+          row_number().over(Window.orderBy(col("drift").desc, col("term")))
+            .cast("long").as("rnk"),
+          col("term"), col("c_a"), col("c_b"),
+          col("drift").cast("string").as("drift"), col("psi6"))
+        .orderBy("rnk")
     }),
 
     // Dense-side drift (operators.Drift.embedDrift): per-dimension mean
@@ -221,9 +235,12 @@ object TextMetricsQueries {
                      * ln((CAST(c_a + 1 AS DOUBLE) / CAST(g.n_a + g.v AS DOUBLE))
                         / (CAST(c_b + 1 AS DOUBLE) / CAST(g.n_b + g.v AS DOUBLE))),
                      6) AS psi6
-               FROM j CROSS JOIN g)
-         SELECT term, c_a, c_b, CAST(drift AS DECIMAL(38,0)) AS drift, psi6
-         FROM r ORDER BY drift DESC, term LIMIT 15""",
+               FROM j CROSS JOIN g),
+         top AS (SELECT term, c_a, c_b, drift, psi6
+                 FROM r ORDER BY drift DESC, term LIMIT 15)
+         SELECT row_number() OVER (ORDER BY top.drift DESC, top.term) AS rnk,
+                term, c_a, c_b, CAST(top.drift AS VARCHAR) AS drift, psi6
+         FROM top ORDER BY rnk""",
     // dense drift: identical quantize-then-decimal-sum pipeline; dims
     // are 1-based array subscripts on both engines
     "q_embed_drift" ->

@@ -19,9 +19,11 @@ object WindowQueries {
       val rankW = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
-          row_number().over(byPrice).as("rn"),
-          rank().over(rankW).as("rnk"),
-          dense_rank().over(rankW).as("drnk"))
+          // int64, matching every SQL engine's window-rank output — the
+          // corpus-wide rule keeping hashed integer columns width-skew-free
+          row_number().over(byPrice).cast("long").as("rn"),
+          rank().over(rankW).cast("long").as("rnk"),
+          dense_rank().over(rankW).cast("long").as("drnk"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -81,7 +83,7 @@ object WindowQueries {
         .orderBy(col("o_totalprice"), col("o_orderkey"))
       Tables.orders(s, d)
         .select(col("o_orderkey"),
-          ntile(4).over(w).as("quartile"),
+          ntile(4).over(w).cast("long").as("quartile"),
           percent_rank().over(w).as("pr"),
           cume_dist().over(w).as("cd"))
         .orderBy("o_orderkey")

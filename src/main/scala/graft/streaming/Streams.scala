@@ -230,7 +230,10 @@ object Streams {
     * its OWN version directory and re-reads the same predecessor, so
     * replays are idempotent (the [[idempotentBatchSink]] discipline —
     * read-modify-write against the path being read would corrupt it).
-    * The version listing here is a local-FS scan; a production
+    * The version listing goes through Hadoop's FileSystem API, so an
+    * HDFS/S3A state dir lists correctly (java.io.File against a remote
+    * scheme returns null, which would silently rebuild every batch from
+    * EMPTY state — corrupting the maintained statistic); a production
     * deployment swaps in its table format's manifest — the per-batch
     * algebra is the operator, not the listing. StreamingSpec pins
     * stream-maintained state == a from-scratch batch rebuild over the
@@ -241,13 +244,7 @@ object Streams {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        val prev = Option(new java.io.File(stateDir).listFiles())
-          .getOrElse(Array.empty)
-          .filter(f => f.isDirectory && f.getName.startsWith("v="))
-          .map(_.getName.stripPrefix("v=").toLong)
-          .filter(_ < id)
-          .sorted.lastOption
-        val old = prev
+        val old = latestStateVersion(spark, stateDir, id)
           .map(v => spark.read.parquet(s"$stateDir/v=$v"))
           .getOrElse(graft.operators.Retrieval.termFreq(batch.limit(0)))
         graft.operators.Retrieval.upsertTermFreq(old, batch)
@@ -256,6 +253,67 @@ object Streams {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .start()
+
+  /** STREAMING dense-index maintenance — the [[termFreqMaintenanceSink]]
+    * symmetry for the ANN family ([[graft.operators.Similarity
+    * .ivfUpsert]] applied per micro-batch through foreachBatch): each
+    * arriving vector batch drops its ids' stale postings from the
+    * persisted IVF assignment (one anti-join against current state) and
+    * enters through the FROZEN quantizer's nearest-cell assignment —
+    * O(batch + state) per epoch, never a corpus re-encode or a Lloyd
+    * re-run (retraining is a separate, rarer epoch event — the trade
+    * every production IVF deployment makes). State is the
+    * n-proportional `assigned` parquet (nid, nv, nnrm, cell), written
+    * VERSIONED per epoch with the same idempotence contract as the
+    * lexical sink: a retried epoch overwrites its OWN `v=<batchId>`
+    * directory and re-reads the same predecessor. StreamingSpec pins
+    * stream-maintained state == frozen-quantizer batch assignment of
+    * the final corpus, with a re-crawl split across micro-batches.
+    */
+  def ivfMaintenanceSink(vecs: DataFrame,
+                         kernel: graft.functions.NearestCellsKernel,
+                         idCol: String, vecCol: String,
+                         stateDir: String,
+                         checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Similarity
+        // first epoch: an EMPTY frame in the assigned schema (same
+        // limit(0) trick as the lexical sink's termFreq seed)
+        val prev = latestStateVersion(spark, stateDir, id)
+          .map(v => spark.read.parquet(s"$stateDir/v=$v"))
+          .getOrElse(Similarity.ivfAssign(kernel, batch.limit(0), idCol, vecCol))
+        val idx = Similarity.IvfIndex(prev,
+          prev.select(col("nid").as("id"), col("nv").as("v"),
+            col("nnrm").as("nrm")),
+          kernel)
+        Similarity.ivfUpsert(idx, batch, idCol, vecCol).assigned
+          .write.mode("overwrite").parquet(s"$stateDir/v=$id")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** Newest `v=<epoch>` state version strictly before `beforeId`, via
+    * Hadoop FileSystem (scheme-correct on HDFS/S3A, unlike
+    * java.io.File, whose null on a remote path would read as "no state"
+    * and silently reset the maintained statistic every micro-batch).
+    * A missing state dir (first epoch) is the one legitimate
+    * empty-state case.
+    */
+  private[streaming] def latestStateVersion(spark: SparkSession,
+                                            stateDir: String,
+                                            beforeId: Long): Option[Long] = {
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .filter(_ < beforeId)
+      .sorted.lastOption
+  }
 
   case class UserMax(user_id: Long, max_value: Double)
 

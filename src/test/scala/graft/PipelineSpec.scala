@@ -149,7 +149,7 @@ class PipelineSpec extends SparkSpec {
     // block count must produce the identical result set.
     def topkAt(b: Int) = Similarity.bruteForceTopK(
         embeddings, "vec_id", "embedding", k = 5, blocks = b)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(topkAt(1) === topkAt(7))
     def pairsAt(b: Int) = Similarity.cosineNearDupPairs(
         embeddings, "vec_id", "embedding", 0.30, blocks = b)
@@ -190,6 +190,39 @@ class PipelineSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val single = Dedup.dupNgrams(pair, "doc_id", "text").collect()
     assert(single.map(_.getString(0)).toSet === Set("a b c d e f g h"))
+  }
+
+  test("exactSubstrRemoval excises planted boilerplate, merges overlaps, keeps emptied docs") {
+    import spark.implicits._
+    val bp = "this span is a shared license header boilerplate"   // 8 words
+    val df = Seq(
+      // the span mid-document: surrounding words survive, span excised
+      (1L, s"alpha beta $bp gamma delta"),
+      // the span at the head: only the bp window itself is duplicated
+      // (its doc-local extensions are singletons), so exactly 8 words go
+      (2L, s"$bp extra tail words"),
+      // a doc that IS the duplicated span twice: the two occurrences'
+      // covered ranges (1..8 and 9..16) are ADJACENT and union into one
+      // full-width hole — the overlap/adjacency merge case — leaving the
+      // row fully emptied, but it must survive with text "" and n_kept 0
+      (3L, s"$bp $bp"),
+      // a short doc sharing no 8-gram: untouched byte-for-byte
+      (4L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.exactSubstrRemoval(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L)._1 === "alpha beta gamma delta")
+    assert(out(1L)._2 === 12L && out(1L)._3 === 4L)
+    assert(out(2L) === (("extra tail words", 11L, 3L)))
+    // doc 3: every position covered by the two adjacent duplicated
+    // windows — merged into one full-width hole; ships empty, not dropped
+    assert(out(3L) === (("", 16L, 0L)))
+    // doc 4: no duplicated window touches it
+    assert(out(4L) === (("one two three four five six seven", 7L, 7L)))
+    // corpus audit identity: Σ removed == Σ (n_words − n_kept)
+    val removed = out.values.map(v => v._2 - v._3).sum
+    assert(removed === 8L + 8L + 16L + 0L)
   }
 
   test("lsh near-dup pairs recover planted near-dups exactly (vs blocked exact)") {
@@ -377,8 +410,8 @@ class PipelineSpec extends SparkSpec {
     val wide = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
     val narrow = Seq((2L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
     val wd = Drift.embedDrift(wide, narrow, "embedding").collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(wd.keySet === Set(1, 2, 3) && wd(3) === ((1L, 0L)))
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(wd.keySet === Set(1L, 2L, 3L) && wd(3L) === ((1L, 0L)))
     assert(Drift.embedDrift(wide, narrow, "embedding")
       .filter(col("dim") === 3 && col("shift6").isNull).count() === 1)
   }
@@ -661,7 +694,7 @@ class PipelineSpec extends SparkSpec {
     val got = Similarity
       .pqSearch(encoded, model, planted, "vec_id", "embedding", k = 10)
       .collect().groupBy(_.getLong(0))
-      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+      .map { case (q, rows) => q -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
     val qids = planted.select("vec_id").collect().map(_.getLong(0))
     qids.foreach { qid =>
       // self-retrieval: own code distance = quantization error → top-10
@@ -703,7 +736,7 @@ class PipelineSpec extends SparkSpec {
         planted, "vec_id", "embedding",
         k = 10, nlist = 8, nprobe = 8, m = 8, codes = 16)
       .collect().groupBy(_.getLong(0))
-      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+      .map { case (q, rows) => q -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
     val qids = planted.select("vec_id").collect().map(_.getLong(0))
     qids.foreach { qid =>
       assert(got(qid).contains(qid), s"query $qid lost itself: ${got(qid)}")

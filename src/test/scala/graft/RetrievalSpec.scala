@@ -63,7 +63,7 @@ class RetrievalSpec extends SparkSpec {
     val got = Retrieval.bm25Search(micro, qs, k = 2)
       .orderBy("q_id", "rnk")
       .collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
     // q0 = {x, y}: candidates d1 (x) and d2 (y); d0 excluded (self)
     val q0 = got.filter(_._1 == 0L)
     assert(q0.map(_._3).toSeq === Seq(
@@ -72,7 +72,7 @@ class RetrievalSpec extends SparkSpec {
     assert(q0.forall(_._4 == 1L)) // one matched term each
     // q9 = {z}: both z docs rank, d1 (shorter) first
     val q9 = got.filter(_._1 == 9L)
-    assert(q9.map(r => (r._2, r._3)).toSeq === Seq((1, 1L), (2, 2L)))
+    assert(q9.map(r => (r._2, r._3)).toSeq === Seq((1L, 1L), (2L, 2L)))
     // the emitted score is the exact long-sum / 1e6 of per-term scores
     assert(q9.head._5 === handBm25(1, 2, 2))
   }
@@ -98,13 +98,13 @@ class RetrievalSpec extends SparkSpec {
 
   test("hybrid RRF: fused rank positions reproduce the tower ranks by hand") {
     val got = SparkEntry.queries("q_hybrid_rrf")(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
     assert(got.nonEmpty)
     val byQ = got.groupBy(_._1)
     // every query emits exactly 3 ranked rows, rnk 1..3, rrf non-increasing
     for ((q, rows) <- byQ) {
       val sorted = rows.sortBy(_._2)
-      assert(sorted.map(_._2).toSeq === Seq(1, 2, 3), s"ranks for q=$q")
+      assert(sorted.map(_._2).toSeq === Seq(1L, 2L, 3L), s"ranks for q=$q")
       assert(sorted.map(_._5).toSeq == sorted.map(_._5).sorted.reverse.toSeq,
         s"rrf monotone for q=$q")
       // self never retrieved by either tower
@@ -153,9 +153,34 @@ class RetrievalSpec extends SparkSpec {
       max("rnk").as("maxr"), min("rnk").as("minr")).collect()
     assert(perQ.nonEmpty)
     // this corpus's vocabulary is tiny, so every query has ≥ 3 candidates
-    assert(perQ.forall(r => r.getLong(1) == 3 && r.getInt(2) == 3 && r.getInt(3) == 1))
+    assert(perQ.forall(r => r.getLong(1) == 3 && r.getLong(2) == 3L && r.getLong(3) == 1L))
     // self-exclusion
     assert(res.filter(col("q_id") === col("doc_id")).count() === 0)
     res.unpersist()
+  }
+
+  test("decontaminate drops exactly the docs carrying a planted eval phrase verbatim") {
+    // eval phrase "secret eval answer" planted VERBATIM in d1 (head) and
+    // d3 (mid-doc); d2 carries all three tokens NON-contiguously (the
+    // bag-of-words false positive that must survive); d4 shares no
+    // tokens; d0 is the eval doc itself (drops — any doc carrying eval
+    // text verbatim is leakage, provenance notwithstanding).
+    val docs = Seq(
+      (0L, "secret eval answer"),
+      (1L, "secret eval answer leaked into the crawl"),
+      (2L, "secret words then eval words then answer words"),
+      (3L, "prefix tokens secret eval answer suffix"),
+      (4L, "completely unrelated clean document")
+    ).toDF("doc_id", "text")
+    val phrase = Seq((0L, "secret", 1), (0L, "eval", 2), (0L, "answer", 3))
+      .toDF("q_id", "term", "off")
+    val kept = Retrieval.decontaminate(docs, phrase, phraseLen = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L))
+    // idempotence: decontaminating the survivors again drops nothing
+    val again = Retrieval.decontaminate(
+        docs.filter(col("doc_id").isin(2L, 4L)), phrase, phraseLen = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === Set(2L, 4L))
   }
 }

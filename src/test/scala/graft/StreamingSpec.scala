@@ -361,6 +361,45 @@ class StreamingSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("streaming IVF maintenance: per-batch upserts == frozen-quantizer assignment of the final corpus") {
+    import spark.implicits._
+    val state = tmp("graft-ivfm-state")
+    val ckpt = tmp("graft-ivfm-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    // a trained (frozen) 2-cell quantizer: cell 0 near the origin,
+    // cell 1 near (10, 10) — raw-vector assignment, so a re-crawl that
+    // moves a vector across the midpoint MUST move its cell
+    val kernel = graft.functions.NearestCells.kernel(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.ivfMaintenanceSink(in.toDF().toDF("vec_id", "embedding"),
+      kernel, "vec_id", "embedding", state, ckpt)
+    // epoch 0: the initial corpus
+    in.addData((1L, Seq(1.0, 0.5)), (2L, Seq(9.0, 9.5)), (3L, Seq(0.2, 0.1)))
+    q.processAllAvailable()
+    // epoch 1: a new vector PLUS a re-crawl of id 2 that moves it from
+    // cell 1 to cell 0 — the replacement must cross the micro-batch
+    // boundary through the persisted state, not a within-batch shortcut
+    in.addData((4L, Seq(8.0, 8.0)), (2L, Seq(0.5, 0.5)))
+    q.processAllAvailable()
+    q.stop()
+    val versions = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong)
+    val got = spark.read.parquet(s"$state/v=${versions.max}")
+    val finalCorpus = Seq((1L, Seq(1.0, 0.5)), (3L, Seq(0.2, 0.1)),
+      (4L, Seq(8.0, 8.0)), (2L, Seq(0.5, 0.5))).toDF("vec_id", "embedding")
+    val want = graft.operators.Similarity.ivfAssign(kernel, finalCorpus,
+      "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(r.fieldIndex("nid")),
+        r.getSeq[Double](r.fieldIndex("nv")),
+        r.getInt(r.fieldIndex("cell")))).toSet
+    assert(rows(got) === rows(want))
+    // the stale cell-1 row of id 2's first crawl is GONE, not shadowed
+    assert(got.filter(col("nid") === 2L).count() === 1)
+    assert(got.filter(col("nid") === 2L).select("cell").head.getInt(0) === 0)
+  }
+
   test("dedupEvents parity: streamed doubled input == batch dedup of the same function") {
     // the q_stream_dedup scenario end-to-end on the REAL state path:
     // every mod-7 user's events re-delivered once. Originals and

@@ -39,8 +39,8 @@ class TopKPerKeySpec extends SparkSpec {
     val df = Seq((1L, 10L), (1L, 30L), (1L, 20L), (2L, 5L))
       .toDF("k", "v")
     val got = TopKPerKeyNode.topKPerKey(df, Seq("k"), Seq(("v", true)), 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    assert(got === Set((1L, 30L, 1), (1L, 20L, 2), (2L, 5L, 1)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 30L, 1L), (1L, 20L, 2L), (2L, 5L, 1L)))
   }
 
   test("native top-k matches the window idiom on pseudo-random data (ties included)") {
@@ -119,10 +119,10 @@ class TopKPerKeySpec extends SparkSpec {
       .toDF("key", "seq")
     val out = TopKPerKeyNode.topKPerKey(df, Seq("key"),
         Seq(("seq", false)), k = 3)
-      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getInt(2)))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
     val zeroGroup = out.filter(_._1 == 0.0)
-    assert(zeroGroup.map(t => (t._2, t._3)).sorted === Seq((1L, 1), (2L, 2), (3L, 3)),
+    assert(zeroGroup.map(t => (t._2, t._3)).sorted === Seq((1L, 1L), (2L, 2L), (3L, 3L)),
       s"zero-key group split: ${zeroGroup.mkString(",")}")
-    assert(out.filter(_._1 == 1.5).map(_._3).toSeq === Seq(1))
+    assert(out.filter(_._1 == 1.5).map(_._3).toSeq === Seq(1L))
   }
 }

@@ -31,6 +31,21 @@ def table_rows(rel):
     rows = rel.fetchall()
     return [tuple(canon(r[i]) for i in order) for r in rows], [cols[i] for i in order]
 
+def arrow_types(rel):
+    """name -> normalized arrow type string. Timestamp tz is stripped
+    (Spark parquet stamps isAdjustedToUTC; DuckDB TIMESTAMP does not —
+    the driver's hash is tz-agnostic there, its reds were bit-WIDTH and
+    decimal-vs-int skews, which this preserves)."""
+    sch = rel.arrow().schema
+    out = {}
+    for f in sch:
+        t = str(f.type)
+        if t.startswith("timestamp["):
+            t = t.split(",")[0].rstrip("]") + "]"
+        t = t.replace("large_string", "string").replace("large_list", "list")
+        out[f.name] = t
+    return out
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -55,6 +70,15 @@ def main():
         e_rows, e_cols = table_rows(exp)
         if g_cols != e_cols:
             print(f"SCHEMA  {name}: spark={g_cols} duckdb={e_cols}"); n_fail += 1; continue
+        # driver-strength type gate: arrow schema equality (bit width,
+        # decimal-vs-int) — python repr compare is blind to these and the
+        # r14 driver reds (int64 vs decimal128(38,0) dl, int32 vs int64
+        # dim) were exactly this class
+        g_t = arrow_types(got)
+        e_t = arrow_types(exp)
+        skew = {c: (g_t[c], e_t[c]) for c in g_t if g_t[c] != e_t.get(c, g_t[c])}
+        if skew:
+            print(f"TYPESKEW {name}: {skew}"); n_fail += 1; continue
         if g_rows == e_rows:
             print(f"PASS    {name} rows={len(g_rows)}"); n_pass += 1
         else:
