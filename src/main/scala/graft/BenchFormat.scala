@@ -203,7 +203,7 @@ object BenchFormat {
     // Σqueries + Σrest. Greedy by descending time until the line fits.
     def topTier(budget: Int): String = {
       val sorted = results.sortBy(-_._2)
-      def render(keep: Int, sk: Int): String = {
+      def render(keep: Int, sk: Int, floorCs: Long): String = {
         val (top, rest) = sorted.splitAt(keep)
         val qs3 = top.map { case (k, v, _) =>
           "\"" + k.stripPrefix("q_") + "\":" + math.round(v * 100)
@@ -212,16 +212,21 @@ object BenchFormat {
           .groupBy { case (k, _, _) => k.stripPrefix("q_").takeWhile(_ != '_') }
           .map { case (f, xs) => (f, math.round(xs.map(_._2).sum * 100)) }
           .toSeq.sortBy(t => (-t._2, t._1))
-        // Families under 0.3 s roll into ONE self-describing bucket
-        // (count + total cs) when there are at least 3 of them: at 230+
-        // queries the long tail of sub-0.3s single-query families was
-        // crowding every per-query minimum out of the budget (r13 first
-        // rendered "top 0/237" — family-only, nothing for per-query perf
-        // triage to read). Unlike the r6 "other_cs" scalar this bucket
-        // states its own size and its members are bounded by the stated
-        // floor, so the opacity is capped at n×0.3 s and the total still
-        // reconciles: value ≈ Σqueries + Σrest + rest_other.cs.
-        val (bigF, smallF) = fams.partition(_._2 >= 30)
+        // Families under the fold floor roll into ONE self-describing
+        // bucket (count + total cs) when there are at least 3 of them:
+        // at 230+ queries the long tail of small single-query families
+        // was crowding every per-query minimum out of the budget (r13
+        // first rendered "top 0/237" — family-only, nothing for
+        // per-query perf triage to read). Unlike the r6 "other_cs"
+        // scalar this bucket states its own size and its members are
+        // bounded by the stated floor, so the opacity is capped at
+        // n×floor and the total still reconciles: value ≈ Σqueries +
+        // Σrest + rest_other.cs. The floor is ADAPTIVE (see the fit
+        // loop): the first r15 283-query artifact had ~60 distinct
+        // ≥0.3 s families, the fixed floor folded nothing, and the line
+        // shipped 1959 chars with zero per-query minima — over the tail
+        // budget, one log rotation away from an unparseable round.
+        val (bigF, smallF) = fams.partition(_._2 >= floorCs)
         val foldTail = smallF.size >= 3
         val shown = if (foldTail) bigF else fams
         val famJson = shown.map { case (f, cs) => "\"" + f + "\":" + cs }
@@ -229,8 +234,10 @@ object BenchFormat {
         val otherPart = if (!foldTail) "" else
           s""","rest_other":{"n":${smallF.size},"cs":${smallF.map(_._2).sum}}"""
         val spreadPart = spreadPartOf(sk)
+        val floorTxt = if (floorCs == Long.MaxValue) ";fams=rest_other"
+          else s";fams<${sec(floorCs / 100.0)}s=rest_other"
         val note = s"q_ stripped;cs;top ${top.size}/${results.size};rest=family" +
-          (if (foldTail) ";fams<0.3s=rest_other" else "") +
+          (if (foldTail) floorTxt else "") +
           (if (spreadPart.nonEmpty) ";spread=max-min" else "")
         s"""{"metric":"total","value":${sec(total)},"unit":"sec","reps":${in.reps}$sweepsPart,"qunit":"cs","note":"$note","queries":$qs3$spreadPart,"rest":$famJson$otherPart$errPart,"sf":"$sfShort"}"""
       }
@@ -242,20 +249,37 @@ object BenchFormat {
       // individual slots whose times stay family-visible in `rest`),
       // fit the query list around them, then grow spread into any
       // leftover budget. Full per-rep dispersion: bench_detail.json.
-      var keep = sorted.length
-      var out = render(keep, 3)
-      while (out.length > budget && keep > 0) {
-        // shrink in steps proportional to the overflow (~18 chars/entry)
-        keep = math.max(0, keep - math.max(1, (out.length - budget) / 18))
-        out = render(keep, 3)
+      //
+      // The family fold floor ESCALATES until at least 10 per-query
+      // minima fit: a coarser fold frees budget for the top queries —
+      // exactly the bytes perf triage reads — and the last rung folds
+      // every family into rest_other, which always fits. Without this,
+      // a corpus with many mid-size families (the real r15 shape)
+      // rendered family-only AND over-budget.
+      def fitAt(floor: Long): String = {
+        var keep = sorted.length
+        var out = render(keep, 3, floor)
+        while (out.length > budget && keep > 0) {
+          // shrink in steps proportional to the overflow (~18 chars/entry)
+          keep = math.max(0, keep - math.max(1, (out.length - budget) / 18))
+          out = render(keep, 3, floor)
+        }
+        var sk = 3
+        while (out.length > budget && sk > 0) { sk -= 1; out = render(keep, sk, floor) }
+        while (sk < 10 && {
+          val t = render(keep, sk + 1, floor)
+          if (t.length <= budget) { out = t; true } else false
+        }) sk += 1
+        out
       }
-      var sk = 3
-      while (out.length > budget && sk > 0) { sk -= 1; out = render(keep, sk) }
-      while (sk < 10 && {
-        val t = render(keep, sk + 1)
-        if (t.length <= budget) { out = t; true } else false
-      }) sk += 1
-      out
+      def keptOf(line: String): Int = {
+        val m = """top (\d+)/""".r.findFirstMatchIn(line)
+        m.map(_.group(1).toInt).getOrElse(0)
+      }
+      val floors = Seq(30L, 60L, 150L, 400L, Long.MaxValue)
+      floors.iterator.map(fitAt)
+        .find(l => l.length <= budget && keptOf(l) >= 10)
+        .getOrElse(fitAt(Long.MaxValue))
     }
     // Tier selection tries each form WITH its spread map first, then
     // without — a mid-size corpus landing in compact/centi used to lose

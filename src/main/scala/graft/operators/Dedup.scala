@@ -574,15 +574,23 @@ object Dedup {
     val tokens = base
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "word")))
       .select(col("doc_id"), (col("p") + 1).as("pos"), col("word"))
+    // window EQUALITY runs on xxhash64 of the ngram, never the ~n-word
+    // string: the duplicated-window detection is the corpus-dominant
+    // shuffle (one row per window), and an 8-byte key vs a ~50-byte
+    // string is most of its exchange volume. Collision risk 2^-64 per
+    // window pair — the same accepted trade as MinHash dedup and the
+    // gram-hash decontamination row; the removal itself stays exact
+    // strings (only MEMBERSHIP rides the hash).
     val wins = base
       .select(col("doc_id"), posexplode(wordNgrams(col("ws"), n))
         .as(Seq("p", "ngram")))
-      .select(col("doc_id"), (col("p") + 1).as("start"), col("ngram"))
-    val dups = wins.groupBy("ngram")
+      .select(col("doc_id"), (col("p") + 1).as("start"),
+        xxhash64(col("ngram")).as("h"))
+    val dups = wins.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select("ngram")
-    val covered = wins.join(dups, "ngram")
+      .select("h")
+    val covered = wins.join(dups, "h")
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
       .distinct()

@@ -108,6 +108,33 @@ class BenchFormatSpec extends AnyFunSuite {
       <= 0.005 * entries + 0.01)
   }
 
+  test("many mid-size families: fold floor escalates, line fits, minima survive") {
+    // the REAL r15 shape that shipped a 1959-char line with zero
+    // per-query minima: 283 queries across ~60 distinct families, most
+    // families over the old fixed 0.3 s fold floor, reps=1 (no spread to
+    // shrink), loadavg + degraded fields present
+    val names = (0 until 283).map(i => s"q_fam${i % 60}_op$i")
+    val times = names.zipWithIndex.map { case (nm, i) =>
+      nm -> List(0.35 + (i % 17) * 0.13)
+    }.toMap
+    val in = BenchInput(names, times, Map.empty, 1, "/root/testdata/sf0.1",
+      warmup = 1, loads = Seq(0.5, 1.9, 1.2), degraded = Seq("reps3->1"))
+    val line = BenchFormat.metricsLine(in)
+    assert(line.length <= 1850, s"line ${line.length} chars")
+    val j = parse(line)
+    assert(j.get("queries").size() >= 10,
+      "per-query minima are what perf triage reads — the fold floor must escalate to fit them")
+    assert(j.get("degraded").asText() === "reps3->1")
+    // total reconciles through whatever fold level was chosen
+    val qSum = j.get("queries").elements().asScala.map(_.asLong()).sum
+    val rSum = j.get("rest").elements().asScala.map(_.asLong()).sum
+    val oSum = if (j.has("rest_other")) j.get("rest_other").get("cs").asLong() else 0L
+    val oN = if (j.has("rest_other")) j.get("rest_other").get("n").asInt() else 0
+    val entries = j.get("queries").size() + j.get("rest").size() + oN
+    assert(math.abs(j.get("value").asDouble() - (qSum + rSum + oSum) / 100.0)
+      <= 0.005 * entries + 0.01)
+  }
+
   test("mid-size corpus keeps dispersion in the stripped tiers") {
     // the round-8 review's gap: compact/centi previously dropped the
     // spread map entirely
@@ -148,8 +175,11 @@ class BenchFormatSpec extends AnyFunSuite {
     for (trial <- 0 until 200) {
       val n = 1 + rng.nextInt(400)
       val reps = 1 + rng.nextInt(4)
+      // family count varies 1..80: the r15 overflow hid behind a fuzz
+      // corpus that only ever drew 9 families
+      val nFam = 1 + rng.nextInt(80)
       val names = (0 until n).map(i =>
-        s"q_f${rng.nextInt(9)}_${"x" * rng.nextInt(12)}$i")
+        s"q_f${rng.nextInt(nFam)}_${"x" * rng.nextInt(12)}$i")
       val errQs = names.filter(_ => rng.nextDouble() < 0.03).toSet
       val times = names.map { nm =>
         val full = List.fill(reps)(rng.nextDouble() * 9)
