@@ -607,4 +607,74 @@ object Dedup {
         col("n_words"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  /** INTRA-document repetition removal — the loop-collapse curation
+    * step [[exactSubstrRemoval]]'s cross-document rule cannot express:
+    * within each document, material belonging to a repeated n-gram's
+    * LATER occurrences is excised while the FIRST occurrence survives
+    * intact (scraped lyrics/menus/pagination loops repeat a span dozens
+    * of times inside one doc; removing every copy — the cross-doc rule —
+    * would delete content that legitimately appears once).
+    *
+    * Exact rule: a word position is removed iff it lies inside some
+    * repeated window's NON-FIRST occurrence and inside NO repeated
+    * window's first occurrence (the subtraction is what keeps a
+    * tight loop's first span whole: in "a a a a a" with n=2 the later
+    * starts 2..4 cover positions 2..5, but position 2 belongs to the
+    * first occurrence and survives → "a a"). Deterministic — first =
+    * min(start) — and overlap/adjacency merging again falls out of the
+    * covered-position set algebra, no interval scan.
+    *
+    * Plan shape, all-relational and linear like the cross-doc variant:
+    * windows keyed by (doc_id, xxhash64(ngram)) — 16-byte shuffle keys,
+    * same membership-only collision trade documented there — one
+    * groupBy for (first, n_occ), one self-equi-join for later starts,
+    * two bounded ×n expansions, one LEFT ANTI between them, one LEFT
+    * ANTI against the tokens, position-ordered reassembly. Shuffle keys
+    * are doc-scoped, so at 100 TB every stage co-partitions on doc_id
+    * after the first exchange.
+    *
+    * Output: (doc_id, text, n_words, n_kept) — same audit contract as
+    * [[exactSubstrRemoval]].
+    */
+  def selfSubstrRemoval(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 8, minOcc: Int = 2): DataFrame = {
+    require(n >= 1, s"window width must be >= 1, got $n")
+    require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
+    val base = df.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("ws"))
+    val tokens = base
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "word")))
+      .select(col("doc_id"), (col("p") + 1).as("pos"), col("word"))
+    val wins = base
+      .select(col("doc_id"), posexplode(wordNgrams(col("ws"), n))
+        .as(Seq("p", "ngram")))
+      .select(col("doc_id"), (col("p") + 1).as("start"),
+        xxhash64(col("ngram")).as("h"))
+    val rep = wins.groupBy("doc_id", "h")
+      .agg(min("start").as("first"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOcc)
+    val later = wins.join(rep, Seq("doc_id", "h"))
+      .filter(col("start") > col("first"))
+      .select("doc_id", "start")
+    def spanPos(starts: DataFrame, c: String) = starts
+      .select(col("doc_id"),
+        explode(sequence(col(c), col(c) + lit(n - 1))).as("pos"))
+      .distinct()
+    val covered = spanPos(later, "start")
+      .join(spanPos(rep.select("doc_id", "first"), "first"),
+        Seq("doc_id", "pos"), "left_anti")
+    val kept = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x("word")), " ").as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_text"), lit("")).as("text"),
+        col("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

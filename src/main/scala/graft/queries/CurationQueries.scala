@@ -88,6 +88,18 @@ object CurationQueries {
       graft.operators.Dedup.exactSubstrRemoval(docs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // INTRA-document repetition removal (Dedup.selfSubstrRemoval): the
+    // loop-collapse rule — a repeated n-gram's later occurrences are
+    // excised, the first survives intact (exact position algebra in the
+    // operator scaladoc). n = 3, not the cross-doc 8: this corpus's
+    // ~40-word vocabulary repeats trigrams WITHIN ~100-token docs often
+    // enough to exercise the subtraction rule at every scale, where
+    // 8-grams would make the row a vacuous identity.
+    "q_self_substr_removal" -> ((s, d) =>
+      graft.operators.Dedup.selfSubstrRemoval(docs(s, d), "doc_id", "text",
+          n = 3)
+        .orderBy("doc_id")),
+
     // Sequence packing: assign documents to fixed-token-budget training
     // sequences. This is the deterministic streaming variant — documents
     // are packed contiguously in doc_id order within each language shard
@@ -373,6 +385,50 @@ object CurationQueries {
            SELECT DISTINCT g.doc_id, g.start + o AS pos
            FROM g JOIN dup USING (ngram),
                 unnest(generate_series(CAST(0 AS BIGINT), CAST(7 AS BIGINT))) AS t(o)),
+         kept AS (
+           SELECT tok.doc_id, tok.pos, tok.word
+           FROM tok LEFT JOIN cov
+             ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+           WHERE cov.pos IS NULL),
+         agg AS (
+           SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text,
+                  count(*) AS n_kept
+           FROM kept GROUP BY doc_id)
+         SELECT w.doc_id, coalesce(agg.text, '') AS text,
+                CAST(len(w.words) AS BIGINT) AS n_words,
+                coalesce(agg.n_kept, 0) AS n_kept
+         FROM w LEFT JOIN agg USING (doc_id)
+         ORDER BY doc_id""",
+    // intra-doc removal: same covered-position algebra with the
+    // keep-first subtraction — later-occurrence positions minus
+    // first-occurrence positions, per doc, at n = 3
+    "q_self_substr_removal" ->
+      """WITH w AS (
+           SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         tok AS (
+           SELECT doc_id, i AS pos, words[i] AS word
+           FROM w, unnest(generate_series(1, CAST(len(words) AS BIGINT))) AS t(i)),
+         g AS (
+           SELECT doc_id, i AS start, array_to_string(words[i:i+2], ' ') AS ngram
+           FROM w, unnest(CASE WHEN len(words) >= 3
+                               THEN generate_series(1, CAST(len(words) AS BIGINT) - 2)
+                               ELSE CAST([] AS BIGINT[]) END) AS t(i)),
+         rep AS (SELECT doc_id, ngram, min(start) AS first
+                 FROM g GROUP BY doc_id, ngram HAVING count(*) >= 2),
+         later AS (SELECT g.doc_id, g.start
+                   FROM g JOIN rep ON g.doc_id = rep.doc_id
+                                  AND g.ngram = rep.ngram
+                   WHERE g.start > rep.first),
+         fp AS (SELECT DISTINCT doc_id, first + o AS pos
+                FROM rep,
+                     unnest(generate_series(CAST(0 AS BIGINT), CAST(2 AS BIGINT))) AS t(o)),
+         lp AS (SELECT DISTINCT doc_id, start + o AS pos
+                FROM later,
+                     unnest(generate_series(CAST(0 AS BIGINT), CAST(2 AS BIGINT))) AS t(o)),
+         cov AS (SELECT lp.doc_id, lp.pos
+                 FROM lp LEFT JOIN fp
+                   ON lp.doc_id = fp.doc_id AND lp.pos = fp.pos
+                 WHERE fp.pos IS NULL),
          kept AS (
            SELECT tok.doc_id, tok.pos, tok.word
            FROM tok LEFT JOIN cov

@@ -63,6 +63,32 @@ class DegenerateInputsSpec extends SparkSpec {
       tf.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("span removal and decontamination are total on degenerate inputs") {
+    import spark.implicits._
+    val Retrieval = graft.operators.Retrieval
+    // empty corpus: both removals emit zero rows, never an error from
+    // the ngram windowing or the reassembly aggregation
+    assert(Dedup.exactSubstrRemoval(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.selfSubstrRemoval(emptyDocs, "doc_id", "text").count() === 0)
+    // single doc: no cross-doc duplicate can exist — byte-identical out
+    val one = Seq((7L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val kept = Dedup.exactSubstrRemoval(one, "doc_id", "text").collect()
+    assert(kept.length === 1 && kept(0).getString(1) === "a b c d e f g h i"
+      && kept(0).getLong(2) === 9L && kept(0).getLong(3) === 9L)
+    // docs shorter than the window contribute no windows and survive
+    val shorty = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(Dedup.exactSubstrRemoval(shorty, "doc_id", "text")
+      .filter(col("text") === "a b").count() === 2)
+    // empty eval-phrase set: decontamination is the identity
+    val docs = Seq((0L, "x y z"), (1L, "p q r")).toDF("doc_id", "text")
+    val noPhrase = Seq.empty[(Long, String, Int)].toDF("q_id", "term", "off")
+    assert(Retrieval.decontaminate(docs, noPhrase, phraseLen = 3)
+      .count() === 2)
+    // empty corpus through decontamination: empty out
+    assert(Retrieval.decontaminate(emptyDocs, noPhrase, phraseLen = 3)
+      .count() === 0)
+  }
+
   test("streaming dedup: empty input passes through on the batch branch") {
     import spark.implicits._
     val empty = Seq.empty[(java.sql.Timestamp, Long, String, Double)]

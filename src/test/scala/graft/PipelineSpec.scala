@@ -225,6 +225,56 @@ class PipelineSpec extends SparkSpec {
     assert(removed === 8L + 8L + 16L + 0L)
   }
 
+  test("exactSubstrRemoval excises ARBITRARY-length duplicated spans (window union)") {
+    import spark.implicits._
+    // a 12-word span shared verbatim by two docs: its five overlapping
+    // 8-windows are each duplicated, and their covered-position union is
+    // the WHOLE 12-word span — fixed-width windows give arbitrary-length
+    // ExactSubstr for any span >= n, which is the Lee et al. 2022
+    // threshold semantics without a suffix array
+    val span = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq(
+      (1L, s"head words $span tail"),
+      (2L, s"$span other trailing material here"),
+      (3L, "an unrelated document with no shared span at all")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.exactSubstrRemoval(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("head words tail", 15L, 3L)))
+    assert(out(2L) === (("other trailing material here", 16L, 4L)))
+    assert(out(3L)._1 === "an unrelated document with no shared span at all")
+  }
+
+  test("selfSubstrRemoval collapses intra-doc loops, keeps the first span intact") {
+    import spark.implicits._
+    val df = Seq(
+      // a 2-gram loop: "a b" and "b a" both repeat; later spans cover
+      // 3..8 but the FIRST "b a" occurrence (positions 2..3) protects
+      // position 3 → kept "a b a" — the subtraction rule verbatim
+      (1L, "a b a b a b a b"),
+      // the knife-edge overlap from the scaladoc: "a a a a a" at n=2 —
+      // later starts 2..4 cover 2..5, but position 2 belongs to the
+      // FIRST occurrence and must survive → "a a"
+      (2L, "a a a a a"),
+      // repeated 2-gram with material between: only the second "x y"
+      // goes; the interleaved words survive
+      (3L, "x y p q x y r"),
+      // no intra-doc repeat → byte-identical (cross-doc duplication with
+      // doc 5 must NOT trigger the intra-doc rule)
+      (4L, "c d e f g"),
+      (5L, "c d e f g")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.selfSubstrRemoval(df, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === (("a b a", 8L, 3L)))
+    assert(out(2L) === (("a a", 5L, 2L)))
+    assert(out(3L) === (("x y p q r", 7L, 5L)))
+    assert(out(4L) === (("c d e f g", 5L, 5L)))
+    assert(out(5L) === (("c d e f g", 5L, 5L)))
+  }
+
   test("lsh near-dup pairs recover planted near-dups exactly (vs blocked exact)") {
     // Plant 10 near-copies (small additive shift → cos ≈ 0.999). At the
     // defaults (16 tables × 12 bits) the per-pair miss probability is

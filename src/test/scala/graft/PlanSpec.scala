@@ -211,6 +211,30 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(cp).size >= 2, cp.take(1200))
   }
 
+  test("span removal and phrase decontamination: no cartesian, no UDF, anti-join shape") {
+    // q_exact_substr_removal / q_self_substr_removal: pure relational
+    // pipelines — explode → hash-agg → equi-joins → LEFT ANTI → agg.
+    // A cartesian or a Scala UDF anywhere means the covered-position
+    // algebra degenerated; the dup detection must be a partial+final
+    // hash aggregation (map-side combine before the ngram-hash shuffle).
+    Seq("q_exact_substr_removal", "q_self_substr_removal").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct"), s"$n:\n${p.take(1200)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n:\n${p.take(1200)}")
+      assert(!p.contains("ScalaUDF"), s"$n:\n${p.take(1200)}")
+      assert(p.contains("HashAggregate"), s"$n:\n${p.take(1200)}")
+    }
+    // q_decontaminate_phrase: the eval-phrase side is benchmark-sized
+    // and must BROADCAST into the postings join (a shuffled join there
+    // re-partitions the whole corpus's positional postings by term);
+    // the final drop must be an anti join, and nothing cartesians.
+    val p = planOf("q_decontaminate_phrase")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.toLowerCase.contains("leftanti"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("ScalaUDF"), p.take(1200))
+  }
+
   test("salted join: build side replicates via explode and the join key carries the salt") {
     // (At test scale the tiny exploded dim may still broadcast — result-
     // identical; past the broadcast threshold the same plan becomes a
