@@ -134,14 +134,20 @@ object Bench {
     // a shutdown hook ships whatever complete sweeps exist, flagged
     // "killed-partial", instead of the rc=124/parsed:null hole r14
     // shipped. Completed-sweep granularity: per-query entries are only
-    // appended at sweep boundaries, so the snapshot is always rectangular.
+    // appended at sweep boundaries — and every mutation of the shared
+    // state happens under `stateLock`, because the hook runs on its own
+    // thread: an unsynchronized HashMap resize mid-append would throw
+    // inside the hook's toMap, the catch would swallow it, and the run
+    // would ship NOTHING — the exact hole the hook exists to close.
     @volatile var effRepsNow = 1
+    val stateLock = new Object
+    def mut[A](body: => A): A = stateLock.synchronized(body)
     val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
     def emergencyEmit(): Unit = if (emitted.compareAndSet(false, true)) {
       try {
-        val snap = BenchInput(names.map(_._1), times.toMap,
+        val snap = mut(BenchInput(names.map(_._1), times.toMap,
           firstErr.toMap, effRepsNow, sfDir, warm, loads.toSeq, settledS,
-          0, displaced.toMap, Map.empty, degraded.toSeq :+ "killed-partial")
+          0, displaced.toMap, Map.empty, degraded.toSeq :+ "killed-partial"))
         val j = BenchFormat.metricsLine(snap)
         Files.createDirectories(Paths.get("target"))
         Files.writeString(Paths.get("target/bench.json"), j + "\n")
@@ -161,7 +167,7 @@ object Bench {
     // queries, under-measuring expression work; noop materializes every
     // output column.
     def runSweep(): (Map[String, Double], Boolean) = {
-      loads += osBean.getSystemLoadAverage
+      mut { loads += osBean.getSystemLoadAverage }
       val res = scala.collection.mutable.Map[String, Double]()
       var complete = true
       for ((name, fn) <- names if !firstErr.contains(name)) {
@@ -176,7 +182,7 @@ object Bench {
             res(name) = (System.nanoTime() - t0) / 1e9
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e")
-            firstErr(name) = e.toString.replaceAll("[\\r\\n\\t]", " ").take(300)
+            mut { firstErr(name) = e.toString.replaceAll("[\\r\\n\\t]", " ").take(300) }
           }
         }
       }
@@ -197,26 +203,30 @@ object Bench {
     var lastWall = warmRes.values.sum
     while (repsDone < reps && !stop) {
       if (repsDone >= 1 && remainS < lastWall * 1.15) {
-        degraded += s"reps$reps->$repsDone"; stop = true
+        mut { degraded += s"reps$reps->$repsDone" }; stop = true
       } else {
         val (res, complete) = runSweep()
         if (complete) {
-          for ((n, t) <- res) times(n) = times(n) :+ t
+          mut {
+            for ((n, t) <- res) times(n) = times(n) :+ t
+            effRepsNow = repsDone + 1
+          }
           lastWall = res.values.sum
           repsDone += 1
-          effRepsNow = repsDone
         } else {
           // an aborted measured sweep ships nothing of its own: ragged
           // rep lists would poison sweepWalls' like-for-like reading
-          degraded += s"sweep-aborted@$repsDone"; stop = true
+          mut { degraded += s"sweep-aborted@$repsDone" }; stop = true
         }
       }
     }
     if (repsDone == 0 && warm > 0 && warmComplete) {
-      for ((n, t) <- warmRes) times(n) = times(n) :+ t
+      mut {
+        for ((n, t) <- warmRes) times(n) = times(n) :+ t
+        effRepsNow = 1
+        degraded += "warmup-promoted"
+      }
       repsDone = 1
-      effRepsNow = 1
-      degraded += "warmup-promoted"
       System.err.println("[bench] budget too tight for a measured sweep — promoted the warm-up")
     }
     val effReps = math.max(repsDone, 1)
@@ -252,13 +262,13 @@ object Bench {
         // budget-first degrade order (VERDICT r14 #3): resweeps are the
         // FIRST thing dropped — the honest >5% warn is cheaper than a
         // timeout-killed artifact
-        degraded += s"resweeps$maxResweeps->$resweeps"
+        mut { degraded += s"resweeps$maxResweeps->$resweeps" }
         keepGoing = false
       } else {
         val bad = w.indexOf(w.max)
         System.err.println(s"[bench] walls disagree >5% — re-running sweep $bad")
         val (res, resweepComplete) = runSweep()
-        if (!resweepComplete) degraded += s"resweep-aborted@$resweeps"
+        if (!resweepComplete) mut { degraded += s"resweep-aborted@$resweeps" }
         // the replacement is taken ONLY if it improves on the outlier's
         // wall — a retry that lands in the same (or a new) busy window
         // must not make the shipped walls worse than what was measured.
@@ -271,9 +281,11 @@ object Bench {
         val newWall = fullRep.flatMap { case (n, _) => res.get(n) }.sum
         if (res.nonEmpty && fullRep.forall { case (n, _) => res.contains(n) } &&
             newWall < w(bad)) {
-          for ((n, ts) <- fullRep; t <- res.get(n)) {
-            displaced(n) = math.min(ts(bad), displaced.getOrElse(n, Double.MaxValue))
-            times(n) = ts.updated(bad, t)
+          mut {
+            for ((n, ts) <- fullRep; t <- res.get(n)) {
+              displaced(n) = math.min(ts(bad), displaced.getOrElse(n, Double.MaxValue))
+              times(n) = ts.updated(bad, t)
+            }
           }
         } else {
           System.err.println(
@@ -296,7 +308,16 @@ object Bench {
         resweeps += 1
       }
     }
-    loads += osBean.getSystemLoadAverage
+    mut { loads += osBean.getSystemLoadAverage }
+    // A run that measured NOTHING (budget below one sweep, warm-up
+    // disabled or aborted) still ships its artifact — but flagged, and
+    // with a non-zero exit: an all-zero total from a green process
+    // would read as an impossible perf result instead of a failed run.
+    val measuredNothing = times.isEmpty
+    if (measuredNothing) {
+      mut { degraded += "measured-nothing" }
+      System.err.println("[bench] no complete sweep fit the wall budget — artifact carries no timings")
+    }
     // A query that failed ONLY during a replacement sweep still carries a
     // complete, valid measured rep set (runSweep skips errored queries,
     // so times(name).length == reps proves every measured sweep
@@ -312,25 +333,32 @@ object Bench {
     val input = BenchInput(names.map(_._1),
       times.toMap, realErr, effReps, sfDir, warm, loads.toSeq, settledS,
       resweeps, displaced.toMap, resweepOnlyErr, degraded.toSeq)
-    val json = BenchFormat.metricsLine(input)
-    Files.createDirectories(Paths.get("target"))
-    Files.writeString(Paths.get("target/bench.json"), json + "\n")
-    val detail = BenchFormat.detailLine(input)
-    Files.writeString(Paths.get("target/bench_detail.json"), detail + "\n")
-    emitted.set(true)
-    spark.stop()
-    // Emit metrics after spark.stop's shutdown chatter: a sentinel-
-    // prefixed copy any line-scanner can strip, then the bare JSON line
-    // (sbt no longer prefixes it — build.sbt sets run/outputStrategy :=
-    // StdoutOutput). These are the last application-emitted lines; sbt
-    // itself still appends a "[success] Total time" epilogue, which the
-    // tail budget above accounts for. System.out directly, not
-    // Console.out, in case anything rebound Console.
-    System.out.println(s"GRAFT_BENCH_JSON $json")
-    System.out.println(json)
-    System.out.flush()
-    if (json.length > 1850)
-      System.err.println(s"[bench] WARNING metrics line ${json.length} chars — nearing the 2000-char tail budget")
-    if (realErr.nonEmpty) sys.exit(1)
+    // Claim the emission slot BEFORE writing: a kill landing between the
+    // writes and the claim would otherwise let the shutdown hook
+    // OVERWRITE this complete artifact with a killed-partial one
+    // (resweeps zeroed, resweep-only failures re-flagged as errors) —
+    // strictly worse data replacing strictly better. If the hook
+    // already fired, the JVM is dying — do nothing.
+    if (emitted.compareAndSet(false, true)) {
+      val json = BenchFormat.metricsLine(input)
+      Files.createDirectories(Paths.get("target"))
+      Files.writeString(Paths.get("target/bench.json"), json + "\n")
+      val detail = BenchFormat.detailLine(input)
+      Files.writeString(Paths.get("target/bench_detail.json"), detail + "\n")
+      spark.stop()
+      // Emit metrics after spark.stop's shutdown chatter: a sentinel-
+      // prefixed copy any line-scanner can strip, then the bare JSON line
+      // (sbt no longer prefixes it — build.sbt sets run/outputStrategy :=
+      // StdoutOutput). These are the last application-emitted lines; sbt
+      // itself still appends a "[success] Total time" epilogue, which the
+      // tail budget above accounts for. System.out directly, not
+      // Console.out, in case anything rebound Console.
+      System.out.println(s"GRAFT_BENCH_JSON $json")
+      System.out.println(json)
+      System.out.flush()
+      if (json.length > 1850)
+        System.err.println(s"[bench] WARNING metrics line ${json.length} chars — nearing the 2000-char tail budget")
+    }
+    if (realErr.nonEmpty || measuredNothing) sys.exit(1)
   }
 }

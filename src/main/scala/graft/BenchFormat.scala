@@ -276,10 +276,17 @@ object BenchFormat {
         val m = """top (\d+)/""".r.findFirstMatchIn(line)
         m.map(_.group(1).toInt).getOrElse(0)
       }
+      // Take the FIRST (finest-fold) floor reaching 10 minima; when none
+      // does, keep the in-budget render with the MOST minima instead of
+      // unconditionally collapsing to the coarsest fold — a corpus whose
+      // keep is byte-capped at e.g. 8 regardless of floor would
+      // otherwise lose its whole family breakdown for zero extra minima
+      // (and the coarsest render was already evaluated — no re-render).
       val floors = Seq(30L, 60L, 150L, 400L, Long.MaxValue)
-      floors.iterator.map(fitAt)
-        .find(l => l.length <= budget && keptOf(l) >= 10)
-        .getOrElse(fitAt(Long.MaxValue))
+      val rendered = floors.map(fitAt)
+      rendered.find(l => l.length <= budget && keptOf(l) >= 10)
+        .orElse(rendered.filter(_.length <= budget).maxByOption(keptOf))
+        .getOrElse(rendered.last)
     }
     // Tier selection tries each form WITH its spread map first, then
     // without — a mid-size corpus landing in compact/centi used to lose

@@ -23,22 +23,29 @@ object SparkEntry {
       PipelineQueries.defs, DocStructQueries.defs, CurationQueries.defs,
       GraphQueries.defs, FunnelQueries.defs, StreamQueries.defs)
 
-  /** One entry per implemented operator from SURVEY.md §2.
-    *
-    * The disjointness require is load-bearing: `++` over maps is
-    * latest-wins, so a name accidentally declared in two groups would
-    * silently REPLACE the earlier row — the corpus would shrink by one
-    * and nothing would fail (round 15 caught exactly this: a second
-    * `q_decontaminate` shadowed the existing curation row until a count
-    * diff surfaced it). A duplicate now names itself at first touch.
+  /** Merge the group maps, REQUIRING disjoint names. The check is
+    * load-bearing: `++` over maps is latest-wins, so a name accidentally
+    * declared in two groups would silently REPLACE the earlier row — the
+    * corpus would shrink by one and nothing would fail (round 15 caught
+    * exactly this: a second `q_decontaminate` shadowed the existing
+    * curation row until a count diff surfaced it). A duplicate now names
+    * itself at first touch.
     */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = {
-    val dup = defGroups.flatMap(_.keys)
+  private def disjointUnion[V](groups: Seq[Map[String, V]],
+                               what: String): Map[String, V] = {
+    val dup = groups.flatMap(_.keys)
       .groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
     require(dup.isEmpty,
-      s"query name(s) declared in more than one group: ${dup.mkString(", ")}")
-    defGroups.reduce(_ ++ _)
+      s"$what name(s) declared in more than one group: ${dup.mkString(", ")}")
+    groups.reduce(_ ++ _)
   }
+
+  /** One entry per implemented operator from SURVEY.md §2. lazy val:
+    * every suite, Verify, and Bench read this — the 18-map merge and the
+    * duplicate scan run once, not per call.
+    */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    disjointUnion(defGroups, "query")
 
   private val oracleGroups: Seq[Map[String, String]] =
     Seq(RelationalQueries.oracles, SubqueryQueries.oracles,
@@ -54,11 +61,6 @@ object SparkEntry {
     * (driver records a weaker rows-only check for those). Same
     * disjointness contract as [[queries]].
     */
-  def oracleSql: Map[String, String] = {
-    val dup = oracleGroups.flatMap(_.keys)
-      .groupBy(identity).collect { case (n, xs) if xs.size > 1 => n }
-    require(dup.isEmpty,
-      s"oracle name(s) declared in more than one group: ${dup.mkString(", ")}")
-    oracleGroups.reduce(_ ++ _)
-  }
+  lazy val oracleSql: Map[String, String] =
+    disjointUnion(oracleGroups, "oracle")
 }

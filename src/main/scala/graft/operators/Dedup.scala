@@ -565,35 +565,52 @@ object Dedup {
     * `n_words` the pre-removal width, so n_words − n_kept is the
     * per-doc removal count and their corpus sums are the audit totals.
     */
-  def exactSubstrRemoval(df: DataFrame, idCol: String, textCol: String,
-                         n: Int = 8, minDocs: Int = 2): DataFrame = {
-    require(n >= 1, s"window width must be >= 1, got $n")
-    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val base = df.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("ws"))
-    val tokens = base
-      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "word")))
-      .select(col("doc_id"), (col("p") + 1).as("pos"), col("word"))
-    // window EQUALITY runs on xxhash64 of the ngram, never the ~n-word
-    // string: the duplicated-window detection is the corpus-dominant
-    // shuffle (one row per window), and an 8-byte key vs a ~50-byte
-    // string is most of its exchange volume. Collision risk 2^-64 per
-    // window pair — the same accepted trade as MinHash dedup and the
-    // gram-hash decontamination row; the removal itself stays exact
-    // strings (only MEMBERSHIP rides the hash).
-    val wins = base
-      .select(col("doc_id"), posexplode(wordNgrams(col("ws"), n))
-        .as(Seq("p", "ngram")))
-      .select(col("doc_id"), (col("p") + 1).as("start"),
-        xxhash64(col("ngram")).as("h"))
-    val dups = wins.groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("h")
-    val covered = wins.join(dups, "h")
-      .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
+  // --- shared plumbing of the two span-removal operators -------------
+  // One definition of the tokenize/window/reassemble stages so the two
+  // removal rules (cross-doc, intra-doc) differ ONLY in how they derive
+  // the covered-position set — a tokenizer or audit-contract change
+  // cannot silently diverge between them.
+
+  /** (doc_id, ws): the per-doc word array both removals window over. */
+  private def wordsOf(df: DataFrame, idCol: String, textCol: String) =
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+
+  /** (doc_id, pos, word), pos 1-based — one narrow posexplode. */
+  private def positionedTokens(base: DataFrame): DataFrame = base
+    .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "word")))
+    .select(col("doc_id"), (col("p") + 1).as("pos"), col("word"))
+
+  /** (doc_id, start, h): window starts with xxhash64 of each n-gram.
+    * Window EQUALITY runs on the hash, never the ~n-word string: the
+    * duplicated-window detection is the corpus-dominant shuffle (one
+    * row per window), and an 8-byte key vs a ~50-byte string is most of
+    * its exchange volume. Collision risk 2^-64 per window pair — the
+    * same accepted trade as MinHash dedup and the gram-hash
+    * decontamination row; the removal itself stays exact strings (only
+    * MEMBERSHIP rides the hash).
+    */
+  private def hashedWindows(base: DataFrame, n: Int): DataFrame = base
+    .select(col("doc_id"), posexplode(wordNgrams(col("ws"), n))
+      .as(Seq("p", "ngram")))
+    .select(col("doc_id"), (col("p") + 1).as("start"),
+      xxhash64(col("ngram")).as("h"))
+
+  /** Expand (doc_id, `c`) starts to their n covered positions, deduped —
+    * the union IS the merged span set, no interval algebra.
+    */
+  private def spanPositions(starts: DataFrame, c: String, n: Int): DataFrame =
+    starts.select(col("doc_id"),
+        explode(sequence(col(c), col(c) + lit(n - 1))).as("pos"))
       .distinct()
+
+  /** Drop covered positions, reassemble survivors in position order, and
+    * re-attach every corpus doc (fully-covered docs ship as empty rows —
+    * silently dropping one would misreport the corpus row count).
+    * Output: (doc_id, text, n_words, n_kept) — n_words − n_kept is the
+    * per-doc removal count and their corpus sums are the audit totals.
+    */
+  private def removeCovered(base: DataFrame, tokens: DataFrame,
+                            covered: DataFrame): DataFrame = {
     val kept = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
       .agg(array_join(
@@ -606,6 +623,20 @@ object Dedup {
         coalesce(col("kept_text"), lit("")).as("text"),
         col("n_words"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  def exactSubstrRemoval(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"window width must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = wordsOf(df, idCol, textCol)
+    val wins = hashedWindows(base, n)
+    val dups = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    val covered = spanPositions(wins.join(dups, "h"), "start", n)
+    removeCovered(base, positionedTokens(base), covered)
   }
 
   /** INTRA-document repetition removal — the loop-collapse curation
@@ -641,40 +672,17 @@ object Dedup {
                         n: Int = 8, minOcc: Int = 2): DataFrame = {
     require(n >= 1, s"window width must be >= 1, got $n")
     require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
-    val base = df.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("ws"))
-    val tokens = base
-      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "word")))
-      .select(col("doc_id"), (col("p") + 1).as("pos"), col("word"))
-    val wins = base
-      .select(col("doc_id"), posexplode(wordNgrams(col("ws"), n))
-        .as(Seq("p", "ngram")))
-      .select(col("doc_id"), (col("p") + 1).as("start"),
-        xxhash64(col("ngram")).as("h"))
+    val base = wordsOf(df, idCol, textCol)
+    val wins = hashedWindows(base, n)
     val rep = wins.groupBy("doc_id", "h")
       .agg(min("start").as("first"), count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minOcc)
     val later = wins.join(rep, Seq("doc_id", "h"))
       .filter(col("start") > col("first"))
       .select("doc_id", "start")
-    def spanPos(starts: DataFrame, c: String) = starts
-      .select(col("doc_id"),
-        explode(sequence(col(c), col(c) + lit(n - 1))).as("pos"))
-      .distinct()
-    val covered = spanPos(later, "start")
-      .join(spanPos(rep.select("doc_id", "first"), "first"),
+    val covered = spanPositions(later, "start", n)
+      .join(spanPositions(rep.select("doc_id", "first"), "first", n),
         Seq("doc_id", "pos"), "left_anti")
-    val kept = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id")
-      .agg(array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
-            x => x("word")), " ").as("kept_text"),
-        count(lit(1)).as("n_kept"))
-    base.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("kept_text"), lit("")).as("text"),
-        col("n_words"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    removeCovered(base, positionedTokens(base), covered)
   }
 }

@@ -31,19 +31,19 @@ def table_rows(rel):
     rows = rel.fetchall()
     return [tuple(canon(r[i]) for i in order) for r in rows], [cols[i] for i in order]
 
-def arrow_types(rel):
-    """name -> normalized arrow type string. Timestamp tz is stripped
-    (Spark parquet stamps isAdjustedToUTC; DuckDB TIMESTAMP does not —
-    the driver's hash is tz-agnostic there, its reds were bit-WIDTH and
-    decimal-vs-int skews, which this preserves)."""
-    sch = rel.arrow().schema
+def rel_types(rel):
+    """name -> normalized DuckDB logical type string, read from relation
+    METADATA (rel.types) — no second query execution (the .arrow() form
+    re-ran every oracle, doubling the gate's cost on the heavy n-gram
+    CTEs). Timestamp tz is stripped (Spark parquet stamps
+    isAdjustedToUTC; DuckDB TIMESTAMP does not — the driver's hash is
+    tz-agnostic there; its reds were bit-WIDTH and decimal-vs-int skews,
+    which the logical type string preserves: INTEGER vs BIGINT vs
+    HUGEINT vs UINTEGER vs DECIMAL(p,s))."""
     out = {}
-    for f in sch:
-        t = str(f.type)
-        if t.startswith("timestamp["):
-            t = t.split(",")[0].rstrip("]") + "]"
-        t = t.replace("large_string", "string").replace("large_list", "list")
-        out[f.name] = t
+    for name, t in zip(rel.columns, rel.types):
+        s = str(t).replace(" WITH TIME ZONE", "")
+        out[name] = s
     return out
 
 def main():
@@ -70,12 +70,12 @@ def main():
         e_rows, e_cols = table_rows(exp)
         if g_cols != e_cols:
             print(f"SCHEMA  {name}: spark={g_cols} duckdb={e_cols}"); n_fail += 1; continue
-        # driver-strength type gate: arrow schema equality (bit width,
+        # driver-strength type gate: logical-schema equality (bit width,
         # decimal-vs-int) — python repr compare is blind to these and the
         # r14 driver reds (int64 vs decimal128(38,0) dl, int32 vs int64
         # dim) were exactly this class
-        g_t = arrow_types(got)
-        e_t = arrow_types(exp)
+        g_t = rel_types(got)
+        e_t = rel_types(exp)
         skew = {c: (g_t[c], e_t[c]) for c in g_t if g_t[c] != e_t.get(c, g_t[c])}
         if skew:
             print(f"TYPESKEW {name}: {skew}"); n_fail += 1; continue
