@@ -20,6 +20,15 @@ class QueryCorpusSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query has an oracle (no silent rows-only demotions)") {
+    // the corpus is at FULL oracle parity (284/284); a new query shipped
+    // without its DuckDB twin would silently get the driver's weaker
+    // rows-only check instead of the hash gate — make that a red test,
+    // not a quiet coverage hole
+    val weak = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(weak.isEmpty, s"queries without oracles: $weak")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
