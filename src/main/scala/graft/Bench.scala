@@ -129,30 +129,86 @@ object Bench {
     // query's reported min: the outlier sweep's busy window may have
     // opened after some query ran its fastest rep.
     val displaced = scala.collection.mutable.Map[String, Double]()
-    // LAST-RESORT artifact emission (VERDICT r14 #3): if anything kills
-    // the JVM before the normal emit — the driver's timeout foremost —
-    // a shutdown hook ships whatever complete sweeps exist, flagged
-    // "killed-partial", instead of the rc=124/parsed:null hole r14
-    // shipped. Completed-sweep granularity: per-query entries are only
-    // appended at sweep boundaries — and every mutation of the shared
-    // state happens under `stateLock`, because the hook runs on its own
-    // thread: an unsynchronized HashMap resize mid-append would throw
-    // inside the hook's toMap, the catch would swallow it, and the run
-    // would ship NOTHING — the exact hole the hook exists to close.
+    // LAST-RESORT artifact emission (VERDICT r14 #3, r15 #2): if anything
+    // kills the JVM before the normal emit — the driver's timeout
+    // foremost — a shutdown hook ships the best data measured so far,
+    // flagged "killed-partial", instead of the rc=124/parsed:null hole
+    // r14 shipped. Every mutation of the shared state happens under
+    // `stateLock`, because the hook runs on its own thread: an
+    // unsynchronized HashMap resize mid-append would throw inside the
+    // hook's toMap, the catch would swallow it, and the run would ship
+    // NOTHING — the exact hole the hook exists to close.
     @volatile var effRepsNow = 1
+    @volatile var resweepsNow = 0
     val stateLock = new Object
     def mut[A](body: => A): A = stateLock.synchronized(body)
+    // PER-QUERY partial-sweep state (VERDICT r15 #2): r15's degradation
+    // ladder bottomed out at "promote the warm-up", but a warm-up that
+    // never finishes yields nothing — the driver box cannot complete
+    // even ONE 284-query sweep inside its budget, so two rounds shipped
+    // zero per-query data. `pending` collects the in-flight sweep at
+    // query granularity; `partialBest` is the largest partial (or the
+    // latest COMPLETE, which always wins — it is a real measured run)
+    // seen so far, the promotion source when no measured sweep fits.
+    val pending = scala.collection.mutable.Map[String, Double]()
+    var partialBest: Map[String, Double] = Map.empty
+    var partialBestComplete = false
+    // The one shippable truth at any instant, built the same way by the
+    // normal emit, the shutdown hook, and the per-query disk checkpoint:
+    // complete measured sweeps when any exist (with the resweep-only
+    // error partition the normal path uses — the r15 hook re-flagged
+    // those as real errors and zeroed resweeps, making a killed artifact
+    // read WORSE than what was measured), else the largest partial as a
+    // single flagged rep.
+    def snapshotInput(extra: Seq[String]): BenchInput = mut {
+      if (times.nonEmpty) {
+        val (resweepOnly, real) = firstErr.toMap.partition { case (n, _) =>
+          times(n).length == effRepsNow }
+        BenchInput(names.map(_._1), times.toMap, real, effRepsNow, sfDir,
+          warm, loads.toSeq, settledS, resweepsNow, displaced.toMap,
+          resweepOnly, degraded.toSeq ++ extra)
+      } else {
+        val flag =
+          if (partialBest.isEmpty) Seq("measured-nothing")
+          else if (partialBestComplete) Seq("warmup-promoted")
+          else Seq(s"partial-sweep@${partialBest.size}/${names.size}")
+        BenchInput(names.map(_._1),
+          partialBest.map { case (n, t) => n -> List(t) },
+          firstErr.toMap, 1, sfDir, warm, loads.toSeq, settledS,
+          resweepsNow, Map.empty, Map.empty, degraded.toSeq ++ flag ++ extra)
+      }
+    }
     val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // Atomic artifact writes: the checkpoint fires after EVERY query, and
+    // a driver that copies target/bench.json at kill time must never see
+    // a torn half-line — write-to-temp + ATOMIC_MOVE.
+    def writeArtifacts(metrics: String, detail: String): Unit = {
+      import java.nio.file.StandardCopyOption.{ATOMIC_MOVE, REPLACE_EXISTING}
+      Files.createDirectories(Paths.get("target"))
+      val t1 = Paths.get("target/.bench.json.tmp")
+      Files.writeString(t1, metrics + "\n")
+      Files.move(t1, Paths.get("target/bench.json"), ATOMIC_MOVE, REPLACE_EXISTING)
+      val t2 = Paths.get("target/.bench_detail.json.tmp")
+      Files.writeString(t2, detail + "\n")
+      Files.move(t2, Paths.get("target/bench_detail.json"), ATOMIC_MOVE, REPLACE_EXISTING)
+    }
+    // DISK checkpoint (VERDICT r15 #2 + advice): the shutdown hook cannot
+    // fire on SIGKILL — the usual follow-up to an expired TERM grace or
+    // an OOM kill — so the artifact is also persisted at every query
+    // boundary. A hard kill then leaves the last checkpoint on disk
+    // (flagged, so a reader knows it is not a final emit). Costs ~1 ms
+    // of string building per query against ~1 s of query run.
+    def checkpoint(): Unit = if (!emitted.get) {
+      try {
+        val snap = snapshotInput(Seq("checkpoint"))
+        writeArtifacts(BenchFormat.metricsLine(snap), BenchFormat.detailLine(snap))
+      } catch { case _: Throwable => () }
+    }
     def emergencyEmit(): Unit = if (emitted.compareAndSet(false, true)) {
       try {
-        val snap = mut(BenchInput(names.map(_._1), times.toMap,
-          firstErr.toMap, effRepsNow, sfDir, warm, loads.toSeq, settledS,
-          0, displaced.toMap, Map.empty, degraded.toSeq :+ "killed-partial"))
+        val snap = snapshotInput(Seq("killed-partial"))
         val j = BenchFormat.metricsLine(snap)
-        Files.createDirectories(Paths.get("target"))
-        Files.writeString(Paths.get("target/bench.json"), j + "\n")
-        Files.writeString(Paths.get("target/bench_detail.json"),
-          BenchFormat.detailLine(snap) + "\n")
+        writeArtifacts(j, BenchFormat.detailLine(snap))
         System.out.println(s"GRAFT_BENCH_JSON $j")
         System.out.println(j)
         System.out.flush()
@@ -167,8 +223,7 @@ object Bench {
     // queries, under-measuring expression work; noop materializes every
     // output column.
     def runSweep(): (Map[String, Double], Boolean) = {
-      mut { loads += osBean.getSystemLoadAverage }
-      val res = scala.collection.mutable.Map[String, Double]()
+      mut { loads += osBean.getSystemLoadAverage; pending.clear() }
       var complete = true
       for ((name, fn) <- names if !firstErr.contains(name)) {
         if (complete && remainS < 5) {
@@ -179,28 +234,41 @@ object Bench {
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            res(name) = (System.nanoTime() - t0) / 1e9
+            mut {
+              pending(name) = (System.nanoTime() - t0) / 1e9
+              // a larger partial displaces a smaller one; a COMPLETE
+              // sweep (set at the boundary below) is never displaced by
+              // a partial — it is strictly better evidence
+              if (!partialBestComplete && pending.size > partialBest.size)
+                partialBest = pending.toMap
+            }
+            checkpoint()
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: $e")
             mut { firstErr(name) = e.toString.replaceAll("[\\r\\n\\t]", " ").take(300) }
           }
         }
       }
-      (res.toMap, complete)
+      mut {
+        val res = pending.toMap
+        // the LATEST complete sweep wins (it is the warmest); only warm
+        // sweeps can reach the fallback — a complete measured sweep puts
+        // `times` non-empty and the snapshot never consults partialBest
+        if (complete) { partialBest = res; partialBestComplete = true }
+        pending.clear()
+        (res, complete)
+      }
     }
-    // warm-up sweeps: their per-query times are kept so a budget too
-    // tight for even one measured sweep can PROMOTE the last warm-up to
-    // measured (last-resort degrade — a real measured run, just colder)
-    var warmRes: Map[String, Double] = Map.empty
-    var warmComplete = false
-    for (_ <- 0 until warm) {
-      val (r, c) = runSweep(); warmRes = r; warmComplete = c
-    }
+    // warm-up sweeps: their per-query times are kept (complete OR
+    // partial) so a budget too tight for even one measured sweep can
+    // PROMOTE the best warm-up data to measured (last-resort degrade —
+    // a real measured run, just colder / shorter)
+    for (_ <- 0 until warm) runSweep()
     // measured sweeps: stop adding when the last completed sweep's wall
     // no longer fits the remaining budget (×1.15 headroom — sweeps drift)
     var repsDone = 0
     var stop = false
-    var lastWall = warmRes.values.sum
+    var lastWall = mut(partialBest.values.sum)
     while (repsDone < reps && !stop) {
       if (repsDone >= 1 && remainS < lastWall * 1.15) {
         mut { degraded += s"reps$reps->$repsDone" }; stop = true
@@ -214,20 +282,36 @@ object Bench {
           lastWall = res.values.sum
           repsDone += 1
         } else {
-          // an aborted measured sweep ships nothing of its own: ragged
-          // rep lists would poison sweepWalls' like-for-like reading
+          // an aborted measured sweep ships no rep of its own once a
+          // complete rep exists (ragged rep lists would poison
+          // sweepWalls' like-for-like reading) — but its per-query
+          // times stay candidates for the partialBest promotion below
+          // when NO sweep ever completed
           mut { degraded += s"sweep-aborted@$repsDone" }; stop = true
         }
       }
     }
-    if (repsDone == 0 && warm > 0 && warmComplete) {
-      mut {
-        for ((n, t) <- warmRes) times(n) = times(n) :+ t
-        effRepsNow = 1
-        degraded += "warmup-promoted"
+    // Promotion when no measured sweep fit the budget (VERDICT r15 #2):
+    // the best warm/aborted-sweep data becomes the single measured rep.
+    // A COMPLETE warm sweep ships as "warmup-promoted" (the r14 rung); a
+    // partial ships the queries it did measure, flagged
+    // "partial-sweep@k/N" — a too-tight budget now always yields a
+    // per-query artifact instead of measured-nothing.
+    if (repsDone == 0) {
+      val (cand, candComplete) = mut { (partialBest, partialBestComplete) }
+      if (cand.nonEmpty) {
+        mut {
+          for ((n, t) <- cand) times(n) = times(n) :+ t
+          effRepsNow = 1
+          degraded += (if (candComplete) "warmup-promoted"
+                       else s"partial-sweep@${cand.size}/${names.size}")
+        }
+        repsDone = 1
+        System.err.println(if (candComplete)
+          "[bench] budget too tight for a measured sweep — promoted the warm-up"
+        else
+          s"[bench] no sweep completed — shipping partial (${cand.size}/${names.size} queries)")
       }
-      repsDone = 1
-      System.err.println("[bench] budget too tight for a measured sweep — promoted the warm-up")
     }
     val effReps = math.max(repsDone, 1)
     // Warn-PROOFING, not just warn-awareness (VERDICT r12 #5): the
@@ -306,45 +390,38 @@ object Bench {
             keepGoing = false
         }
         resweeps += 1
+        resweepsNow = resweeps
       }
     }
     mut { loads += osBean.getSystemLoadAverage }
-    // A run that measured NOTHING (budget below one sweep, warm-up
-    // disabled or aborted) still ships its artifact — but flagged, and
-    // with a non-zero exit: an all-zero total from a green process
+    // A run that measured NOTHING (budget below even a partial sweep,
+    // or every query errored) still ships its artifact — but flagged,
+    // and with a non-zero exit: an all-zero total from a green process
     // would read as an impossible perf result instead of a failed run.
-    val measuredNothing = times.isEmpty
-    if (measuredNothing) {
-      mut { degraded += "measured-nothing" }
-      System.err.println("[bench] no complete sweep fit the wall budget — artifact carries no timings")
-    }
+    // With the partial-sweep promotion above this now requires a budget
+    // too tight for even ONE query.
+    val measuredNothing = mut(times.isEmpty)
+    if (measuredNothing)
+      System.err.println("[bench] not even a partial sweep fit the wall budget — artifact carries no timings")
     // A query that failed ONLY during a replacement sweep still carries a
     // complete, valid measured rep set (runSweep skips errored queries,
     // so times(name).length == reps proves every measured sweep
     // succeeded). Shipping it in `errors` would flag numbers that are
-    // actually whole — record those separately (detail artifact +
-    // stderr) and keep `errors` (and the non-zero exit) for queries
-    // whose shipped numbers are genuinely incomplete.
-    val (resweepOnlyErr, realErr) = firstErr.toMap
-      .partition { case (n, _) => times(n).length == effReps }
-    if (resweepOnlyErr.nonEmpty)
+    // actually whole — snapshotInput records those separately (detail
+    // artifact + stderr) and keeps `errors` (and the non-zero exit) for
+    // queries whose shipped numbers are genuinely incomplete.
+    val input = snapshotInput(Nil)
+    if (input.resweepErrors.nonEmpty)
       System.err.println("[bench] failed only in a replacement sweep " +
-        s"(measured reps complete): ${resweepOnlyErr.keys.toSeq.sorted.mkString(", ")}")
-    val input = BenchInput(names.map(_._1),
-      times.toMap, realErr, effReps, sfDir, warm, loads.toSeq, settledS,
-      resweeps, displaced.toMap, resweepOnlyErr, degraded.toSeq)
+        s"(measured reps complete): ${input.resweepErrors.keys.toSeq.sorted.mkString(", ")}")
     // Claim the emission slot BEFORE writing: a kill landing between the
     // writes and the claim would otherwise let the shutdown hook
-    // OVERWRITE this complete artifact with a killed-partial one
-    // (resweeps zeroed, resweep-only failures re-flagged as errors) —
+    // OVERWRITE this complete artifact with a killed-partial one —
     // strictly worse data replacing strictly better. If the hook
     // already fired, the JVM is dying — do nothing.
     if (emitted.compareAndSet(false, true)) {
       val json = BenchFormat.metricsLine(input)
-      Files.createDirectories(Paths.get("target"))
-      Files.writeString(Paths.get("target/bench.json"), json + "\n")
-      val detail = BenchFormat.detailLine(input)
-      Files.writeString(Paths.get("target/bench_detail.json"), detail + "\n")
+      writeArtifacts(json, BenchFormat.detailLine(input))
       spark.stop()
       // Emit metrics after spark.stop's shutdown chatter: a sentinel-
       // prefixed copy any line-scanner can strip, then the bare JSON line
@@ -359,6 +436,6 @@ object Bench {
       if (json.length > 1850)
         System.err.println(s"[bench] WARNING metrics line ${json.length} chars — nearing the 2000-char tail budget")
     }
-    if (realErr.nonEmpty || measuredNothing) sys.exit(1)
+    if (input.errors.nonEmpty || measuredNothing) sys.exit(1)
   }
 }

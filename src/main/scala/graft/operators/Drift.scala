@@ -109,9 +109,18 @@ object Drift {
     * per snapshot — and the sums themselves are emitted, so a consumer
     * can audit the bound.
     *
+    * The emitted sums are ×10^6 BIGINT micro-units, not wide decimals:
+    * the internal DECIMAL(28,6) accumulators have scale exactly 6, so
+    * the ×10^6 shift is the unscaled value — an exact integer under the
+    * same 2^53/10^6 bound that already guards the mean. A >18-precision
+    * decimal in a FINAL projection maps to arrow decimal128, whose
+    * cross-engine canonicalization has burned two rounds (q_corpus_drift
+    * r14, this row r15); BIGINT is representation-unambiguous on every
+    * engine. The corpus-wide rule is pinned by QueryCorpusSpec.
+    *
     * Scale shape: one posexplode per snapshot (n·dim narrow rows) into
     * a partial+final hash aggregation on the dimension key (dim rows
-    * out), one tiny join. Output: (dim, n_a, n_b, sum_a, sum_b,
+    * out), one tiny join. Output: (dim, n_a, n_b, sum_a_u6, sum_b_u6,
     * shift6) — dim is 1-based, matching SQL array subscripts.
     */
   def embedDrift(a: DataFrame, b: DataFrame, vecCol: String): DataFrame = {
@@ -134,7 +143,9 @@ object Drift {
         coalesce(col("n_b"), lit(0L)).as("n_b"),
         coalesce(col("sum_a"), lit(0).cast(out)).as("sum_a"),
         coalesce(col("sum_b"), lit(0).cast(out)).as("sum_b"))
-      .select(col("dim"), col("n_a"), col("n_b"), col("sum_a"), col("sum_b"),
+      .select(col("dim"), col("n_a"), col("n_b"),
+        (col("sum_a") * lit(1000000L)).cast("long").as("sum_a_u6"),
+        (col("sum_b") * lit(1000000L)).cast("long").as("sum_b_u6"),
         when(col("n_a") > 0 && col("n_b") > 0,
           round(col("sum_a").cast("double") / col("n_a") -
             col("sum_b").cast("double") / col("n_b"), 6)).as("shift6"))

@@ -258,8 +258,8 @@ object TextMetricsQueries {
                FROM ex WHERE vec_id % 2 = 1 GROUP BY dim)
          SELECT coalesce(a.dim, b.dim) AS dim,
                 coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
-                CAST(coalesce(sum_a, 0) AS DECIMAL(28,6)) AS sum_a,
-                CAST(coalesce(sum_b, 0) AS DECIMAL(28,6)) AS sum_b,
+                CAST(coalesce(sum_a, 0) * 1000000 AS BIGINT) AS sum_a_u6,
+                CAST(coalesce(sum_b, 0) * 1000000 AS BIGINT) AS sum_b_u6,
                 CASE WHEN coalesce(n_a, 0) > 0 AND coalesce(n_b, 0) > 0
                      THEN round(CAST(sum_a AS DOUBLE) / n_a
                               - CAST(sum_b AS DOUBLE) / n_b, 6)

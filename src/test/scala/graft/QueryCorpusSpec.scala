@@ -29,6 +29,29 @@ class QueryCorpusSpec extends SparkSpec {
     assert(weak.isEmpty, s"queries without oracles: $weak")
   }
 
+  test("no final projection carries a >22-precision decimal") {
+    // the decimal-hash rule two drift rows taught: a DecimalType with
+    // precision > 18 maps to arrow decimal128, and >22 is past the widest
+    // driver-green precedent (TPC-H's DECIMAL(22,2) sums pass; (28,6) and
+    // (38,0) have each burned a round on hasher canonicalization). Wide
+    // decimals are fine INSIDE a plan — the quantize-then-sum discipline
+    // depends on them — but the final hashed projection must emit a
+    // type-minimal representation (BIGINT micro-units or VARCHAR).
+    import org.apache.spark.sql.types._
+    def wide(dt: DataType): Boolean = dt match {
+      case d: DecimalType     => d.precision > 22
+      case a: ArrayType       => wide(a.elementType)
+      case m: MapType         => wide(m.keyType) || wide(m.valueType)
+      case s: StructType      => s.fields.exists(f => wide(f.dataType))
+      case _                  => false
+    }
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val bad = fn(spark, sf).schema.fields.filter(f => wide(f.dataType))
+      if (bad.isEmpty) None else Some(s"$name: ${bad.map(f => s"${f.name}:${f.dataType.sql}").mkString(", ")}")
+    }
+    assert(offenders.isEmpty, s"wide-decimal final projections:\n${offenders.mkString("\n")}")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
