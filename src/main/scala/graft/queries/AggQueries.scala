@@ -253,16 +253,40 @@ object AggQueries {
     // covariance-form statistics; partial+final mergeable like any
     // algebraic aggregate, so they scale as one shuffle of 6 doubles
     // per group regardless of row count.
+    //
+    // Knife-edge re-quantization (VERDICT r15 #4): tools/ulp_audit.py
+    // measured avgy/icept at 4.2e3/8.7e3 ulps from a round-6 boundary
+    // riding order-dependent double covariance internals — the thinnest
+    // margins in the corpus, one testdata regeneration away from a hash
+    // red. Those two (plus avgx, same pipeline) are now emitted as ×10⁶
+    // BIGINT micro-units computed EXACTLY: inputs quantized to their
+    // true decimal grid (quantity is integral, extendedprice is 2 dp),
+    // summed in decimal (exact, any shuffle order), and divided with
+    // integral division (truncating on BOTH engines: Spark's `div` and
+    // DuckDB's `//` both round toward zero) — no double ever enters, so
+    // there is no boundary to ride. The intercept uses the covariance
+    // identity over exact sums, icept = (Σy·Σx² − Σx·Σxy)/(nΣx² −
+    // (Σx)²): numerator ×10⁶ stays under DECIMAL(38)'s range up to
+    // ~n²·x̄²·ȳ ≈ 10³⁵ — ~10¹¹ rows per group at TPC-H value ranges.
+    // slope/r2 stay round-6 regr_* doubles (margins 3.9e6/2e13 ulps —
+    // audited safe) so the regr_* family itself remains exercised.
     "q_regr" -> ((s, d) =>
       Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+          expr("CAST(round(l_quantity, 0) AS DECIMAL(18,0))").as("xd"),
+          expr("CAST(round(l_extendedprice, 2) AS DECIMAL(18,2))").as("yd"))
         .groupBy("l_returnflag")
         .agg(
           expr("CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)").as("n"),
           round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
-          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6).as("icept"),
           round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
-          round(expr("regr_avgx(l_extendedprice, l_quantity)"), 6).as("avgx"),
-          round(expr("regr_avgy(l_extendedprice, l_quantity)"), 6).as("avgy"))
+          expr("sum(xd)").as("sx"), expr("sum(yd)").as("sy"),
+          expr("sum(xd * xd)").as("sxx"), expr("sum(xd * yd)").as("sxy"))
+        .select(col("l_returnflag"), col("n"), col("slope"), col("r2"),
+          expr("(sx * 1000000) div n").as("avgx_u6"),
+          expr("(sy * 1000000) div n").as("avgy_u6"),
+          expr("((sy * sxx - sx * sxy) * 1000000) div (n * sxx - sx * sx)")
+            .as("icept_u6"))
         .orderBy("l_returnflag")),
 
     // Boolean and bitwise aggregates — bool_and/bool_or short-circuit
@@ -437,14 +461,25 @@ object AggQueries {
          FROM nation JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
     "q_regr" ->
-      """SELECT l_returnflag,
-                CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
-                round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
-                round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
-                round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-                round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
-                round(regr_avgy(l_extendedprice, l_quantity), 6) AS avgy
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      """WITH q AS (SELECT l_returnflag, l_quantity, l_extendedprice,
+                           CAST(round(l_quantity, 0) AS DECIMAL(18,0)) AS xd,
+                           CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)) AS yd
+                    FROM lineitem),
+            g AS (SELECT l_returnflag,
+                         CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+                         round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                         round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                         CAST(sum(xd) AS HUGEINT) AS sx,
+                         CAST(sum(yd) * 100 AS HUGEINT) AS sy_c,
+                         CAST(sum(xd * xd) AS HUGEINT) AS sxx,
+                         CAST(sum(xd * yd) * 100 AS HUGEINT) AS sxy_c
+                  FROM q GROUP BY l_returnflag)
+         SELECT l_returnflag, n, slope, r2,
+                CAST((sx * 1000000) // n AS BIGINT) AS avgx_u6,
+                CAST((sy_c * 10000) // n AS BIGINT) AS avgy_u6,
+                CAST(((sy_c * sxx - sx * sxy_c) * 10000)
+                     // (n * sxx - sx * sx) AS BIGINT) AS icept_u6
+         FROM g ORDER BY l_returnflag""",
     "q_bool_bit" ->
       """SELECT event_type,
                 bool_and(value > 0) AS all_pos,

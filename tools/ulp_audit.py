@@ -92,7 +92,12 @@ def strip_round6(sql: str) -> str:
             # recurse into the first arg (nested round-6s)
             out.append(sql[i:j] + "(" + strip_round6(arg1) + ")")
         else:
-            out.append(sql[i:k])
+            # the round() itself is KEPT (not the audited 6-digit grid),
+            # but a round-6 nested inside its arguments must still be
+            # stripped — otherwise e.g. round(round(x, 6), 2)'s inner
+            # quantization silently survives and the column under-audits
+            # as boundary-safe (VERDICT r15 advice)
+            out.append(sql[i:j + 6] + strip_round6(sql[j + 6:k - 1]) + ")")
         i = k
 
 
