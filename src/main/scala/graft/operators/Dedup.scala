@@ -235,6 +235,19 @@ object Dedup {
         Seq("id"), "left_anti")
       .unionAll(bandRows(batch, idCol, textCol, shingleN, bands, rows, seed))
 
+  /** DELETION maintenance for the dedup band state — [[upsertBandRows]]'
+    * tombstone twin (build / upsert / DELETE): a retracted or erased
+    * document's band rows leave the persisted state by one id-keyed
+    * LEFT ANTI join, O(deleted + index). Banding is a pure per-doc
+    * function, so the result is BIT-IDENTICAL to re-banding the
+    * surviving corpus (q_dedup_delete gates that identity), and
+    * delete-then-reinsert round-trips (DeleteSpec).
+    */
+  def deleteBandRows(oldBands: DataFrame, deletedIds: DataFrame,
+                     idCol: String): DataFrame =
+    oldBands.join(deletedIds.select(col(idCol).as("id")).distinct(),
+      Seq("id"), "left_anti")
+
   /** INCREMENTAL near-dup detection: all verified pairs TOUCHING a new
     * document batch — batch-vs-historical-corpus plus batch-internal —
     * against a PERSISTED [[bandRows]] state. The at-scale ingest shape:

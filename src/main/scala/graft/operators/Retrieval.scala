@@ -132,6 +132,26 @@ object Retrieval {
         Seq("doc_id"), "left_anti")
       .unionAll(termFreq(changedDocs))
 
+  /** DELETION maintenance — the tombstone twin of [[upsertTermFreq]],
+    * the third lifecycle operation (build / upsert / DELETE) a
+    * deployed index needs: a GDPR erasure or a retract-a-crawl event
+    * must propagate through the index WITHOUT a corpus rebuild. One
+    * LEFT ANTI equi-join, key-partitioned on doc_id — O(deleted +
+    * index), the same cost shape as the upsert.
+    *
+    * Works unchanged for EVERY doc_id-keyed lexical state: the tf
+    * statistic AND the positional postings share the key, so one
+    * definition serves both (df/dl/avgdl re-derive from the surviving
+    * tf downstream, exactly as after an upsert). The caller owns the
+    * corpus-of-record count: deletion SHRINKS N, so the `nDocs` frame
+    * handed to [[bm25FromStats]] must count the surviving corpus —
+    * q_bm25_delete's oracle (a from-scratch rebuild over the
+    * post-delete corpus) breaks on any N drift.
+    */
+  def deleteDocs(indexState: DataFrame, deletedIds: DataFrame): DataFrame =
+    indexState.join(deletedIds.select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** BM25 scores from a tf statistic + a 1-row (n) doc-count frame:
     * (doc_id, term, tf, df, dl, score) with
     * score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),

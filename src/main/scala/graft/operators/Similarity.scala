@@ -426,6 +426,24 @@ object Similarity {
       index.dim, index.tables, index.bitsPerTable, index.seed)
   }
 
+  /** DELETION maintenance for the LSH family — the tombstone twin of
+    * [[lshUpsert]] (build / upsert / DELETE: a GDPR erasure must
+    * propagate without a rebuild). Two id-keyed LEFT ANTI joins —
+    * O(deleted + index). Because LSH is data-oblivious, the deleted
+    * index is BIT-IDENTICAL to a from-scratch [[lshIndex]] over the
+    * surviving corpus under the same config (q_ann_delete_lsh gates
+    * exactly that identity), and delete-then-reinsert round-trips to
+    * the original state (DeleteSpec).
+    */
+  def lshDelete(index: LshIndex, deletedIds: DataFrame,
+                idCol: String): LshIndex = {
+    val ids = deletedIds.select(col(idCol).as("id")).distinct()
+    LshIndex(
+      index.banded.join(ids, Seq("id"), "left_anti"),
+      index.slim.join(ids, Seq("id"), "left_anti"),
+      index.dim, index.tables, index.bitsPerTable, index.seed)
+  }
+
   /** PROBE a bucketed [[LshIndex]] with an EXTERNAL query set — the
     * serving shape, completing LSH's parity with [[ivfProbeFor]] /
     * [[ivfPqProbe]] / [[pqSearch]]: queries bucket through the same
@@ -615,6 +633,25 @@ object Similarity {
       .join(batch.select(col(idCol).cast("long").as("nid")).distinct(),
         Seq("nid"), "left_anti")
       .unionByName(fresh)
+    IvfIndex(assigned,
+      assigned.select(col("nid").as("id"), col("nv").as("v"),
+        col("nnrm").as("nrm")),
+      index.kernel)
+  }
+
+  /** DELETION maintenance for the IVF family — [[ivfUpsert]]'s
+    * tombstone twin: drop every deleted id's posting from the inverted
+    * file by ONE anti-join (key-partitioned on id), quantizer frozen,
+    * O(deleted + index). A full-width probe of the deleted index is
+    * exact over the surviving corpus regardless of the (now slightly
+    * stale) quantizer — the maintenance == rebuild contract
+    * q_ann_delete pins cross-engine, mirroring q_ann_incr.
+    */
+  def ivfDelete(index: IvfIndex, deletedIds: DataFrame,
+                idCol: String): IvfIndex = {
+    val assigned = index.assigned
+      .join(deletedIds.select(col(idCol).cast("long").as("nid")).distinct(),
+        Seq("nid"), "left_anti")
     IvfIndex(assigned,
       assigned.select(col("nid").as("id"), col("nv").as("v"),
         col("nnrm").as("nrm")),
@@ -884,6 +921,18 @@ object Similarity {
         Seq("id"), "left_anti")
       .unionByName(pqEncode(batch, idCol, vecCol, model))
 
+  /** DELETION maintenance for the flat-ADC family — [[pqUpsert]]'s
+    * tombstone twin: one anti-join over the code table, codebooks
+    * frozen, O(deleted + index). Bit-identical to a frozen-codebook
+    * re-encode of the surviving corpus, so measured recall properties
+    * transfer; q_ann_delete_pq gates the exact-serving identity
+    * (full candK + exact re-rank == brute force over survivors).
+    */
+  def pqDelete(encoded: DataFrame, deletedIds: DataFrame,
+               idCol: String): DataFrame =
+    encoded.join(deletedIds.select(col(idCol).cast("long").as("id")).distinct(),
+      Seq("id"), "left_anti")
+
   // ADC scoring is graft.functions.AdcScore — a native codegen
   // expression, because it runs once per (vector × query) pair and a
   // Scala UDF's per-pair boxed conversion of the 512-double table
@@ -1033,6 +1082,20 @@ object Similarity {
       .unionByName(fresh)
     IvfPqIndex(merged, index.fused, index.codes)
   }
+
+  /** DELETION maintenance for the IVF-PQ family — [[ivfPqUpsert]]'s
+    * tombstone twin: one anti-join over the (cell, code) table, both
+    * quantizers frozen, O(deleted + index). q_ann_delete_ivfpq gates
+    * the exact-serving identity (full width + full candK + exact
+    * re-rank == brute force over survivors).
+    */
+  def ivfPqDelete(index: IvfPqIndex, deletedIds: DataFrame,
+                  idCol: String): IvfPqIndex =
+    IvfPqIndex(
+      index.encoded
+        .join(deletedIds.select(col(idCol).cast("long").as("id")).distinct(),
+          Seq("id"), "left_anti"),
+      index.fused, index.codes)
 
   /** PROBE half of [[ivfPqSearch]] against a trained [[IvfPqIndex]]. */
   def ivfPqProbe(index: IvfPqIndex, queries: DataFrame,

@@ -481,6 +481,31 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // DELETION maintenance for the dedup band state — the third
+    // lifecycle op (build / upsert / DELETE, VERDICT r15 #5): a GDPR
+    // erasure (doc_id % 7 = 3) leaves the persisted band state by one
+    // anti-join (Dedup.deleteBandRows). Banding is a pure per-doc
+    // function, so the maintained state must be ROW-IDENTICAL to
+    // re-banding the surviving corpus — the identity is checked in-plan
+    // (exceptAll both directions over the full (id, bh) state) and
+    // emitted as a boolean the oracle pins `true`, alongside two
+    // DuckDB-computable counts (survivors; 32 band rows per doc). Any
+    // stale row surviving the anti-join, or an over-delete, flips the
+    // boolean and reds the hash.
+    "q_dedup_delete" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val deleted = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      val survivors = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      val del = Dedup.deleteBandRows(
+        Dedup.bandRows(docs, "doc_id", "text"), deleted, "doc_id")
+      val rebuilt = Dedup.bandRows(survivors, "doc_id", "text")
+      val diffs = del.exceptAll(rebuilt).select(lit(1).as("one"))
+        .unionAll(rebuilt.exceptAll(del).select(lit(1).as("one")))
+      survivors.agg(count(lit(1)).as("n_survivors"))
+        .crossJoin(del.agg(count(lit(1)).as("n_band_rows")))
+        .crossJoin(diffs.agg((count(lit(1)) === 0).as("equals_rebuild")))
+    }),
+
     // Near-dup CLUSTERS: the MinHash+LSH verified pair set (= the exact
     // Jaccard ≥ 0.8 ground truth) closed under transitivity via
     // Components.connectedComponents (hash-to-min label propagation);
@@ -934,6 +959,91 @@ object PipelineQueries {
           .withColumn("sim", round(col("sim"), 6))
           .orderBy("qid", "rank"),
         n)._1
+    }),
+
+    // DELETION maintenance for the IVF family (Similarity.ivfDelete —
+    // the tombstone twin of q_ann_incr's upsert, VERDICT r15 #5): every
+    // mod-8-1 vector is erased from the serving index by one anti-join,
+    // quantizer frozen. A full-width probe is exact over whatever rows
+    // the inverted file holds, so the deleted index must reproduce the
+    // exact brute force over the SURVIVING corpus verbatim — the oracle
+    // is the serving oracle with its candidate side filtered, and any
+    // ghost posting (a deleted vector still surfacing) or over-delete
+    // breaks the hash. Queries stay the full shifted workload: erased
+    // docs may still be queried; they must simply never be RETURNED.
+    "q_ann_delete" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = embCount(s, d)
+      val nlist = AnnParams.nlist(n)
+      val deleted = emb.filter(pmod(col("vec_id"), lit(8)) === 1)
+      val del = Similarity.ivfDelete(servingIvfIndex(s, d), deleted, "vec_id")
+      AnnParams.observeClamps(
+        Similarity.ivfProbeFor(del, serveWorkload(emb), "vec_id", "embedding",
+            k = 5, nprobe = nlist)
+          .withColumn("sim", round(col("sim"), 6))
+          .orderBy("qid", "rank"),
+        n)._1
+    }),
+
+    // IVF-PQ deletion (Similarity.ivfPqDelete — both quantizers frozen,
+    // one anti-join over the code table). Same exact gate as
+    // q_ann_incr_ivfpq: full probe width × full candK makes the
+    // candidate set the whole SURVIVING corpus, and the exact re-rank
+    // of a complete candidate set is the exact brute force over the
+    // survivors regardless of the quantizers.
+    "q_ann_delete_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val deleted = emb.filter(pmod(col("vec_id"), lit(8)) === 1)
+      val nl = AnnParams.nlist(embCount(s, d))
+      val del = Similarity.ivfPqDelete(servingIvfPqIndex(s, d), deleted,
+        "vec_id")
+      val workload = serveWorkload(emb)
+      val cand = Similarity.ivfPqProbe(del, workload, "vec_id", "embedding",
+        k = embCount(s, d).toInt, nprobe = nl)
+      exactTop5(emb, workload, cand)
+    }),
+
+    // Flat-ADC deletion (Similarity.pqDelete — frozen codebooks). Same
+    // exact gate: full candK over the surviving codes, exact re-rank,
+    // the filtered serving oracle verbatim.
+    "q_ann_delete_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val deleted = emb.filter(pmod(col("vec_id"), lit(8)) === 1)
+      val (model, enc) = servingPq(s, d)
+      val del = Similarity.pqDelete(enc, deleted, "vec_id")
+      val workload = serveWorkload(emb)
+      val cand = Similarity.pqSearch(del, model, workload, "vec_id",
+        "embedding", embCount(s, d).toInt)
+      exactTop5(emb, workload, cand)
+    }),
+
+    // LSH deletion (Similarity.lshDelete). LSH is data-oblivious, so
+    // the deleted index must be ROW-IDENTICAL to a from-scratch rebuild
+    // over the surviving corpus under the same config — checked in-plan
+    // (exceptAll both directions over banded AND slim state) and
+    // emitted as booleans the oracle pins `true`, with the survivor
+    // count as the DuckDB-computable anchor. `no_deleted_rows`
+    // additionally pins that no erased id survives anywhere in the
+    // maintained state — the GDPR claim itself, independent of the
+    // rebuild identity.
+    "q_ann_delete_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = embCount(s, d)
+      val deleted = emb.filter(pmod(col("vec_id"), lit(8)) === 1)
+      val survivors = emb.filter(pmod(col("vec_id"), lit(8)) =!= 1)
+      val del = Similarity.lshDelete(servingLshIndex(s, d), deleted, "vec_id")
+      val rebuilt = Similarity.lshIndex(survivors, "vec_id", "embedding",
+        dim = 64, tables = AnnParams.LshTables,
+        bitsPerTable = AnnParams.lshBits(n))
+      val diffs = del.banded.exceptAll(rebuilt.banded).select(lit(1).as("one"))
+        .unionAll(rebuilt.banded.exceptAll(del.banded).select(lit(1).as("one")))
+        .unionAll(del.slim.exceptAll(rebuilt.slim).select(lit(1).as("one")))
+        .unionAll(rebuilt.slim.exceptAll(del.slim).select(lit(1).as("one")))
+      val ghosts = del.banded
+        .join(deleted.select(col("vec_id").as("id")), Seq("id"))
+      survivors.agg(count(lit(1)).as("n_survivors"))
+        .crossJoin(diffs.agg((count(lit(1)) === 0).as("equals_rebuild")))
+        .crossJoin(ghosts.agg((count(lit(1)) === 0).as("no_deleted_rows")))
     }),
 
     // The DEPLOYMENT path of the same serving row: train → SAVE → LOAD →
@@ -1528,6 +1638,48 @@ object PipelineQueries {
         .orderBy("doc_id", "term")
     }),
 
+    // BM25 DELETION maintenance (Retrieval.deleteDocs — the tombstone
+    // twin of q_bm25_incr's upsert, VERDICT r15 #5): every mod-7-3 doc
+    // is erased from the tf statistic by one anti-join, and N SHRINKS
+    // to the surviving count (deletion, unlike the update-only upsert,
+    // changes the corpus of record — handing the old N to bm25FromStats
+    // would skew every idf and avgdl). The oracle rebuilds from scratch
+    // over the post-delete corpus: maintenance == rebuild, so a ghost
+    // posting, an over-delete, or an N/df/dl drift all break the hash.
+    "q_bm25_delete" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+      val deleted = base.filter(pmod(col("doc_id"), lit(7)) === 3)
+      val tf = Retrieval.deleteDocs(Retrieval.termFreq(base), deleted)
+      Retrieval.bm25FromStats(tf,
+          base.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+            .agg(count(lit(1)).as("n")))
+        .orderBy("doc_id", "term")
+    }),
+
+    // POSITIONAL-postings deletion — the same deleteDocs anti-join over
+    // the phrase index's state (tf and postings share the doc_id key;
+    // ONE maintenance definition serves both). Gate: exact-phrase
+    // search over the maintained postings == search over a rebuild of
+    // the surviving corpus; probes stay drawn from the FULL corpus
+    // (an erased doc's phrase may still be queried — its matches in
+    // surviving docs must still surface, while the erased doc itself
+    // never does).
+    "q_phrase_delete" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val deleted = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      val postings = Retrieval.deleteDocs(
+        Retrieval.positionalPostings(docs), deleted)
+      val probes = docs
+        .filter(pmod(col("doc_id"), lit(41)) === 0 &&
+          size(TextFunctions.tokens(col("text"))) >= 3)
+        .select(col("doc_id").as("q_id"),
+          posexplode(slice(TextFunctions.tokens(col("text")), 1, 3))
+            .as(Seq("o", "term")))
+        .select(col("q_id"), col("term"), (col("o") + 1).as("off"))
+      Retrieval.phraseSearch(postings, probes, phraseLen = 3)
+        .orderBy("q_id", "doc_id")
+    }),
+
     // Ranked BM25 top-3 retrieval over the inverted index: queries are
     // drawn in-plan (every doc_id ≡ 3 mod 31 contributes its first five
     // tokens, stopword-gated, DISTINCT — 2/16/161 queries across the
@@ -1805,6 +1957,42 @@ object PipelineQueries {
                     i -> q.v[i] * c.v[i])), (a,b) -> a+b)
                 / (q.nrm * c.nrm) AS sim
          FROM w q CROSS JOIN n c),
+       ranked AS (
+         SELECT qid, nid, sim,
+                row_number() OVER (PARTITION BY qid
+                                   ORDER BY sim DESC, nid) AS rank
+         FROM pairs)
+       SELECT qid, rank, nid, round(sim, 6) AS sim
+       FROM ranked WHERE rank <= 5 ORDER BY qid, rank"""
+
+  /** [[serveExactOracleSql]] with the CANDIDATE side restricted to the
+    * post-delete corpus (vec_id % 8 ≠ 1) while the query workload stays
+    * the full shifted mod-10 draw — the maintenance == rebuild oracle of
+    * the three exact-gated deletion rows (q_ann_delete{,_pq,_ivfpq}):
+    * erased vectors may still be queried but must never be returned.
+    */
+  private val deleteExactOracleSql =
+    """WITH v AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, v,
+                sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm
+         FROM v),
+       w AS (
+         SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings) AS qid,
+                v, nrm
+         FROM n WHERE vec_id % 10 = 0),
+       c AS (SELECT * FROM n WHERE vec_id % 8 <> 1),
+       pairs AS (
+         SELECT q.qid, c.vec_id AS nid,
+                list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, len(q.v)),
+                    i -> q.v[i] * c.v[i])), (a,b) -> a+b)
+                / (q.nrm * c.nrm) AS sim
+         FROM w q CROSS JOIN c),
        ranked AS (
          SELECT qid, nid, sim,
                 row_number() OVER (PARTITION BY qid
@@ -2145,6 +2333,28 @@ object PipelineQueries {
     "q_ann_incr" -> serveExactOracleSql,
     "q_ann_incr_ivfpq" -> serveExactOracleSql,
     "q_ann_incr_pq" -> serveExactOracleSql,
+    // deletion maintenance: the exact serving oracle over the
+    // POST-DELETE candidate corpus — three gated paths (IVF anti-join;
+    // IVF-PQ and flat-PQ code-table anti-joins probed at full width +
+    // full candK + exact re-rank) to the same filtered brute force
+    "q_ann_delete" -> deleteExactOracleSql,
+    "q_ann_delete_ivfpq" -> deleteExactOracleSql,
+    "q_ann_delete_pq" -> deleteExactOracleSql,
+    // LSH deletion: data-oblivious banding makes deleted-state ==
+    // rebuild an exact identity — checked in-plan, pinned `true` here;
+    // the survivor count is the DuckDB-computable anchor
+    "q_ann_delete_lsh" ->
+      """SELECT count(*) AS n_survivors,
+                true AS equals_rebuild,
+                true AS no_deleted_rows
+         FROM embeddings WHERE vec_id % 8 <> 1""",
+    // dedup band-state deletion: same in-plan identity gate (banding is
+    // a pure per-doc function; 32 band rows per doc)
+    "q_dedup_delete" ->
+      """SELECT count(*) AS n_survivors,
+                count(*) * 32 AS n_band_rows,
+                true AS equals_rebuild
+         FROM documents WHERE doc_id % 7 <> 3""",
     "q_hard_negatives" ->
       """WITH v AS (
            SELECT vec_id, label,
@@ -2407,6 +2617,45 @@ object PipelineQueries {
          ORDER BY doc_id, term""",
     // incremental maintenance oracle = FROM-SCRATCH rebuild over the
     // post-update corpus: the row's upsert algebra must reproduce it
+    // deletion maintenance oracle = FROM-SCRATCH rebuild over the
+    // SURVIVING corpus (N shrinks with it): the row's anti-join +
+    // corrected-N algebra must reproduce it
+    "q_bm25_delete" ->
+      s"""WITH docs2 AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3),
+         tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM docs2),
+         f AS (SELECT * FROM tok WHERE term NOT IN ($stopList)),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM f GROUP BY 1),
+         g AS (SELECT (SELECT count(*) FROM docs2) AS n,
+                      (SELECT count(*) FROM f) AS ntok)
+         SELECT tf.doc_id, tf.term, tf.tf, dfq.df, dl.dl,
+                round(ln(1.0 + (g.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                      * ((tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (0.25 + 0.75
+                              * (dl.dl / (CAST(g.ntok AS DOUBLE) / g.n))))),
+                      6) AS score
+         FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+         ORDER BY doc_id, term""",
+    // positional-postings deletion: the q_phrase_search oracle with the
+    // POSTINGS side restricted to survivors, probes drawn from the full
+    // corpus
+    "q_phrase_delete" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         tok AS (SELECT doc_id, ws[i] AS term, i AS pos
+                 FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+                 WHERE doc_id % 7 <> 3),
+         q AS (SELECT doc_id AS q_id, ws[i] AS term, i AS off
+               FROM w, unnest(generate_series(1, 3)) AS t(i)
+               WHERE doc_id % 41 = 0 AND len(ws) >= 3),
+         m AS (SELECT q.q_id, tok.doc_id, tok.pos - q.off + 1 AS start
+               FROM q JOIN tok ON q.term = tok.term),
+         hit AS (SELECT q_id, doc_id, start FROM m
+                 GROUP BY q_id, doc_id, start HAVING count(*) = 3)
+         SELECT q_id, doc_id, count(*) AS n_occ FROM hit
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_bm25_incr" ->
       s"""WITH docs2 AS (
            SELECT doc_id,
