@@ -151,6 +151,78 @@ object Components {
     (labels, iter)
   }
 
+  /** INCREMENTAL connected components — the upsert path the dedup
+    * cluster state was missing (VERDICT r15 #7; bands, indexes, stats
+    * and tf all have one): fold a NEW edge batch into a prior CORRECT
+    * labeling without re-running label propagation over the historical
+    * edge set. `prevLabels` is (id, comp) at the old fixpoint (comp =
+    * component min id — exactly what [[connectedComponents]] returns);
+    * `newEdges` is this crawl's verified near-dup pairs. Returns the
+    * (id, comp) fixpoint of the UNION graph over the union vertex set —
+    * maintenance == rebuild, the q_bm25_incr contract shape, which
+    * q_dedup_components_incr pins against the same recursive-CTE oracle
+    * as the from-scratch rows.
+    *
+    * Algorithm — contract, solve small, relabel by key:
+    *   1. CONTRACT each new edge's endpoints to their prior component
+    *      min (vertices unseen by the old labeling are their own
+    *      supernode): every old component is one supernode whose id is
+    *      its min member id, so component merges are exactly the
+    *      connectivity of this contracted multigraph.
+    *   2. Hash-to-min on the contracted edges — a graph with one vertex
+    *      per TOUCHED component/new vertex and one edge per batch pair,
+    *      so the rounds are O(diameter of the NEW region's component
+    *      graph), never O(historical diameter), and each round shuffles
+    *      O(batch) rows, never the historical edge set.
+    *   3. RELABEL: one comp-keyed equi-join updates every member of a
+    *      merged old component at once (the label IS the pointer to the
+    *      supernode — no per-vertex propagation through old edges), and
+    *      the new vertices take their supernode's label directly.
+    *
+    * Exactness: contracting a correct partition preserves connectivity
+    * (standard quotient-graph argument), and the contracted min over
+    * supernode ids is the min over member ids because each supernode id
+    * already IS its members' min. Cost: O(batch) joins plus one
+    * O(labels) relabel join — the historical EDGES never reappear,
+    * which is the whole point at 100 TB (the label state is n rows; the
+    * near-dup edge state can be far larger).
+    */
+  def incrementalComponents(prevLabels: DataFrame, newEdges: DataFrame,
+                            aCol: String, bCol: String,
+                            maxIter: Int = 50): DataFrame = {
+    val lbl = prevLabels.select(col("id").cast("long").as("id"),
+      col("comp").cast("long").as("comp"))
+    val e = newEdges.select(col(aCol).cast("long").as("ea"),
+      col(bCol).cast("long").as("eb"))
+    // 1. contract: endpoint → its old component min; unseen → itself.
+    // A batch edge inside one old component contracts to a self-loop,
+    // which hash-to-min tolerates (the label simply doesn't move).
+    val contracted = e
+      .join(lbl.select(col("id").as("ea"), col("comp").as("ca")),
+        Seq("ea"), "left")
+      .join(lbl.select(col("id").as("eb"), col("comp").as("cb")),
+        Seq("eb"), "left")
+      .select(coalesce(col("ca"), col("ea")).as("sa"),
+        coalesce(col("cb"), col("eb")).as("sb"))
+    // 2. solve the supernode graph (batch-sized)
+    val merged = hashToMinWithRounds(contracted, "sa", "sb", maxIter)._1
+    // 3a. old vertices: one comp-keyed join rewrites every member of a
+    // merged component; untouched components keep their label
+    val updatedOld = lbl
+      .join(merged.select(col("id").as("comp"), col("comp").as("newc")),
+        Seq("comp"), "left")
+      .select(col("id"), coalesce(col("newc"), col("comp")).as("comp"))
+    // 3b. brand-new vertices (absent from the old labeling) take their
+    // supernode's merged label — they ARE their supernode
+    val newIds = e.select(col("ea").as("id"))
+      .union(e.select(col("eb").as("id"))).distinct()
+      .join(lbl.select("id"), Seq("id"), "left_anti")
+    val newLabels = newIds
+      .join(merged.select(col("id"), col("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    updatedOld.unionByName(newLabels)
+  }
+
   /** Star-contraction connected components — same contract as
     * [[connectedComponents]] (vertices in `edges` → component min id),
     * different round complexity: the alternating large-star/small-star

@@ -287,6 +287,27 @@ object PipelineQueries {
       b
     }
 
+  /** The historical corpus's component LABELS for
+    * q_dedup_components_incr (same doc_id % 11 != 0 history as
+    * [[incrOldBands]]), memoized per (session, sfDir): in a deployment
+    * this is last epoch's persisted (id, comp) parquet — recomputing it
+    * per call/rep is setup, not the gated operator (near-dup pairs and
+    * hash-to-min are deterministic, so the labels are bit-identical
+    * either way). The incremental fold — the operator under test —
+    * runs per call against this state.
+    */
+  private val incrCompCache = new PerSession[DataFrame]
+  private def incrOldComponents(s: SparkSession, d: String): DataFrame =
+    incrCompCache.get(s, d) {
+      val hist = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      val prev = Components.connectedComponents(
+        Dedup.nearDupPairs(hist, "doc_id", "text", threshold = 0.8),
+        "a_id", "b_id").persist()
+      prev.count()
+      prev
+    }
+
   private val ivfPqIdxCache = new PerSession[Similarity.IvfPqIndex]
   private def servingIvfPqIndex(s: SparkSession, d: String): Similarity.IvfPqIndex =
     ivfPqIdxCache.get(s, d) {
@@ -530,6 +551,27 @@ object PipelineQueries {
       val pairs = Dedup.nearDupPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.8)
       Components.connectedComponentsStar(pairs, "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    }),
+
+    // INCREMENTAL cluster maintenance (Components.incrementalComponents
+    // — VERDICT r15 #7, the one pipeline state without an upsert path):
+    // the historical corpus's component labels absorb this crawl's
+    // verified touching pairs (the q_dedup_incr edge batch) by
+    // contract-solve-relabel — the historical EDGE SET never reappears;
+    // only the batch-sized supernode graph iterates, and merged old
+    // components rewrite via one comp-keyed join. The oracle is the
+    // from-scratch recursive CTE over the FULL corpus's ground-truth
+    // pairs — old ∪ touching IS the full pair set, so maintenance ==
+    // rebuild is the gated identity, vertex-for-vertex.
+    "q_dedup_components_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+      val newPairs = Dedup.incrementalNearDupPairs(
+        incrOldBands(s, d), batch, "doc_id", "text", docs, threshold = 0.8)
+      Components.incrementalComponents(incrOldComponents(s, d), newPairs,
+          "a_id", "b_id")
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")
     }),
@@ -2026,6 +2068,10 @@ object PipelineQueries {
     // component's canonical id.
     "q_dedup_components" -> componentsOracle,
     "q_dedup_components_star" -> componentsOracle,
+    // incremental fold over (historical labels + touching pairs): old ∪
+    // touching is the full ground-truth pair set, so the from-scratch
+    // oracle gates maintenance == rebuild verbatim
+    "q_dedup_components_incr" -> componentsOracle,
     // quality-argmax survivors: the component closure joined to the
     // SHARED quality CTEs; rank > 1 within a cluster = dropped copy
     "q_best_survivors" ->

@@ -112,6 +112,37 @@ class ComponentsSpec extends SparkSpec {
     assert(starComps(edges) === want)
   }
 
+  test("incremental fold == rebuild over the union graph (merges, new vertices, no-ops)") {
+    import spark.implicits._
+    // old graph: three components {1,2,3}, {10,11}, {20,21,22} plus a
+    // chain component {30,31}
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (30L, 31L))
+    val prev = Components.connectedComponents(oldEdges.toDF("a", "b"), "a", "b")
+    // batch: a CHAIN of merges across three old components (the merge
+    // must propagate through the contracted graph, not just one hop),
+    // one brand-new two-vertex component, one edge INSIDE an old
+    // component (no-op), and a new vertex attaching to an old component
+    val batch = Seq((3L, 10L), (11L, 20L), (100L, 101L), (21L, 22L),
+      (31L, 200L))
+    val got = Components.incrementalComponents(prev, batch.toDF("a", "b"),
+        "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = comps(oldEdges ++ batch)
+    assert(got === want)
+    // idempotence: folding the same batch into the result changes nothing
+    val again = Components.incrementalComponents(
+        Components.incrementalComponents(prev, batch.toDF("a", "b"), "a", "b"),
+        batch.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === want)
+    // empty batch: labels pass through untouched
+    val same = Components.incrementalComponents(prev,
+        Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(same === comps(oldEdges))
+  }
+
   test("star contraction needs far fewer rounds than hash-to-min on a path") {
     // 0-1-2-...-40: diameter 40. hash-to-min propagates the min one hop
     // per round (O(diameter)); star contraction halves component height
