@@ -295,6 +295,51 @@ object Streams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** STREAMING LSH-index maintenance — the third maintenance sink
+    * (lexical tf, IVF, now LSH — VERDICT r15 #8): [[graft.operators
+    * .Similarity.lshUpsert]] applied per micro-batch through
+    * foreachBatch. LSH is data-oblivious (the hyperplanes are a pure
+    * function of the CONFIG — dim/tables/bits/seed — which is pinned at
+    * sink creation, the deployment's index epoch), so each maintained
+    * state is BIT-IDENTICAL to a from-scratch rebuild over the corpus
+    * as of that epoch; re-crawled ids drop their stale band rows by
+    * anti-join and re-band under the same config. State is the two
+    * n-proportional frames of [[graft.operators.Similarity.LshIndex]]
+    * — `banded` (id, tbl, bk) and `slim` (id, v, nrm) — written
+    * VERSIONED per epoch under `v=<batchId>/{banded,slim}` with the
+    * same retry-idempotence contract as the other two sinks: a replayed
+    * epoch overwrites its OWN version and re-reads the same
+    * predecessor. StreamingSpec pins stream-maintained state ==
+    * from-scratch [[graft.operators.Similarity.lshIndex]] over the
+    * final corpus, with a re-crawl split across micro-batches.
+    */
+  def lshMaintenanceSink(vecs: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, tables: Int, bitsPerTable: Int,
+                         seed: Long, stateDir: String,
+                         checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Similarity
+        val prev = latestStateVersion(spark, stateDir, id) match {
+          case Some(v) => Similarity.LshIndex(
+            spark.read.parquet(s"$stateDir/v=$v/banded"),
+            spark.read.parquet(s"$stateDir/v=$v/slim"),
+            dim, tables, bitsPerTable, seed)
+          // first epoch: EMPTY frames in the index schema (the limit(0)
+          // seed trick of the other two sinks, through lshIndex itself
+          // so the schema can never drift from the operator's)
+          case None => Similarity.lshIndex(batch.limit(0), idCol, vecCol,
+            dim, tables, bitsPerTable, seed)
+        }
+        val up = Similarity.lshUpsert(prev, batch, idCol, vecCol)
+        up.banded.write.mode("overwrite").parquet(s"$stateDir/v=$id/banded")
+        up.slim.write.mode("overwrite").parquet(s"$stateDir/v=$id/slim")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Newest `v=<epoch>` state version strictly before `beforeId`, via
     * Hadoop FileSystem (scheme-correct on HDFS/S3A, unlike
     * java.io.File, whose null on a remote path would read as "no state"

@@ -400,6 +400,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(col("nid") === 2L).select("cell").head.getInt(0) === 0)
   }
 
+  test("streaming LSH maintenance: per-batch upserts == from-scratch banding of the final corpus") {
+    import spark.implicits._
+    val state = tmp("graft-lshm-state")
+    val ckpt = tmp("graft-lshm-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.lshMaintenanceSink(in.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim = 2, tables = 4, bitsPerTable = 6,
+      seed = 42L, state, ckpt)
+    // epoch 0: the initial corpus
+    in.addData((1L, Seq(1.0, 0.5)), (2L, Seq(-9.0, 9.5)), (3L, Seq(0.2, 0.1)))
+    q.processAllAvailable()
+    // epoch 1: a new vector PLUS a re-crawl of id 2 that flips its
+    // direction — its band rows must be REPLACED across the micro-batch
+    // boundary through the persisted state, never shadowed
+    in.addData((4L, Seq(8.0, -8.0)), (2L, Seq(0.5, 0.5)))
+    q.processAllAvailable()
+    q.stop()
+    val versions = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong)
+    val gotBanded = spark.read.parquet(s"$state/v=${versions.max}/banded")
+    val gotSlim = spark.read.parquet(s"$state/v=${versions.max}/slim")
+    val finalCorpus = Seq((1L, Seq(1.0, 0.5)), (3L, Seq(0.2, 0.1)),
+      (4L, Seq(8.0, -8.0)), (2L, Seq(0.5, 0.5))).toDF("vec_id", "embedding")
+    // LSH is data-oblivious: the maintained state is BIT-IDENTICAL to a
+    // from-scratch index over the final corpus under the same config
+    val want = graft.operators.Similarity.lshIndex(finalCorpus, "vec_id",
+      "embedding", dim = 2, tables = 4, bitsPerTable = 6, seed = 42L)
+    def bandRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        r.getAs[Number](r.fieldIndex("tbl")).longValue,
+        r.getAs[Number](r.fieldIndex("bk")).longValue)).toSet
+    assert(bandRows(gotBanded) === bandRows(want.banded))
+    def slimRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(r.fieldIndex("id")),
+        r.getSeq[Double](r.fieldIndex("v")))).toSet
+    assert(slimRows(gotSlim) === slimRows(want.slim))
+    // id 2's first-crawl vector is GONE from the slim state, not shadowed
+    assert(gotSlim.filter(col("id") === 2L).count() === 1)
+  }
+
   test("dedupEvents parity: streamed doubled input == batch dedup of the same function") {
     // the q_stream_dedup scenario end-to-end on the REAL state path:
     // every mod-7 user's events re-delivered once. Originals and
