@@ -223,6 +223,67 @@ object Components {
     updatedOld.unionByName(newLabels)
   }
 
+  /** DELETION maintenance for the component labeling — the third
+    * lifecycle op (build / upsert / DELETE) for the LAST stateful
+    * family that lacked it (VERDICT r15 #5 closed every index family;
+    * [[incrementalComponents]] closed the cluster upsert; this closes
+    * the cluster erase). Deletion is the hard direction: removing a
+    * vertex can SPLIT its component (a bridge doc erased leaves its
+    * neighbors disconnected), which no label arithmetic over the prior
+    * fixpoint can detect — connectivity must be RE-SOLVED, but only
+    * where it could have changed. Hence component-scoped recompute:
+    *
+    *   1. AFFECTED components = those containing a deleted id (one
+    *      id-keyed semi-join against the labeling). Every other
+    *      component's connectivity is untouched by construction (edges
+    *      never cross components), so its labels pass through verbatim
+    *      — the recompute never visits them.
+    *   2. Restrict `edges` (the CURRENT pair state, pre-delete) to
+    *      affected-component SURVIVORS — one semi-join per endpoint,
+    *      which simultaneously drops deleted-incident edges — and
+    *      re-run hash-to-min on that subgraph only: O(affected
+    *      subgraph) rounds/shuffle, never the historical graph. (The
+    *      restriction itself is one scan of the pair state; a
+    *      production deployment partitions the persisted pairs BY COMP
+    *      so it prunes to the affected partitions instead.)
+    *   3. Affected survivors left edgeless become SINGLETON clusters
+    *      (comp = id): a doc does not vanish from the cluster state
+    *      because its duplicates were erased. Deleted ids leave no
+    *      trace.
+    *
+    * Maintenance == rebuild-over-survivors (∪ the edgeless-survivor
+    * singletons), the contract `q_dedup_components_delete` pins against
+    * the same recursive-CTE oracle as the other component rows; the
+    * delete-then-reinsert round-trip back through
+    * [[incrementalComponents]] is spec-pinned (ComponentsSpec).
+    */
+  def deleteFromComponents(prevLabels: DataFrame, edges: DataFrame,
+                           aCol: String, bCol: String,
+                           deletedIds: DataFrame,
+                           maxIter: Int = 50): DataFrame = {
+    val lbl = prevLabels.select(col("id").cast("long").as("id"),
+      col("comp").cast("long").as("comp"))
+    val del = deletedIds.select(col("id").cast("long").as("id")).distinct()
+    val affComps = lbl.join(del, Seq("id")).select(col("comp")).distinct()
+    val untouched = lbl.join(affComps, Seq("comp"), "left_anti")
+      .select(col("id"), col("comp"))
+    val affSurvivors = lbl.join(affComps, Seq("comp"), "left_semi")
+      .join(del, Seq("id"), "left_anti")
+      .select(col("id"))
+    val e = edges.select(col(aCol).cast("long").as("ea"),
+      col(bCol).cast("long").as("eb"))
+    // both-endpoint restriction: an edge of an affected component has
+    // both endpoints in it (edges never cross components), and the
+    // survivor filter drops deleted-incident edges in the same pass
+    val affEdges = e
+      .join(affSurvivors.select(col("id").as("ea")), Seq("ea"), "left_semi")
+      .join(affSurvivors.select(col("id").as("eb")), Seq("eb"), "left_semi")
+    val solved = hashToMinWithRounds(affEdges, "ea", "eb", maxIter)._1
+    val singletons = affSurvivors.join(solved.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    untouched.unionByName(solved).unionByName(singletons)
+  }
+
   /** Star-contraction connected components — same contract as
     * [[connectedComponents]] (vertices in `edges` → component min id),
     * different round complexity: the alternating large-star/small-star

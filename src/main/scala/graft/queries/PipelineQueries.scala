@@ -308,6 +308,27 @@ object PipelineQueries {
       prev
     }
 
+  /** The FULL corpus's near-dup pair state and component labels for
+    * q_dedup_components_delete, memoized per (session, sfDir): in a
+    * deployment these are the persisted pair parquet and last epoch's
+    * (id, comp) labels — both setup, not the gated operator (pairing
+    * and hash-to-min are deterministic, so they are bit-identical
+    * either way). The component-scoped delete — the operator under
+    * test — runs per call against this state.
+    */
+  private val fullCompCache = new PerSession[(DataFrame, DataFrame)]
+  private def fullPairsAndComponents(
+      s: SparkSession, d: String): (DataFrame, DataFrame) =
+    fullCompCache.get(s, d) {
+      val pairs = Dedup.nearDupPairs(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.8).persist()
+      pairs.count()
+      val labels = Components.connectedComponents(pairs, "a_id", "b_id")
+        .persist()
+      labels.count()
+      (pairs, labels)
+    }
+
   private val ivfPqIdxCache = new PerSession[Similarity.IvfPqIndex]
   private def servingIvfPqIndex(s: SparkSession, d: String): Similarity.IvfPqIndex =
     ivfPqIdxCache.get(s, d) {
@@ -576,6 +597,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // DELETION maintenance for the cluster labeling — the erase twin of
+    // q_dedup_components_incr and the hard direction: removing a doc
+    // can SPLIT its component (a bridge doc erased leaves its neighbors
+    // disconnected), so no label arithmetic suffices — connectivity is
+    // re-SOLVED, but only over the components a deleted id touches
+    // (Components.deleteFromComponents: untouched components pass
+    // through verbatim, affected ones re-run hash-to-min on their
+    // surviving pairs, edgeless survivors become singleton clusters, the
+    // erased ids leave no trace). Oracle = recursive-CTE closure over
+    // the SURVIVING pairs with its reach base widened to every surviving
+    // endpoint of the ORIGINAL pair set — exactly the maintained vertex
+    // contract (a doc does not vanish from the cluster state because its
+    // duplicates were erased).
+    "q_dedup_components_delete" -> ((s, d) => {
+      val (pairs, prev) = fullPairsAndComponents(s, d)
+      val del = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id").as("id"))
+      Components.deleteFromComponents(prev, pairs, "a_id", "b_id", del)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus mixing: deterministic per-language downsample equalizing
     // language sizes (Sampling.balancedSample) — exact integer
     // cross-multiplied thresholds, replayed verbatim by the oracle.
@@ -694,6 +738,51 @@ object PipelineQueries {
           hll_sketch_estimate(col("sk"))
             .between(col("nd_exact") * 0.9, col("nd_exact") * 1.1)
             .as("in_band"))
+        .orderBy("lang")
+    }),
+
+    // DELETION maintenance for corpus STATISTICS — the decrement twin of
+    // q_stats_incr, and the design point it exists to pin: the insert-only
+    // HLL sketch CANNOT decrement (register-wise max is not invertible),
+    // so a stats table that must survive erasure keeps the DECREMENTABLE
+    // sufficient statistic instead — per-(lang, term) counts,
+    // n-proportional state whose delete is a subtraction. The algebraic
+    // stats (doc/token counts) decrement by subtracting the deleted
+    // batch's OWN partials (O(deleted), never a survivor rescan); the
+    // distinct-term count re-derives EXACTLY as count(cnt > 0) from the
+    // maintained count table, where the sketch's only post-delete move is
+    // a full rebuild. A language whose every doc is erased drops out of
+    // the maintained table entirely (the n_docs > 0 gate), matching the
+    // oracle's GROUP BY over survivors. Oracle = from-scratch recompute
+    // over the surviving corpus; maintenance == rebuild EXACTLY for every
+    // column — no sketch band needed, which is the point.
+    "q_stats_delete" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val del = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+      def tok(df: DataFrame) = df.select(col("lang"), col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      // the persisted decrementable state, built over the FULL corpus
+      val counts = tok(docs).groupBy("lang", "term")
+        .agg(count(lit(1)).as("cnt"))
+      val stats = tok(docs).groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tok"))
+      // the delete batch's own partials — the decrement
+      val dcounts = tok(del).groupBy("lang", "term")
+        .agg(count(lit(1)).as("dcnt"))
+      val dstats = tok(del).groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("d_docs"),
+          count(lit(1)).as("d_tok"))
+      val keptCounts = counts.join(dcounts, Seq("lang", "term"), "left")
+        .filter(col("cnt") - coalesce(col("dcnt"), lit(0L)) > 0)
+      val maintained = stats.join(dstats, Seq("lang"), "left")
+        .select(col("lang"),
+          (col("n_docs") - coalesce(col("d_docs"), lit(0L))).as("n_docs"),
+          (col("n_tok") - coalesce(col("d_tok"), lit(0L))).as("n_tok"))
+        .filter(col("n_docs") > 0)
+      maintained.join(
+          keptCounts.groupBy("lang").agg(count(lit(1)).as("nd_exact")),
+          Seq("lang"))
         .orderBy("lang")
     }),
 
@@ -2072,6 +2161,27 @@ object PipelineQueries {
     // touching is the full ground-truth pair set, so the from-scratch
     // oracle gates maintenance == rebuild verbatim
     "q_dedup_components_incr" -> componentsOracle,
+    // components deletion: closure over SURVIVING pairs, reach base
+    // widened to every surviving endpoint of the ORIGINAL pair set so a
+    // doc whose every duplicate was erased appears as its own singleton
+    // cluster (the maintained-state vertex contract)
+    "q_dedup_components_delete" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+         verts AS (SELECT DISTINCT u.v FROM
+                     (SELECT a_id AS v FROM jp
+                      UNION ALL SELECT b_id AS v FROM jp) u
+                   WHERE u.v % 13 <> 0),
+         edges AS (SELECT a_id AS a, b_id AS b FROM jp
+                   WHERE a_id % 13 <> 0 AND b_id % 13 <> 0
+                   UNION ALL
+                   SELECT b_id, a_id FROM jp
+                   WHERE a_id % 13 <> 0 AND b_id % 13 <> 0),
+         reach(v, r) AS (
+           SELECT v, v FROM verts
+           UNION
+           SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.v)
+         SELECT v AS doc_id, min(r) AS component FROM reach
+         GROUP BY v ORDER BY doc_id""",
     // quality-argmax survivors: the component closure joined to the
     // SHARED quality CTEs; rank > 1 within a cluster = dropped copy
     "q_best_survivors" ->
@@ -2112,6 +2222,16 @@ object PipelineQueries {
                     FROM documents)
          SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tok,
                 count(DISTINCT term) AS nd_exact, true AS in_band
+         FROM t GROUP BY lang ORDER BY lang""",
+    // stats deletion: from-scratch recompute over the SURVIVORS —
+    // maintenance == rebuild exactly, every column (the decrementable
+    // count-table makes even the distinct-term count exact under delete)
+    "q_stats_delete" ->
+      """WITH t AS (SELECT lang, doc_id,
+                           unnest(string_split(text, ' ')) AS term
+                    FROM documents WHERE doc_id % 11 <> 0)
+         SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tok,
+                count(DISTINCT term) AS nd_exact
          FROM t GROUP BY lang ORDER BY lang""",
     // version diff: null-safe text equality stands in for the engine's
     // null-safe digest equality (equal-or-both-null texts ⟺ <=> on the

@@ -340,6 +340,94 @@ object Streams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** CDC maintenance sink — ONE stream carrying both upserts AND delete
+    * tombstones, the change-data-capture shape a production ingest
+    * actually emits (a crawler retracts URLs, a GDPR queue erases
+    * users, a re-crawl replaces texts — all on the same feed). Rows
+    * are (doc_id, text, op) with op ∈ {'upsert','delete'} (tombstones
+    * carry a null/ignored text); each epoch folds BOTH legs into the
+    * persisted tf state through the two lifecycle operators this sink
+    * composes: state' = [[graft.operators.Retrieval.deleteDocs]](
+    * [[graft.operators.Retrieval.upsertTermFreq]](prev, upserts),
+    * tombstones) — O(batch + state) per epoch, never a corpus rescan.
+    *
+    * Within one epoch the two legs are SETS, not an ordered log, so
+    * the fold fixes the ambiguity by rule: ERASE WINS — a doc_id
+    * appearing on both legs of the same micro-batch ends the epoch
+    * deleted (the delete leg applies last). That is the GDPR-correct
+    * default (an erasure request is never lost to a concurrent
+    * re-crawl); a source with a total per-key order (a Kafka offset)
+    * that needs last-writer-wins instead should collapse to the max
+    * offset per key BEFORE this sink. Same epoch-versioned
+    * retry-idempotence contract as the other maintenance sinks: a
+    * replayed epoch overwrites its OWN `v=<batchId>` and re-reads the
+    * same predecessor. StreamingSpec pins stream-maintained state ==
+    * batch [[graft.operators.Retrieval.termFreq]] over the surviving
+    * final corpus, with the tombstone and the erase-wins collision
+    * both crossing micro-batch boundaries.
+    */
+  def cdcTermFreqSink(changes: DataFrame, stateDir: String,
+                      checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Retrieval
+        val prev = latestStateVersion(spark, stateDir, id)
+          .map(v => spark.read.parquet(s"$stateDir/v=$v"))
+          .getOrElse(Retrieval.termFreq(
+            batch.limit(0).select(col("doc_id"), col("text"))))
+        val ups = batch.filter(col("op") === "upsert")
+          .select(col("doc_id"), col("text"))
+        val tombs = batch.filter(col("op") === "delete").select(col("doc_id"))
+        Retrieval.deleteDocs(Retrieval.upsertTermFreq(prev, ups), tombs)
+          .write.mode("overwrite").parquet(s"$stateDir/v=$id")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** Dense-side CDC maintenance — [[cdcTermFreqSink]]'s twin for the
+    * ANN family: ONE stream of (id, vector, op) rows with op ∈
+    * {'upsert','delete'} (tombstones carry a null/ignored vector), each
+    * epoch folding both legs through the frozen-quantizer lifecycle
+    * operators — state' = [[graft.operators.Similarity.ivfDelete]](
+    * [[graft.operators.Similarity.ivfUpsert]](prev, upserts),
+    * tombstones) — under the same ERASE-WINS same-epoch rule and
+    * epoch-versioned retry-idempotence contract as the lexical CDC
+    * sink. O(batch + state) per epoch; retraining the quantizer stays a
+    * separate, rarer epoch event exactly as in [[ivfMaintenanceSink]].
+    * StreamingSpec pins maintained state == frozen-quantizer batch
+    * assignment of the surviving corpus, with the tombstone and the
+    * same-epoch upsert+delete collision both crossing micro-batch
+    * boundaries.
+    */
+  def cdcIvfSink(changes: DataFrame,
+                 kernel: graft.functions.NearestCellsKernel,
+                 idCol: String, vecCol: String,
+                 stateDir: String, checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Similarity
+        val prev = latestStateVersion(spark, stateDir, id)
+          .map(v => spark.read.parquet(s"$stateDir/v=$v"))
+          .getOrElse(Similarity.ivfAssign(kernel,
+            batch.limit(0).select(col(idCol), col(vecCol)), idCol, vecCol))
+        val idx = Similarity.IvfIndex(prev,
+          prev.select(col("nid").as("id"), col("nv").as("v"),
+            col("nnrm").as("nrm")),
+          kernel)
+        val ups = batch.filter(col("op") === "upsert")
+          .select(col(idCol), col(vecCol))
+        val tombs = batch.filter(col("op") === "delete").select(col(idCol))
+        Similarity.ivfDelete(Similarity.ivfUpsert(idx, ups, idCol, vecCol),
+            tombs, idCol)
+          .assigned.write.mode("overwrite").parquet(s"$stateDir/v=$id")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Newest `v=<epoch>` state version strictly before `beforeId`, via
     * Hadoop FileSystem (scheme-correct on HDFS/S3A, unlike
     * java.io.File, whose null on a remote path would read as "no state"

@@ -143,6 +143,38 @@ class ComponentsSpec extends SparkSpec {
     assert(same === comps(oldEdges))
   }
 
+  test("deletion: splits, min-removal, pass-through, singletons, reinsert round-trip") {
+    import spark.implicits._
+    // {1,2,3} via bridge 2 (deleting 2 SPLITS it); {10,11,12} with the
+    // component MIN 10 deletable (the survivors must re-min); {20,21}
+    // untouched (must pass through verbatim); {30,31} fully erasable
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L),
+      (20L, 21L), (30L, 31L))
+    val prev = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+    def del(ids: Seq[Long]): Map[Long, Long] =
+      Components.deleteFromComponents(prev, edges.toDF("a", "b"), "a", "b",
+          ids.toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bridge delete splits {1,2,3} into singletons {1} and {3}; min
+    // delete re-mins {10,11,12} to {11,12}@11; {30,31} vanishes
+    // entirely; {20,21} is untouched
+    assert(del(Seq(2L, 10L, 30L, 31L)) ===
+      Map(1L -> 1L, 3L -> 3L, 11L -> 11L, 12L -> 11L, 20L -> 20L, 21L -> 20L))
+    // disjoint-id delete is a no-op (999 touches nothing)
+    assert(del(Seq(999L)) === comps(edges))
+    // empty delete is a no-op
+    assert(del(Seq.empty) === comps(edges))
+    // delete-then-REINSERT round-trips through the upsert twin: erasing
+    // the bridge and re-adding its edges via incrementalComponents
+    // restores the original labeling exactly
+    val afterDel = Components.deleteFromComponents(prev,
+      edges.toDF("a", "b"), "a", "b", Seq(2L).toDF("id"))
+    val restored = Components.incrementalComponents(afterDel,
+        Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(restored === comps(edges))
+  }
+
   test("star contraction needs far fewer rounds than hash-to-min on a path") {
     // 0-1-2-...-40: diameter 40. hash-to-min propagates the min one hop
     // per round (O(diameter)); star contraction halves component height

@@ -361,6 +361,44 @@ class StreamingSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("CDC maintenance: upserts + tombstones on one stream == batch index of the survivors") {
+    import spark.implicits._
+    val state = tmp("graft-cdc-state")
+    val ckpt = tmp("graft-cdc-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.cdcTermFreqSink(
+      in.toDF().toDF("doc_id", "text", "op"), state, ckpt)
+    // epoch 0: initial crawl, upserts only
+    in.addData((1L, "alpha beta alpha", "upsert"), (2L, "beta gamma", "upsert"),
+      (3L, "delta delta", "upsert"))
+    q.processAllAvailable()
+    // epoch 1: a new doc, a re-crawl of doc 1, a TOMBSTONE for doc 3
+    // (erasure crossing the batch boundary through persisted state),
+    // and doc 5 upserted AND tombstoned in the SAME epoch — erase wins
+    in.addData((4L, "epsilon", "upsert"), (1L, "omega", "upsert"),
+      (3L, null, "delete"),
+      (5L, "zeta zeta", "upsert"), (5L, null, "delete"))
+    q.processAllAvailable()
+    q.stop()
+    val versions = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong)
+    val got = spark.read.parquet(s"$state/v=${versions.max}")
+    // survivors: 1 (re-crawled text), 2, 4 — never 3 (erased) or 5
+    // (erase-wins on the same-epoch collision)
+    val survivors = Seq((1L, "omega"), (2L, "beta gamma"), (4L, "epsilon"))
+      .toDF("doc_id", "text")
+    val want = graft.operators.Retrieval.termFreq(survivors)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows(got) === rows(want))
+    // no ghost rows: the erased ids leave NO trace in the maintained state
+    assert(got.filter(col("doc_id").isin(3L, 5L)).count() === 0)
+    // the re-crawled doc's stale postings are replaced, not shadowed
+    assert(got.filter(col("doc_id") === 1L && col("term") === "alpha")
+      .count() === 0)
+  }
+
   test("streaming IVF maintenance: per-batch upserts == frozen-quantizer assignment of the final corpus") {
     import spark.implicits._
     val state = tmp("graft-ivfm-state")
@@ -397,6 +435,44 @@ class StreamingSpec extends SparkSpec {
     assert(rows(got) === rows(want))
     // the stale cell-1 row of id 2's first crawl is GONE, not shadowed
     assert(got.filter(col("nid") === 2L).count() === 1)
+    assert(got.filter(col("nid") === 2L).select("cell").head.getInt(0) === 0)
+  }
+
+  test("dense CDC: upserts + tombstones == frozen-quantizer assignment of the survivors") {
+    import spark.implicits._
+    val state = tmp("graft-cdcivf-state")
+    val ckpt = tmp("graft-cdcivf-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val kernel = graft.functions.NearestCells.kernel(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)))
+    val in = MemoryStream[(Long, Seq[Double], String)]
+    val q = Streams.cdcIvfSink(in.toDF().toDF("vec_id", "embedding", "op"),
+      kernel, "vec_id", "embedding", state, ckpt)
+    // epoch 0: initial corpus, upserts only
+    in.addData((1L, Seq(1.0, 0.5), "upsert"), (2L, Seq(9.0, 9.5), "upsert"),
+      (3L, Seq(0.2, 0.1), "upsert"))
+    q.processAllAvailable()
+    // epoch 1: a cell-crossing re-crawl of id 2, a TOMBSTONE for id 3
+    // (erasure crossing the batch boundary through persisted state), and
+    // id 5 upserted AND tombstoned in the SAME epoch — erase wins
+    in.addData((2L, Seq(0.5, 0.5), "upsert"), (3L, null, "delete"),
+      (5L, Seq(8.0, 8.0), "upsert"), (5L, null, "delete"))
+    q.processAllAvailable()
+    q.stop()
+    val versions = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong)
+    val got = spark.read.parquet(s"$state/v=${versions.max}")
+    val survivors = Seq((1L, Seq(1.0, 0.5)), (2L, Seq(0.5, 0.5)))
+      .toDF("vec_id", "embedding")
+    val want = graft.operators.Similarity.ivfAssign(kernel, survivors,
+      "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(r.fieldIndex("nid")),
+        r.getSeq[Double](r.fieldIndex("nv")),
+        r.getInt(r.fieldIndex("cell")))).toSet
+    assert(rows(got) === rows(want))
+    // no ghost rows for the erased ids; the re-crawl moved id 2's cell
+    assert(got.filter(col("nid").isin(3L, 5L)).count() === 0)
     assert(got.filter(col("nid") === 2L).select("cell").head.getInt(0) === 0)
   }
 
