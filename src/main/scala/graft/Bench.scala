@@ -160,10 +160,20 @@ object Bench {
     // those as real errors and zeroed resweeps, making a killed artifact
     // read WORSE than what was measured), else the largest partial as a
     // single flagged rep.
+    // Set when promotion built `times` from warm/partial data: the
+    // resweep-only partition below is then meaningless (effRepsNow=1 by
+    // fiat, so a query that FAILED in the real measured attempt but has
+    // a promoted warm time would classify as "resweep-only" and the run
+    // would exit 0 with a genuinely broken query — violating the
+    // header's masquerade contract). In promoted mode every first error
+    // ships as a real error.
+    @volatile var promotedMode = false
     def snapshotInput(extra: Seq[String]): BenchInput = mut {
       if (times.nonEmpty) {
-        val (resweepOnly, real) = firstErr.toMap.partition { case (n, _) =>
-          times(n).length == effRepsNow }
+        val (resweepOnly, real) =
+          if (promotedMode) (Map.empty[String, String], firstErr.toMap)
+          else firstErr.toMap.partition { case (n, _) =>
+            times(n).length == effRepsNow }
         BenchInput(names.map(_._1), times.toMap, real, effRepsNow, sfDir,
           warm, loads.toSeq, settledS, resweepsNow, displaced.toMap,
           resweepOnly, degraded.toSeq ++ extra)
@@ -181,27 +191,43 @@ object Bench {
     val emitted = new java.util.concurrent.atomic.AtomicBoolean(false)
     // Atomic artifact writes: the checkpoint fires after EVERY query, and
     // a driver that copies target/bench.json at kill time must never see
-    // a torn half-line — write-to-temp + ATOMIC_MOVE.
-    def writeArtifacts(metrics: String, detail: String): Unit = {
-      import java.nio.file.StandardCopyOption.{ATOMIC_MOVE, REPLACE_EXISTING}
-      Files.createDirectories(Paths.get("target"))
-      val t1 = Paths.get("target/.bench.json.tmp")
-      Files.writeString(t1, metrics + "\n")
-      Files.move(t1, Paths.get("target/bench.json"), ATOMIC_MOVE, REPLACE_EXISTING)
-      val t2 = Paths.get("target/.bench_detail.json.tmp")
-      Files.writeString(t2, detail + "\n")
-      Files.move(t2, Paths.get("target/bench_detail.json"), ATOMIC_MOVE, REPLACE_EXISTING)
-    }
+    // a torn half-line — write-to-temp + ATOMIC_MOVE. The writes are
+    // SERIALIZED under emitLock: the shutdown hook runs on its own
+    // thread, and an unserialized hook emit racing the main thread's
+    // per-query checkpoint on the SHARED tmp paths could publish a
+    // 'checkpoint'-flagged line as the final artifact, split the
+    // json/detail pair across two snapshots, or lose the hook's move to
+    // a swallowed NoSuchFileException. checkpoint() re-checks `emitted`
+    // INSIDE the lock, so once the final emit (normal or emergency) has
+    // claimed the slot no later checkpoint can overwrite it.
+    val emitLock = new Object
+    def writeArtifacts(metrics: String, detail: String): Unit =
+      emitLock.synchronized {
+        import java.nio.file.StandardCopyOption.{ATOMIC_MOVE, REPLACE_EXISTING}
+        Files.createDirectories(Paths.get("target"))
+        val t1 = Paths.get("target/.bench.json.tmp")
+        Files.writeString(t1, metrics + "\n")
+        Files.move(t1, Paths.get("target/bench.json"), ATOMIC_MOVE, REPLACE_EXISTING)
+        val t2 = Paths.get("target/.bench_detail.json.tmp")
+        Files.writeString(t2, detail + "\n")
+        Files.move(t2, Paths.get("target/bench_detail.json"), ATOMIC_MOVE, REPLACE_EXISTING)
+      }
     // DISK checkpoint (VERDICT r15 #2 + advice): the shutdown hook cannot
     // fire on SIGKILL — the usual follow-up to an expired TERM grace or
     // an OOM kill — so the artifact is also persisted at every query
     // boundary. A hard kill then leaves the last checkpoint on disk
     // (flagged, so a reader knows it is not a final emit). Costs ~1 ms
     // of string building per query against ~1 s of query run.
-    def checkpoint(): Unit = if (!emitted.get) {
+    def checkpoint(): Unit = {
       try {
+        // snapshot under stateLock FIRST, then write under emitLock with
+        // the emitted guard re-checked inside it — never stateLock nested
+        // inside emitLock (the hook path acquires them sequentially in
+        // the same snapshot-then-write order, so no lock-order inversion)
         val snap = snapshotInput(Seq("checkpoint"))
-        writeArtifacts(BenchFormat.metricsLine(snap), BenchFormat.detailLine(snap))
+        val m = BenchFormat.metricsLine(snap)
+        val dt = BenchFormat.detailLine(snap)
+        emitLock.synchronized { if (!emitted.get) writeArtifacts(m, dt) }
       } catch { case _: Throwable => () }
     }
     def emergencyEmit(): Unit = if (emitted.compareAndSet(false, true)) {
@@ -303,6 +329,7 @@ object Bench {
         mut {
           for ((n, t) <- cand) times(n) = times(n) :+ t
           effRepsNow = 1
+          promotedMode = true
           degraded += (if (candComplete) "warmup-promoted"
                        else s"partial-sweep@${cand.size}/${names.size}")
         }

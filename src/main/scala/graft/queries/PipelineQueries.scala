@@ -316,6 +316,31 @@ object PipelineQueries {
     * either way). The component-scoped delete — the operator under
     * test — runs per call against this state.
     */
+  /** The persisted decrementable statistics state for q_stats_delete —
+    * per-(lang, term) counts and per-lang algebraic stats over the FULL
+    * corpus — memoized per (session, sfDir): in a deployment this is
+    * the stats parquet the erasure decrements; rebuilding it per
+    * call/rep is setup, not the gated operator (the r13 #4
+    * setup-vs-operator rule the other incremental rows follow). The
+    * decrement — the operator under test — runs per call against this
+    * state at O(deleted).
+    */
+  private val statsStateCache = new PerSession[(DataFrame, DataFrame)]
+  private def statsDeleteState(
+      s: SparkSession, d: String): (DataFrame, DataFrame) =
+    statsStateCache.get(s, d) {
+      val t = Tables.documents(s, d).select(col("lang"), col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      val counts = t.groupBy("lang", "term")
+        .agg(count(lit(1)).as("cnt")).persist()
+      counts.count()
+      val stats = t.groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tok")).persist()
+      stats.count()
+      (counts, stats)
+    }
+
   private val fullCompCache = new PerSession[(DataFrame, DataFrame)]
   private def fullPairsAndComponents(
       s: SparkSession, d: String): (DataFrame, DataFrame) =
@@ -757,17 +782,14 @@ object PipelineQueries {
     // over the surviving corpus; maintenance == rebuild EXACTLY for every
     // column — no sketch band needed, which is the point.
     "q_stats_delete" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val del = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+      val del = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(11)) === 0)
       def tok(df: DataFrame) = df.select(col("lang"), col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("term"))
-      // the persisted decrementable state, built over the FULL corpus
-      val counts = tok(docs).groupBy("lang", "term")
-        .agg(count(lit(1)).as("cnt"))
-      val stats = tok(docs).groupBy("lang")
-        .agg(countDistinct(col("doc_id")).as("n_docs"),
-          count(lit(1)).as("n_tok"))
-      // the delete batch's own partials — the decrement
+      // the persisted decrementable state over the FULL corpus —
+      // memoized setup (statsDeleteState), not the gated operator
+      val (counts, stats) = statsDeleteState(s, d)
+      // the delete batch's own partials — the decrement, O(deleted)
       val dcounts = tok(del).groupBy("lang", "term")
         .agg(count(lit(1)).as("dcnt"))
       val dstats = tok(del).groupBy("lang")

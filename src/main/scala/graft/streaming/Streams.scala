@@ -219,6 +219,31 @@ object Streams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Retransmission-absorbing uniqueness gate for a maintenance batch:
+    * exact duplicate rows collapse via distinct() (at-least-once
+    * sources re-deliver bit-identical rows — the [[dedupEvents]]
+    * retransmission model), but two CONFLICTING versions of one key in
+    * the SAME epoch fail loudly: without a per-key total order (an
+    * offset column, collapsed to the max offset upstream) there is no
+    * deterministic winner, and silently folding both corrupts the
+    * maintained state — upsertTermFreq would merge the term counts of
+    * BOTH texts into a document no crawl ever produced, ivfUpsert/
+    * lshUpsert would keep duplicate postings — breaking every sink's
+    * pinned state == batch-rebuild identity. One O(batch) bounded check
+    * per epoch (limit(1) — existence, not enumeration).
+    */
+  private def requireUniquePerKey(batch: DataFrame, keyCol: String,
+                                  what: String): DataFrame = {
+    val uniq = batch.distinct()
+    val dup = uniq.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"$what: conflicting same-epoch rows for $keyCol=${dup.head.get(0)} — " +
+        "a source with a per-key order must collapse to the max offset " +
+        "per key before this sink; without one the winner is undefined")
+    uniq
+  }
+
   /** STREAMING lexical-index maintenance: [[graft.operators.Retrieval
     * .upsertTermFreq]] applied per micro-batch through foreachBatch —
     * the continuous-ingest path of the inverted index. Each arriving
@@ -244,10 +269,11 @@ object Streams {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
+        val b = requireUniquePerKey(batch, "doc_id", "termFreqMaintenanceSink")
         val old = latestStateVersion(spark, stateDir, id)
           .map(v => spark.read.parquet(s"$stateDir/v=$v"))
-          .getOrElse(graft.operators.Retrieval.termFreq(batch.limit(0)))
-        graft.operators.Retrieval.upsertTermFreq(old, batch)
+          .getOrElse(graft.operators.Retrieval.termFreq(b.limit(0)))
+        graft.operators.Retrieval.upsertTermFreq(old, b)
           .write.mode("overwrite").parquet(s"$stateDir/v=$id")
       }
       .option("checkpointLocation", checkpointDir)
@@ -279,16 +305,17 @@ object Streams {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         import graft.operators.Similarity
+        val b = requireUniquePerKey(batch, idCol, "ivfMaintenanceSink")
         // first epoch: an EMPTY frame in the assigned schema (same
         // limit(0) trick as the lexical sink's termFreq seed)
         val prev = latestStateVersion(spark, stateDir, id)
           .map(v => spark.read.parquet(s"$stateDir/v=$v"))
-          .getOrElse(Similarity.ivfAssign(kernel, batch.limit(0), idCol, vecCol))
+          .getOrElse(Similarity.ivfAssign(kernel, b.limit(0), idCol, vecCol))
         val idx = Similarity.IvfIndex(prev,
           prev.select(col("nid").as("id"), col("nv").as("v"),
             col("nnrm").as("nrm")),
           kernel)
-        Similarity.ivfUpsert(idx, batch, idCol, vecCol).assigned
+        Similarity.ivfUpsert(idx, b, idCol, vecCol).assigned
           .write.mode("overwrite").parquet(s"$stateDir/v=$id")
       }
       .option("checkpointLocation", checkpointDir)
@@ -321,6 +348,7 @@ object Streams {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         import graft.operators.Similarity
+        val b = requireUniquePerKey(batch, idCol, "lshMaintenanceSink")
         val prev = latestStateVersion(spark, stateDir, id) match {
           case Some(v) => Similarity.LshIndex(
             spark.read.parquet(s"$stateDir/v=$v/banded"),
@@ -329,10 +357,10 @@ object Streams {
           // first epoch: EMPTY frames in the index schema (the limit(0)
           // seed trick of the other two sinks, through lshIndex itself
           // so the schema can never drift from the operator's)
-          case None => Similarity.lshIndex(batch.limit(0), idCol, vecCol,
+          case None => Similarity.lshIndex(b.limit(0), idCol, vecCol,
             dim, tables, bitsPerTable, seed)
         }
-        val up = Similarity.lshUpsert(prev, batch, idCol, vecCol)
+        val up = Similarity.lshUpsert(prev, b, idCol, vecCol)
         up.banded.write.mode("overwrite").parquet(s"$stateDir/v=$id/banded")
         up.slim.write.mode("overwrite").parquet(s"$stateDir/v=$id/slim")
       }
@@ -376,8 +404,10 @@ object Streams {
           .map(v => spark.read.parquet(s"$stateDir/v=$v"))
           .getOrElse(Retrieval.termFreq(
             batch.limit(0).select(col("doc_id"), col("text"))))
-        val ups = batch.filter(col("op") === "upsert")
-          .select(col("doc_id"), col("text"))
+        val ups = requireUniquePerKey(
+          batch.filter(col("op") === "upsert")
+            .select(col("doc_id"), col("text")),
+          "doc_id", "cdcTermFreqSink")
         val tombs = batch.filter(col("op") === "delete").select(col("doc_id"))
         Retrieval.deleteDocs(Retrieval.upsertTermFreq(prev, ups), tombs)
           .write.mode("overwrite").parquet(s"$stateDir/v=$id")
@@ -417,8 +447,9 @@ object Streams {
           prev.select(col("nid").as("id"), col("nv").as("v"),
             col("nnrm").as("nrm")),
           kernel)
-        val ups = batch.filter(col("op") === "upsert")
-          .select(col(idCol), col(vecCol))
+        val ups = requireUniquePerKey(
+          batch.filter(col("op") === "upsert").select(col(idCol), col(vecCol)),
+          idCol, "cdcIvfSink")
         val tombs = batch.filter(col("op") === "delete").select(col(idCol))
         Similarity.ivfDelete(Similarity.ivfUpsert(idx, ups, idCol, vecCol),
             tombs, idCol)

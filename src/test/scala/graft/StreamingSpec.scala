@@ -361,6 +361,42 @@ class StreamingSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("maintenance sinks absorb retransmissions but reject conflicting same-epoch upserts") {
+    import spark.implicits._
+    val state = tmp("graft-uniq-state")
+    val ckpt = tmp("graft-uniq-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.termFreqMaintenanceSink(
+      in.toDF().toDF("doc_id", "text"), state, ckpt)
+    // a bit-identical redelivery (the at-least-once retransmission
+    // model) collapses silently — no double-counted terms
+    in.addData((1L, "alpha alpha"), (1L, "alpha alpha"), (2L, "beta"))
+    q.processAllAvailable()
+    val v0 = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong).max
+    val got = spark.read.parquet(s"$state/v=$v0")
+    val want = graft.operators.Retrieval.termFreq(
+      Seq((1L, "alpha alpha"), (2L, "beta")).toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows(got) === rows(want))
+    // two CONFLICTING versions of one doc in the same epoch have no
+    // deterministic winner without an offset — the epoch fails loudly
+    // instead of persisting a document no crawl ever produced
+    in.addData((3L, "x y"), (3L, "y z"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(ex.getMessage.contains("conflicting same-epoch rows") ||
+      Option(ex.getCause).exists(_.getMessage.contains("conflicting same-epoch rows")))
+    q.stop()
+    // the maintained state is untouched by the rejected epoch
+    val vAfter = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong).max
+    assert(rows(spark.read.parquet(s"$state/v=$vAfter")) === rows(want))
+  }
+
   test("CDC maintenance: upserts + tombstones on one stream == batch index of the survivors") {
     import spark.implicits._
     val state = tmp("graft-cdc-state")
