@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions
 import graft.operators.{AnnCalibrate, AnnParams, Components, Dedup, IndexStore, MultiModal, Retrieval, Sampling, Similarity}
+import graft.streaming.StateLog
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -806,6 +807,31 @@ object PipelineQueries {
           keptCounts.groupBy("lang").agg(count(lit(1)).as("nd_exact")),
           Seq("lang"))
         .orderBy("lang")
+    }),
+
+    // LOG-STRUCTURED index-state composition (StateLog.composeFrames —
+    // the read path of the O(batch)-per-epoch maintenance log, run
+    // in-plan): base = the compacted tf state at epoch 0; epoch 1
+    // tombstones docs (ownership claim with NO rows); epoch 2 re-crawls
+    // docs with CHANGED text — including a RESURRECTION where a doc
+    // tombstoned at 1 is re-crawled at 2 (doc_id % 221 == 0 at sf≥0.01,
+    // so the case is non-vacuous). Highest-epoch-wins arg-max per
+    // doc_id, one union + one max-agg + one join, all relational.
+    // Oracle replays the winner algebra directly on the documents
+    // table: survivors = NOT tombstoned OR re-crawled, re-crawled text
+    // replaced — then the shared tf CTE.
+    "q_tf_log_compose" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = Retrieval.termFreq(docs)
+      val tomb = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"))
+      val re = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+      StateLog.composeFrames("doc_id",
+          Some(0L -> base),
+          Seq((1L, tomb, base.limit(0)),
+            (2L, re.select(col("doc_id")), Retrieval.termFreq(re))))
+        .orderBy("doc_id", "term")
     }),
 
     // Corpus VERSION DIFF — the snapshot comparison that drives every
@@ -2245,6 +2271,21 @@ object PipelineQueries {
          SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tok,
                 count(DISTINCT term) AS nd_exact, true AS in_band
          FROM t GROUP BY lang ORDER BY lang""",
+    // log-structured composition: replay the winner algebra on the
+    // documents table — tombstoned-and-not-recrawled docs vanish,
+    // re-crawled docs carry the epoch-2 text — then the shared tf CTE
+    "q_tf_log_compose" ->
+      s"""WITH d AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 17 = 0 THEN text || ' v2'
+                       ELSE text END AS text
+           FROM documents
+           WHERE doc_id % 13 <> 0 OR doc_id % 17 = 0),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                 FROM d),
+         f AS (SELECT * FROM tok WHERE term NOT IN ($stopList)),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM f GROUP BY 1, 2)
+         SELECT doc_id, term, tf FROM tf ORDER BY doc_id, term""",
     // stats deletion: from-scratch recompute over the SURVIVORS —
     // maintenance == rebuild exactly, every column (the decrementable
     // count-table makes even the distinct-term count exact under delete)

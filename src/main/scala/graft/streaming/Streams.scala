@@ -459,6 +459,43 @@ object Streams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** LOG-STRUCTURED CDC maintenance — [[cdcTermFreqSink]] with the
+    * write amplification fixed ([[StateLog]]'s scaladoc has the full
+    * argument): instead of rewriting the whole tf state every epoch
+    * (O(state) bytes per micro-batch), each epoch writes ONLY its
+    * delta — the batch's ownership claims plus the re-tokenized rows
+    * of its upserts, O(batch) bytes — and readers compose base +
+    * deltas by highest-epoch-wins arg-max ([[StateLog.compose]];
+    * amortized via [[StateLog.compact]]). Semantics are identical to
+    * the eager sink: whole-doc replacement on upsert, tombstones
+    * erase, ERASE WINS on a same-epoch collision (the tombstone
+    * anti-join below runs before termFreq, so a doc both upserted and
+    * tombstoned claims ownership with NO rows), and a replayed epoch
+    * overwrites its own delta directory. StreamingSpec pins composed
+    * state == batch termFreq of the survivors across re-crawls,
+    * cross-batch tombstones, a resurrection, and a mid-stream
+    * compaction — and that each delta's rows touch only its own
+    * batch's doc ids (the O(batch) claim, structurally).
+    */
+  def cdcTermFreqLogSink(changes: DataFrame, stateDir: String,
+                         checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import graft.operators.Retrieval
+        val tombs = batch.filter(col("op") === "delete")
+          .select(col("doc_id")).distinct()
+        val ups = requireUniquePerKey(
+          batch.filter(col("op") === "upsert")
+            .select(col("doc_id"), col("text")),
+          "doc_id", "cdcTermFreqLogSink")
+          .join(tombs, Seq("doc_id"), "left_anti")
+        val owned = batch.select(col("doc_id")).distinct()
+        StateLog.writeDelta(stateDir, id, owned, Retrieval.termFreq(ups))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Newest `v=<epoch>` state version strictly before `beforeId`, via
     * Hadoop FileSystem (scheme-correct on HDFS/S3A, unlike
     * java.io.File, whose null on a remote path would read as "no state"

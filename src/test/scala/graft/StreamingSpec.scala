@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
-import graft.streaming.Streams
+import graft.streaming.{StateLog, Streams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
@@ -433,6 +433,49 @@ class StreamingSpec extends SparkSpec {
     // the re-crawled doc's stale postings are replaced, not shadowed
     assert(got.filter(col("doc_id") === 1L && col("term") === "alpha")
       .count() === 0)
+  }
+
+  test("log-structured CDC: O(batch) deltas compose to the survivor index across compaction") {
+    import spark.implicits._
+    val state = tmp("graft-cdclog-state")
+    val ckpt = tmp("graft-cdclog-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.cdcTermFreqLogSink(
+      in.toDF().toDF("doc_id", "text", "op"), state, ckpt)
+    def emptyRows = graft.operators.Retrieval.termFreq(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"))
+    def composed = StateLog.compose(spark, state, "doc_id", emptyRows)
+    def want(docs: Seq[(Long, String)]) =
+      graft.operators.Retrieval.termFreq(docs.toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // epoch 0: initial crawl
+    in.addData((1L, "alpha beta alpha", "upsert"), (2L, "beta gamma", "upsert"),
+      (3L, "delta delta", "upsert"))
+    q.processAllAvailable()
+    // epoch 1: re-crawl 1, tombstone 3, same-epoch collision on 5
+    in.addData((1L, "omega", "upsert"), (3L, null, "delete"),
+      (5L, "zeta", "upsert"), (5L, null, "delete"))
+    q.processAllAvailable()
+    assert(rows(composed) === rows(want(Seq(1L -> "omega", 2L -> "beta gamma"))))
+    // the O(batch) claim, structurally: epoch 1's delta rows touch only
+    // its own batch's doc ids (doc 2 is NOT rewritten)
+    val d1 = spark.read.parquet(s"$state/delta/e=1/rows")
+    assert(d1.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      .subsetOf(Set(1L, 3L, 5L)))
+    // compaction folds the deltas into a base and changes nothing
+    StateLog.compact(spark, state, "doc_id", emptyRows)
+    assert(rows(composed) === rows(want(Seq(1L -> "omega", 2L -> "beta gamma"))))
+    assert(!new java.io.File(s"$state/delta/e=1").exists())
+    // epoch 2 after compaction: tombstone 2, RESURRECT 3
+    in.addData((2L, null, "delete"), (3L, "reborn", "upsert"))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows(composed) === rows(want(Seq(1L -> "omega", 3L -> "reborn"))))
+    // idempotent compaction epilogue: compact again, same state
+    StateLog.compact(spark, state, "doc_id", emptyRows)
+    assert(rows(composed) === rows(want(Seq(1L -> "omega", 3L -> "reborn"))))
   }
 
   test("streaming IVF maintenance: per-batch upserts == frozen-quantizer assignment of the final corpus") {
