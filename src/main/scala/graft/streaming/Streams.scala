@@ -496,6 +496,74 @@ object Streams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Dense-side log-structured CDC — [[cdcTermFreqLogSink]]'s twin for
+    * the IVF family, same [[StateLog]] layout with the frozen-quantizer
+    * assignment as the per-epoch rows: each epoch writes its ownership
+    * claims plus [[graft.operators.Similarity.ivfAssign]] of the
+    * upserts (O(batch) bytes — the assignment is per-vector, so a
+    * batch's rows never touch another vector's state), tombstones are
+    * rowless claims, erase wins same-epoch collisions, and readers
+    * compose by highest-epoch-wins arg-max on `nid`. StreamingSpec
+    * pins composed state == frozen-quantizer batch assignment of the
+    * survivors across a cell-crossing re-crawl and a compaction.
+    */
+  def cdcIvfLogSink(changes: DataFrame,
+                    kernel: graft.functions.NearestCellsKernel,
+                    idCol: String, vecCol: String,
+                    stateDir: String, checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import graft.operators.Similarity
+        val tombs = batch.filter(col("op") === "delete")
+          .select(col(idCol)).distinct()
+        val ups = requireUniquePerKey(
+          batch.filter(col("op") === "upsert").select(col(idCol), col(vecCol)),
+          idCol, "cdcIvfLogSink")
+          .join(tombs, Seq(idCol), "left_anti")
+        // own and rows must share the composition key: assigned rows key
+        // on `nid`, so the claims rename to it
+        val owned = batch.select(col(idCol).cast("long").as("nid")).distinct()
+        StateLog.writeDelta(stateDir, id, owned,
+          Similarity.ivfAssign(kernel, ups, idCol, vecCol))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** STREAMING dedup-cluster maintenance — the fourth maintenance-sink
+    * family (lexical tf, IVF, LSH, now the component labeling):
+    * [[graft.operators.Components.incrementalComponents]] applied per
+    * micro-batch through foreachBatch, so each epoch of verified
+    * near-dup pairs folds into the persisted (id, comp) labeling at
+    * O(batch ⋈ labels) — the historical edge set never reappears,
+    * exactly the property that makes the incremental fold the only
+    * affordable shape on a 100 TB pair stream. State is the
+    * n-proportional labels parquet, epoch-versioned with the shared
+    * retry-idempotence contract (the fold is deterministic, so a
+    * replayed epoch rewrites identical bytes). First epoch seeds from
+    * an empty labeling THROUGH the operator itself (limit(0), so the
+    * schema can never drift). StreamingSpec pins stream-maintained
+    * labels == a from-scratch [[graft.operators.Components
+    * .connectedComponents]] over all pairs, with a merge that crosses
+    * the micro-batch boundary through the persisted state.
+    */
+  def componentsMaintenanceSink(pairs: DataFrame, aCol: String, bCol: String,
+                                stateDir: String,
+                                checkpointDir: String): StreamingQuery =
+    pairs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Components
+        val prev = latestStateVersion(spark, stateDir, id)
+          .map(v => spark.read.parquet(s"$stateDir/v=$v"))
+          .getOrElse(Components.connectedComponents(batch.limit(0), aCol, bCol))
+        Components.incrementalComponents(prev, batch, aCol, bCol)
+          .write.mode("overwrite").parquet(s"$stateDir/v=$id")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Newest `v=<epoch>` state version strictly before `beforeId`, via
     * Hadoop FileSystem (scheme-correct on HDFS/S3A, unlike
     * java.io.File, whose null on a remote path would read as "no state"

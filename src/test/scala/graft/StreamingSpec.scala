@@ -478,6 +478,72 @@ class StreamingSpec extends SparkSpec {
     assert(rows(composed) === rows(want(Seq(1L -> "omega", 3L -> "reborn"))))
   }
 
+  test("dense log-structured CDC: composed deltas == frozen-quantizer assignment of survivors") {
+    import spark.implicits._
+    val state = tmp("graft-cdcivflog-state")
+    val ckpt = tmp("graft-cdcivflog-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val kernel = graft.functions.NearestCells.kernel(
+      Array(Array(0.0, 0.0), Array(10.0, 10.0)))
+    val in = MemoryStream[(Long, Seq[Double], String)]
+    val q = Streams.cdcIvfLogSink(in.toDF().toDF("vec_id", "embedding", "op"),
+      kernel, "vec_id", "embedding", state, ckpt)
+    def emptyRows = graft.operators.Similarity.ivfAssign(kernel,
+      Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    def composed = StateLog.compose(spark, state, "nid", emptyRows)
+    in.addData((1L, Seq(1.0, 0.5), "upsert"), (2L, Seq(9.0, 9.5), "upsert"),
+      (3L, Seq(0.2, 0.1), "upsert"))
+    q.processAllAvailable()
+    // cell-crossing re-crawl of 2, tombstone 3, same-epoch collision on 5
+    in.addData((2L, Seq(0.5, 0.5), "upsert"), (3L, null, "delete"),
+      (5L, Seq(8.0, 8.0), "upsert"), (5L, null, "delete"))
+    q.processAllAvailable()
+    q.stop()
+    val want = graft.operators.Similarity.ivfAssign(kernel,
+      Seq((1L, Seq(1.0, 0.5)), (2L, Seq(0.5, 0.5))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(r.fieldIndex("nid")),
+        r.getSeq[Double](r.fieldIndex("nv")),
+        r.getInt(r.fieldIndex("cell")))).toSet
+    assert(rows(composed) === rows(want))
+    // epoch 1's delta rows touch only its own batch's ids
+    val d1 = spark.read.parquet(s"$state/delta/e=1/rows")
+    assert(d1.select("nid").distinct().collect().map(_.getLong(0)).toSet
+      .subsetOf(Set(2L, 3L, 5L)))
+    // compaction preserves the composition
+    StateLog.compact(spark, state, "nid", emptyRows)
+    assert(rows(composed) === rows(want))
+  }
+
+  test("streaming components maintenance: per-batch folds == batch rebuild over all pairs") {
+    import spark.implicits._
+    val state = tmp("graft-ccm-state")
+    val ckpt = tmp("graft-ccm-ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val q = Streams.componentsMaintenanceSink(
+      in.toDF().toDF("a", "b"), "a", "b", state, ckpt)
+    // epoch 0: two components {1,2,3} and {10,11}
+    in.addData((1L, 2L), (2L, 3L), (10L, 11L))
+    q.processAllAvailable()
+    // epoch 1: a MERGE across the boundary (3-10 joins the two old
+    // components through the persisted labeling) plus a new component
+    in.addData((3L, 10L), (20L, 21L))
+    q.processAllAvailable()
+    q.stop()
+    val versions = new java.io.File(state).listFiles()
+      .filter(_.getName.startsWith("v=")).map(_.getName.stripPrefix("v=").toLong)
+    val got = spark.read.parquet(s"$state/v=${versions.max}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.operators.Components.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 10L), (20L, 21L)).toDF("a", "b"),
+        "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
+
   test("streaming IVF maintenance: per-batch upserts == frozen-quantizer assignment of the final corpus") {
     import spark.implicits._
     val state = tmp("graft-ivfm-state")
