@@ -9,7 +9,7 @@ package graft
 object PlanProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("graft-plan-probe")
-    val sf = "/root/testdata/sf0.001"
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     args.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.collect()

@@ -9,8 +9,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * plan and let the optimizer reduce the scan.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred schema per table path, memoized for the JVM's lifetime.
+    *
+    * `spark.read.parquet(path)` with no explicit schema runs a footer-
+    * read JOB at every call — ~40-90 ms of driver/scheduler wall per
+    * table reference, paid by every query build (measured: a visible
+    * "parquet at Tables.scala" stage in every StageProbe profile). The
+    * testdata tables are immutable for a JVM's lifetime, so the schema
+    * is a pure function of the path — memoizing it and passing it
+    * explicitly removes that job while changing nothing about the scan
+    * (the cached StructType IS the inferred one, same values, same
+    * nullability). This is also the 100 TB-correct shape: schema
+    * inference over a large table reads MANY footers (a driver-side
+    * stall, guide §6/§7.3); production readers pin schemas explicitly.
+    * Results are NOT cached — every query still scans parquet.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")

@@ -58,9 +58,24 @@ object Retrieval {
       .filter(!col("term").isInCollection(TextFunctions.stopwords))
       .distinct()
 
-  /** Tokens after the corpus stopword gate — the indexed vocabulary. */
+  /** Tokens after the corpus stopword gate — the indexed vocabulary.
+    *
+    * The doc_id NOT NULL filter states the index-key contract explicitly
+    * (a null doc id is upstream corruption — it could never be served,
+    * joined, upserted or deleted by the id-keyed maintenance ops, and the
+    * inner joins of [[bm25FromStats]] already drop it from every output).
+    * It is ALSO load-bearing for the plan: the main tf branch of
+    * bm25FromStats gets `isnotnull(doc_id)` pushed into it by its join
+    * anyway, so spelling the same filter here makes the dl / df / Σtok
+    * derivations' exchange subtrees CANONICALLY IDENTICAL to the main
+    * branch's — AQE then reuses ONE tokenize→partial-agg→shuffle stage
+    * where the optimizer's asymmetric pushdown previously produced three
+    * separate corpus tokenization passes (guide §2.4: remove shuffles/
+    * passes outright; verified in the executed plan as ReusedExchange).
+    */
   private def keptTokens(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("term"))
       .filter(!col("term").isInCollection(TextFunctions.stopwords))
 
@@ -164,7 +179,15 @@ object Retrieval {
     */
   def bm25FromStats(tf: DataFrame, nDocs: DataFrame): DataFrame = {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // `tf > 0` is a tautology (tf is a count, always >= 1) whose ONLY
+    // job is plan shape: without it Catalyst prunes the unused tf count
+    // out of this branch's aggregate, de-canonicalizing its exchange
+    // from the main/dl/Σtok branches' — and the corpus gets re-tokenized
+    // just to count distinct (doc, term) pairs. Referencing tf keeps the
+    // branch on the SHARED tokenize→tf shuffle stage (AQE ReusedExchange;
+    // guide §2.4), df values unchanged.
+    val dfreq = tf.filter(col("tf") > 0)
+      .groupBy("term").agg(count(lit(1)).as("df"))
     // corpus scalars: one row, broadcast
     val g = nDocs.crossJoin(tf.agg(sum("tf").as("ntok")))
     val avgdl = col("ntok").cast("double") / col("n")
