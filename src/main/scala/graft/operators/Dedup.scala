@@ -175,7 +175,10 @@ object Dedup {
                     shingleN: Int = 3, bands: Int = 32, rows: Int = 4,
                     seed: Long = 42L): DataFrame = {
     val keys = minhashBandKeys(col(textCol), shingleN, bands, rows, seed)
-    val banded = df
+    // fan out the (small-scan-gated) input before the per-doc MinHash
+    // kernel — see Layout.fanOutSmall (the scan split floor otherwise
+    // runs the whole banding in ~1 task on a tiny corpus file)
+    val banded = Layout.fanOutSmall(df)
       .select(col(idCol).as("id"), explode(keys).as("bh"))
     banded.as("l").join(banded.as("r"),
         col("l.bh") === col("r.bh") && col("l.id") < col("r.id"))
@@ -191,7 +194,7 @@ object Dedup {
     */
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
                       textCol: String, shingleN: Int = 3): DataFrame = {
-    val sets = docs.select(col(idCol).as("id"),
+    val sets = Layout.fanOutSmall(docs).select(col(idCol).as("id"),
       shingleHashes(col(textCol), shingleN).as("sh"))
     pairs
       .join(sets.withColumnRenamed("sh", "sh_a"), col("a_id") === col("id"))
@@ -217,7 +220,7 @@ object Dedup {
   def bandRows(df: DataFrame, idCol: String, textCol: String,
                shingleN: Int = 3, bands: Int = 32, rows: Int = 4,
                seed: Long = 42L): DataFrame =
-    df.select(col(idCol).as("id"),
+    Layout.fanOutSmall(df).select(col(idCol).as("id"),
       explode(minhashBandKeys(col(textCol), shingleN, bands, rows, seed))
         .as("bh"))
 
@@ -340,7 +343,7 @@ object Dedup {
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         threshold: Double, shingleN: Int = 3,
                         hotDf: Int = 256): DataFrame = {
-    val sets = df.select(col(idCol).as("id"),
+    val sets = Layout.fanOutSmall(df).select(col(idCol).as("id"),
       shingleHashes(col(textCol), shingleN).as("sh"))
     val inv = sets.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("h"))
@@ -463,7 +466,7 @@ object Dedup {
     // break
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 63], got $maxHamming")
-    val fp = df.select(col(idCol).as("id"),
+    val fp = Layout.fanOutSmall(df).select(col(idCol).as("id"),
       simhash64(split(col(textCol), " ")).as("fp"))
     val nChunks = math.min(maxHamming + 1, 64)
     val base = 64 / nChunks
@@ -536,7 +539,8 @@ object Dedup {
                 n: Int = 8, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
     val grams = wordNgrams(split(col(textCol), " "), n)
-    df.select(col(idCol).as("doc_id"), explode(grams).as("ngram"))
+    Layout.fanOutSmall(df)
+      .select(col(idCol).as("doc_id"), explode(grams).as("ngram"))
       .groupBy("ngram")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"))
@@ -586,7 +590,8 @@ object Dedup {
 
   /** (doc_id, ws): the per-doc word array both removals window over. */
   private def wordsOf(df: DataFrame, idCol: String, textCol: String) =
-    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+    Layout.fanOutSmall(df)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
 
   /** (doc_id, pos, word), pos 1-based — one narrow posexplode. */
   private def positionedTokens(base: DataFrame): DataFrame = base

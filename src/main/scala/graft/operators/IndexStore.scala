@@ -50,7 +50,17 @@ object IndexStore {
 
   // --------------------------------------------------------- chunk codecs
 
-  /** Write a centroid-major flat matrix as one row per centroid. */
+  /** Write a centroid-major flat matrix as one row per centroid.
+    *
+    * coalesce(1): this is DRIVER-SIZED quantizer state (k × dim, the
+    * canonical k-means exception) — without it the local-relation write
+    * fans a few dozen rows across default-parallelism tasks (measured:
+    * 32 tasks / ~1.1 s task time / 32 one-row files per save on the
+    * serve_persisted rows, then 32 file opens per load). One task and
+    * one file is the right layout for a KB-scale config artifact at ANY
+    * scale; the n-proportional encoded/assigned corpus frames keep
+    * their cluster-parallel writes.
+    */
   private def saveChunked(spark: SparkSession, flat: Array[Double],
                           dim: Int, path: String): Unit = {
     import spark.implicits._
@@ -58,6 +68,7 @@ object IndexStore {
     (0 until rows)
       .map(c => (c, flat.slice(c * dim, (c + 1) * dim).toSeq))
       .toDF("cid", "centroid")
+      .coalesce(1)
       .write.mode("overwrite").parquet(path)
   }
 
@@ -143,6 +154,7 @@ object IndexStore {
     withVersion(Seq((cells.flat.length / cells.dim, cells.dim, pq.m,
         pq.subDim, pq.nCodes, index.codes))
       .toDF("nlist", "cells_dim", "pq_m", "pq_subdim", "pq_ncodes", "codes"))
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/model")
   }
 
@@ -176,6 +188,7 @@ object IndexStore {
     withVersion(Seq((index.kernel.flat.length / index.kernel.dim,
         index.kernel.dim))
       .toDF("nlist", "cells_dim"))
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/model")
   }
 
@@ -208,6 +221,7 @@ object IndexStore {
       s"$path/codebook")
     withVersion(Seq((model.m, model.subDim, model.codebooks(0).length))
       .toDF("pq_m", "pq_subdim", "pq_ncodes"))
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/model")
   }
 
@@ -237,6 +251,7 @@ object IndexStore {
       .parquet(s"$path/corpus")
     withVersion(Seq((index.dim, index.tables, index.bitsPerTable, index.seed))
       .toDF("dim", "tables", "bits_per_table", "seed"))
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/model")
   }
 

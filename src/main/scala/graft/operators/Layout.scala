@@ -73,6 +73,45 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Redistribute a SMALL input before CPU-heavy per-row fan-out work
+    * (tokenize / shingle / n-gram-window kernels that multiply each
+    * input row into tens or hundreds of derived rows).
+    *
+    * Why: file-scan parallelism is floored by the split-size rule
+    * `maxSplitBytes = max(openCostInBytes, bytes/minPartitionNum)` — an
+    * input smaller than `slots × openCostInBytes` (e.g. a 0.6 MB
+    * documents table vs the 4 MB open-cost floor) CANNOT produce more
+    * than a handful of scan splits, so the whole explode→partial-agg
+    * pipeline of a tokenizing operator runs in ~one task no matter how
+    * many cores exist (measured: q_dup_ngrams spent 1.7 s of its 2.4 s
+    * in a single-task scan stage on a 32-core box). One cheap
+    * round-robin exchange of the raw rows (the input is by definition
+    * tiny here) restores full parallelism for the expensive map work.
+    *
+    * Scale-adaptivity (the round-16 rule: derive from input size, never
+    * a constant tuned to one box): the gate compares the optimizer's
+    * size estimate against `defaultParallelism × openCostInBytes` —
+    * exactly the regime where the split floor caps parallelism below
+    * the slot count. Above the gate the input is returned UNTOUCHED: at
+    * production scale the scan is already parallel and an extra full
+    * shuffle of the payload would be pure waste (guide §2.5 input skew
+    * / §8 "move heavy bytes once"). Row-level results are unchanged —
+    * callers must only do order-free work downstream (keyed exact
+    * aggregation, hashing, joins), which every text/dedup operator
+    * here does; do NOT use this in front of order-sensitive float
+    * reductions (k-means training sums), where a partitioning change
+    * legally perturbs last-ulp results.
+    */
+  def fanOutSmall(df: DataFrame): DataFrame = {
+    val ss = df.sparkSession
+    val slots = ss.sparkContext.defaultParallelism
+    val gate = slots.toLong *
+      ss.sessionState.conf.filesOpenCostInBytes
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < gate)
+      df.repartition(slots)
+    else df
+  }
+
   /** Compact a directory of small parquet files into ~targetBytes
     * outputs — the small-files antidote: a streaming/CDC sink that
     * commits per trigger leaves thousands of KB-scale files whose

@@ -74,7 +74,7 @@ object Retrieval {
     * passes outright; verified in the executed plan as ReusedExchange).
     */
   private def keptTokens(docs: DataFrame): DataFrame =
-    docs.filter(col("doc_id").isNotNull)
+    Layout.fanOutSmall(docs).filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("term"))
       .filter(!col("term").isInCollection(TextFunctions.stopwords))
@@ -96,7 +96,7 @@ object Retrieval {
     * distinct (doc, term)).
     */
   def positionalPostings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    Layout.fanOutSmall(docs).select(col("doc_id"),
         posexplode(TextFunctions.tokens(col("text"))).as(Seq("p", "term")))
       .select(col("doc_id"), col("term"), (col("p") + 1).as("pos"))
 
