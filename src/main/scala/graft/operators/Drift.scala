@@ -45,7 +45,8 @@ object Drift {
 
   /** Per-term token counts of one snapshot: (term, c). */
   private def termCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+    Layout.fanOutSmall(df)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c"))
 
   /** Per-term drift between snapshots `a` and `b`:

@@ -201,7 +201,7 @@ object CurationQueries {
       def grams(w: org.apache.spark.sql.Column) =
         transform(sequence(lit(0), size(w) - 4),
           i => xxhash64(array_join(slice(w, i + lit(1), lit(4)), " ")))
-      val base = docs(s, d)
+      val base = graft.operators.Layout.fanOutSmall(docs(s, d))
         .filter(size(toks) >= 4)
         .select(col("doc_id"), explode(grams(toks)).as("g"))
       val bench = base.filter(col("doc_id") % 10 === 0)
@@ -272,7 +272,9 @@ object CurationQueries {
     // move a bit; ln itself is a per-engine libm call, guarded by the
     // 1e-10 quantization (≫ 1-ulp libm divergence) before the sum.
     "q_unigram_lm" -> ((s, d) => {
-      val toks = docs(s, d)
+      // fanOutSmall: parallelize the tokenize kernel past the small-file
+      // scan-split floor (no-op at scale) — see Layout.fanOutSmall
+      val toks = graft.operators.Layout.fanOutSmall(docs(s, d))
         .select(col("doc_id"),
           explode(split(lower(col("text")), " ")).as("tok"))
       val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
@@ -300,13 +302,14 @@ object CurationQueries {
     // so partial-agg order cannot move a bit.
     "q_bigram_lm" -> ((s, d) => {
       val w = split(lower(col("text")), " ")
-      val bgs = docs(s, d).select(col("doc_id"),
+      val bgs = graft.operators.Layout.fanOutSmall(docs(s, d))
+        .select(col("doc_id"),
           explode(zip_with(
             slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
             (a, b) => struct(a.as("prev"),
               concat_ws(" ", a, b).as("bg")))).as("p"))
         .select(col("doc_id"), col("p.prev").as("prev"), col("p.bg").as("bg"))
-      val tf = docs(s, d)
+      val tf = graft.operators.Layout.fanOutSmall(docs(s, d))
         .select(explode(split(lower(col("text")), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("tf"))
       val vocab = tf.agg(count(lit(1)).as("v"))

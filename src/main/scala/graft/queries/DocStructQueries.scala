@@ -41,7 +41,7 @@ object DocStructQueries {
   }
 
   private def exploded(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    graft.operators.Layout.fanOutSmall(Tables.documents(s, d))
       .select(col("doc_id"), posexplode(segments).as(Seq("pos", "seg")))
       .select(col("doc_id"), (col("pos") + 1).as("seg_idx"), col("seg"))
 

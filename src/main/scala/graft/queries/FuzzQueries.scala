@@ -449,7 +449,11 @@ object FuzzQueries {
   // grouping() marker arithmetic mirrors the SQL text exactly, so types
   // and values agree while the RENDERING path is fully independent.
   private def runAgg(s: SparkSession, d: String, c: AggCase): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    // fanOutSmall: the Expand×(grouping sets) + decimal partial aggs are
+    // the heavy per-row kernel; parallelize past the scan-split floor
+    // (no-op at scale). Decimal sums / counts / min are order-free, so
+    // results are partitioning-independent.
+    val li = graft.operators.Layout.fanOutSmall(Tables.lineitem(s, d))
     val kcols = c.ks.map(col)
     val grouped = c.kind match {
       case 0 => li.groupBy(kcols: _*)
@@ -556,7 +560,7 @@ object FuzzQueries {
   }
 
   private def runAgg3(s: SparkSession, d: String, c: AggCase, v: Int): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    val li = graft.operators.Layout.fanOutSmall(Tables.lineitem(s, d))
       .withColumn("ln_n", expr(s"nullif(l_linenumber, $v)"))
     val kcols = c.ks.map(col)
     val grouped = c.kind match {
@@ -813,7 +817,7 @@ object FuzzQueries {
   }
 
   private def runAgg4(s: SparkSession, d: String, v1: Int, v2: Int): DataFrame =
-    Tables.lineitem(s, d)
+    graft.operators.Layout.fanOutSmall(Tables.lineitem(s, d))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
         countDistinct(expr(s"nullif(l_linenumber, $v1)")).as("cd_line"),

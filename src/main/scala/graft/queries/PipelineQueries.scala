@@ -1765,7 +1765,9 @@ object PipelineQueries {
         .orderBy("doc_id")),
 
     "q_lang_id" -> ((s, d) =>
-      Tables.documents(s, d)
+      // fanOutSmall: the five langScores array filters are the heavy
+      // per-row kernel; parallelize past the scan-split floor
+      graft.operators.Layout.fanOutSmall(Tables.documents(s, d))
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 

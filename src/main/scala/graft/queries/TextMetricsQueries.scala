@@ -102,7 +102,10 @@ object TextMetricsQueries {
     // is the (doc_id, ch) count — the denominator rides along as
     // length(text), computed before the explode, so no second pass.
     "q_char_entropy" -> ((s, d) => {
-      docs(s, d)
+      // fanOutSmall on the three explode-heavy rows below: parallelize
+      // the per-char/token kernels past the small-file scan-split floor
+      // (no-op at scale) — see Layout.fanOutSmall
+      graft.operators.Layout.fanOutSmall(docs(s, d))
         .select(col("doc_id"), length(col("text")).as("n"),
           explode(split(col("text"), "")).as("ch"))
         .groupBy("doc_id", "n", "ch").agg(count(lit(1)).as("c"))
@@ -117,7 +120,7 @@ object TextMetricsQueries {
     }),
 
     "q_entropy" -> ((s, d) => {
-      val toks = docs(s, d)
+      val toks = graft.operators.Layout.fanOutSmall(docs(s, d))
         .select(col("lang"),
           explode(split(lower(col("text")), " ")).as("tok"))
       val cnt = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
@@ -140,7 +143,7 @@ object TextMetricsQueries {
     // expanded with array lambdas, so the only shuffles are the
     // groupBy(doc_id) and the final groupBy(pair); no self-join.
     "q_cooccur" -> ((s, d) => {
-      val toks = docs(s, d)
+      val toks = graft.operators.Layout.fanOutSmall(docs(s, d))
         .select(col("doc_id"),
           explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
       val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))

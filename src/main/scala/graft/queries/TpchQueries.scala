@@ -73,7 +73,10 @@ object TpchQueries {
       val disc = m12(col("l_discount"))
       val discPrice = price * (one12 - disc)
       val charge = price * (one12 - disc) * (one12 + m12(col("l_tax")))
-      Tables.lineitem(s, d)
+      // fanOutSmall: Q1's four wide-decimal partial sums are the heavy
+      // per-row kernel (measured ~25 µs/row); parallelize past the
+      // scan-split floor (no-op at scale). Decimal sums are order-free.
+      graft.operators.Layout.fanOutSmall(Tables.lineitem(s, d))
         .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
