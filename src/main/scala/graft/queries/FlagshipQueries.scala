@@ -80,9 +80,12 @@ object FlagshipQueries {
     "q_tpch_q18" -> ((s, d) => {
       val bigOrders = Tables.lineitem(s, d)
         .groupBy("l_orderkey")
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty_dec"))
-        .filter(col("qty_dec") > 300)
-        .select(col("l_orderkey"), col("qty_dec").cast("double").as("total_qty"))
+        // exact long-cents sum (Num.cents); > 300 becomes > 30000 cents
+        // and the emitted double is the identical nearest double
+        .agg(Num.sumUnits(Num.cents(col("l_quantity"))).as("qty_u"))
+        .filter(col("qty_u") > lit(30000))
+        .select(col("l_orderkey"),
+          Num.unitsAsDouble(col("qty_u"), 100L).as("total_qty"))
       Tables.orders(s, d)
         .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -99,19 +102,21 @@ object FlagshipQueries {
     // final casts and one division — same determinism discipline as
     // every money aggregate in the corpus.
     "q_tpch_q14" -> ((s, d) => {
-      val term = col("l_extendedprice").cast("decimal(18,2)") *
-        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
-      val zero = lit(0).cast("decimal(18,2)") *
-        (lit(1).cast("decimal(18,2)") - lit(0).cast("decimal(18,2)"))
+      // exact 1e-4-dollar long units (Num.discUnits) replace the former
+      // per-row DECIMAL(18,2) products; the conditional's zero branch is
+      // the long literal, and each emission divides the exact sum back
+      // to the identical nearest double before the one double division
+      val termU = Num.discUnits(col("l_extendedprice"), col("l_discount"))
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .groupBy(year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(
-          sum(when(col("p_type") === "PROMO", term).otherwise(zero)).as("p_dec"),
-          sum(term).as("t_dec"))
+          Num.sumUnits(when(col("p_type") === "PROMO", termU)
+            .otherwise(lit(0L))).as("p_u"),
+          Num.sumUnits(termU).as("t_u"))
         .select(col("l_year"),
-          round(lit(100.0) * col("p_dec").cast("double") /
-            col("t_dec").cast("double"), 6).as("promo_pct"))
+          round(lit(100.0) * Num.unitsAsDouble(col("p_u"), 10000L) /
+            Num.unitsAsDouble(col("t_u"), 10000L), 6).as("promo_pct"))
         .orderBy("l_year")
     }),
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.Num
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -100,8 +101,13 @@ object FuzzQueries {
       .filter(toCol(p))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("ext"))
+        // exact long-cents sums (Num.cents): bit-identical doubles to
+        // the former DECIMAL(18,2) route, minus the per-row BigDecimal
+        // cast — the SQL oracle keeps the decimal text, proving parity
+        Num.unitsAsDouble(Num.sumUnits(Num.cents(col("l_quantity"))), 100L)
+          .as("qty"),
+        Num.unitsAsDouble(Num.sumUnits(Num.cents(col("l_extendedprice"))), 100L)
+          .as("ext"))
       .orderBy("l_returnflag", "l_linestatus")
 
   private def sqlOf(p: P): String =
@@ -159,7 +165,8 @@ object FuzzQueries {
                       pO: P, pL: P): DataFrame = {
     val o = Tables.orders(s, d).filter(toCol(pO))
     val l = Tables.lineitem(s, d).filter(toCol(pL))
-    val tp = sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("tp")
+    val tp = Num.unitsAsDouble(Num.sumUnits(Num.cents(col("o_totalprice"))), 100L)
+      .as("tp")
     val joined = o.join(l, col("o_orderkey") === col("l_orderkey"), jt)
     val agg = jt match {
       case "inner" | "left" =>
@@ -227,7 +234,11 @@ object FuzzQueries {
       val k = 1 + rng.nextInt(2)
       WFn(s"lead(l_quantity, $k)", w => lead(col("l_quantity"), k).over(w), framed = false)
     case 5 => WFn("CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))%OVER% AS DOUBLE)",
-      w => sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double"),
+      // long-cents frame sum, then one correctly-rounded double divide:
+      // the frame sum S is an exact integer < 2^53 (cents ≤ 5e3/row —
+      // breaking it needs >1.8e12 rows in ONE window partition), so
+      // double(S)/100.0 is the same nearest-double the decimal cast gave
+      w => sum(Num.cents(col("l_quantity"))).over(w).cast("double") / lit(100.0),
       framed = true)
     case 6 => WFn("min(l_extendedprice)%OVER%",
       w => min(col("l_extendedprice")).over(w), framed = true)
@@ -472,7 +483,8 @@ object FuzzQueries {
         + lit(4) * grouping(col("l_linenumber"))).cast("long").as("gid")
     val agged = grouped.agg(gid,
       count(lit(1)).as("n"),
-      sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+      Num.unitsAsDouble(Num.sumUnits(Num.cents(col("l_quantity"))), 100L)
+        .as("qty"),
       min(col("l_extendedprice")).as("mn"))
     val havinged = c.havingMin match {
       case Some(h) => agged.filter(col("n") >= h)
@@ -575,7 +587,8 @@ object FuzzQueries {
         + lit(4) * grouping(col("ln_n"))).cast("long").as("gid")
     val agged = grouped.agg(gid,
       count(lit(1)).as("n"),
-      sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+      Num.unitsAsDouble(Num.sumUnits(Num.cents(col("l_quantity"))), 100L)
+        .as("qty"),
       min(col("l_extendedprice")).as("mn"))
     val havinged = c.havingMin match {
       case Some(h) => agged.filter(col("n") >= h)
@@ -648,7 +661,8 @@ object FuzzQueries {
     o.join(l, cond, jt)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), count(col("l_orderkey")).as("m"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("tp"))
+        Num.unitsAsDouble(Num.sumUnits(Num.cents(col("o_totalprice"))), 100L)
+          .as("tp"))
       .orderBy("o_orderpriority")
   }
 
@@ -771,7 +785,10 @@ object FuzzQueries {
         .orderBy(if (desc) col(key).desc else col(key).asc)
         .rangeBetween(-lo, hi)
       (agg match {
-        case 0 => sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double")
+        // see the wave-1 case-5 comment: exact long-cents frame sum,
+        // identical nearest-double via one correctly-rounded division
+        case 0 => sum(Num.cents(col("l_quantity"))).over(w).cast("double") /
+          lit(100.0)
         case 1 => min(col("l_extendedprice")).over(w)
         case _ => count(lit(1)).over(w)
       }).as(alias)
@@ -822,8 +839,11 @@ object FuzzQueries {
       .agg(count(lit(1)).as("n"),
         countDistinct(expr(s"nullif(l_linenumber, $v1)")).as("cd_line"),
         countDistinct(expr(s"nullif(l_quantity, $v2)")).as("cd_qty"),
-        sum_distinct(expr(s"CAST(nullif(l_quantity, $v2) AS DECIMAL(18,2))"))
-          .cast("double").as("sd_qty"))
+        // distinct over cents ⟺ distinct over DECIMAL(18,2) (both
+        // injective images of the value set); same exact sum, same
+        // nearest-double emission
+        Num.unitsAsDouble(Num.sumUnitsDistinct(
+          Num.cents(expr(s"nullif(l_quantity, $v2)"))), 100L).as("sd_qty"))
       .orderBy("l_returnflag", "l_linestatus")
 
   private def aggSqlOf4(v1: Int, v2: Int): String =

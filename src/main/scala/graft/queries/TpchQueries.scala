@@ -4,7 +4,6 @@ import graft.Tables
 import graft.functions.Num
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** TPC-H completion wave: the 15 query shapes not yet in the corpus
   * (Q1, Q2, Q4, Q6, Q8, Q9, Q11, Q12, Q13, Q15, Q16, Q17, Q20, Q21,
@@ -45,22 +44,6 @@ import org.apache.spark.sql.types.DecimalType
   */
 object TpchQueries {
 
-  private val dec12 = DecimalType(12, 2)
-  private def m12(c: Column): Column = c.cast(dec12)
-  private val one12 = lit(1).cast(dec12)
-
-  /** price*(1-discount) as an exact decimal term (18,2 inputs). */
-  private def discTerm: Column =
-    Num.money(col("l_extendedprice")) *
-      (lit(1).cast(DecimalType(18, 2)) - Num.money(col("l_discount")))
-
-  /** The same-typed zero for conditional decimal aggregation (Q14
-    * pattern: both CASE branches must carry the identical decimal type
-    * in both engines). */
-  private def zeroTerm: Column =
-    lit(0).cast(DecimalType(18, 2)) *
-      (lit(1).cast(DecimalType(18, 2)) - lit(0).cast(DecimalType(18, 2)))
-
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1 (pricing summary report), faithful: all needed columns
@@ -68,25 +51,35 @@ object TpchQueries {
     // counts ride a single aggregation pass. Averages are exact-sum /
     // count — one double division each, rounded to 6.
     "q_tpch_q1" -> ((s, d) => {
-      val qty = m12(col("l_quantity"))
-      val price = m12(col("l_extendedprice"))
-      val disc = m12(col("l_discount"))
-      val discPrice = price * (one12 - disc)
-      val charge = price * (one12 - disc) * (one12 + m12(col("l_tax")))
-      // fanOutSmall: Q1's four wide-decimal partial sums are the heavy
-      // per-row kernel (measured ~25 µs/row); parallelize past the
-      // scan-split floor (no-op at scale). Decimal sums are order-free.
+      // Exact long-units arithmetic (Num.cents): qty/price/disc in
+      // 1e-2 units, discPrice = price·(100−disc) in 1e-4 units, charge
+      // = price·(100−disc)·(100+tax) in 1e-6 units (≤ ~1.2e11/row —
+      // integer multiplies, never a per-row BigDecimal product like
+      // the former DECIMAL(12,2) chain). Sums ride the compact decimal
+      // accumulator; each emission divides back exactly and casts to
+      // the same nearest double the decimal path produced.
+      val qtyU = Num.cents(col("l_quantity"))
+      val priceU = Num.cents(col("l_extendedprice"))
+      val discU = Num.cents(col("l_discount"))
+      val discPriceU = priceU * (lit(100L) - discU)
+      val chargeU = discPriceU * (lit(100L) + Num.cents(col("l_tax")))
+      // fanOutSmall: Q1's four partial sums are the heavy per-row
+      // kernel; parallelize past the scan-split floor (no-op at
+      // scale). Integer/decimal sums are order-free.
       graft.operators.Layout.fanOutSmall(Tables.lineitem(s, d))
         .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(qty).cast("double").as("sum_qty"),
-          sum(price).cast("double").as("sum_base_price"),
-          sum(discPrice).cast("double").as("sum_disc_price"),
-          sum(charge).cast("double").as("sum_charge"),
-          round(sum(qty).cast("double") / count(lit(1)), 6).as("avg_qty"),
-          round(sum(price).cast("double") / count(lit(1)), 6).as("avg_price"),
-          round(sum(disc).cast("double") / count(lit(1)), 6).as("avg_disc"),
+          Num.unitsAsDouble(Num.sumUnits(qtyU), 100L).as("sum_qty"),
+          Num.unitsAsDouble(Num.sumUnits(priceU), 100L).as("sum_base_price"),
+          Num.unitsAsDouble(Num.sumUnits(discPriceU), 10000L).as("sum_disc_price"),
+          Num.unitsAsDouble(Num.sumUnits(chargeU), 1000000L).as("sum_charge"),
+          round(Num.unitsAsDouble(Num.sumUnits(qtyU), 100L) / count(lit(1)), 6)
+            .as("avg_qty"),
+          round(Num.unitsAsDouble(Num.sumUnits(priceU), 100L) / count(lit(1)), 6)
+            .as("avg_price"),
+          round(Num.unitsAsDouble(Num.sumUnits(discU), 100L) / count(lit(1)), 6)
+            .as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -154,8 +147,9 @@ object TpchQueries {
                 col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
                 col("l_discount").between(0.05, 0.07) &&
                 col("l_quantity") < 24)
-        .agg(sum(Num.money(col("l_extendedprice")) *
-          Num.money(col("l_discount"))).cast("double").as("revenue"))),
+        .agg(Num.unitsAsDouble(Num.sumUnits(
+          Num.cents(col("l_extendedprice")) * Num.cents(col("l_discount"))),
+          10000L).as("revenue"))),
 
     // TPC-H Q8 (national market share), faithful on the reduced schema:
     // NATION_12's share of STANDARD-part revenue sold to ASIA customers
@@ -183,11 +177,14 @@ object TpchQueries {
         .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
         .agg(
-          sum(when(col("supp_nation") === "NATION_12", discTerm)
-            .otherwise(zeroTerm)).as("n_dec"),
-          sum(discTerm).as("t_dec"))
+          Num.sumUnits(when(col("supp_nation") === "NATION_12",
+            Num.discUnits(col("l_extendedprice"), col("l_discount")))
+            .otherwise(lit(0L))).as("n_u"),
+          Num.sumUnits(Num.discUnits(col("l_extendedprice"),
+            col("l_discount"))).as("t_u"))
         .select(col("o_year"),
-          round(col("n_dec").cast("double") / col("t_dec").cast("double"), 6)
+          round(Num.unitsAsDouble(col("n_u"), 10000L) /
+            Num.unitsAsDouble(col("t_u"), 10000L), 6)
             .as("mkt_share"))
         .orderBy("o_year")
     }),
@@ -228,13 +225,15 @@ object TpchQueries {
       val pv = Tables.lineitem(s, d)
         .join(broadcast(supIn), col("l_suppkey") === col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(sum(discTerm).as("val_dec"))
-      val thr = pv.agg((lit(1.2) * sum(col("val_dec")).cast("double") /
+        .agg(Num.sumUnits(Num.discUnits(col("l_extendedprice"),
+          col("l_discount"))).as("val_u"))
+      val thr = pv.agg((lit(1.2) *
+        Num.unitsAsDouble(sum(col("val_u")), 10000L) /
         count(lit(1))).as("thr"))
       pv.crossJoin(broadcast(thr))
-        .filter(col("val_dec").cast("double") > col("thr"))
+        .filter(Num.unitsAsDouble(col("val_u"), 10000L) > col("thr"))
         .select(col("l_partkey"),
-          round(col("val_dec").cast("double"), 6).as("value"))
+          round(Num.unitsAsDouble(col("val_u"), 10000L), 6).as("value"))
         .orderBy(col("value").desc, col("l_partkey"))
     }),
 
@@ -351,8 +350,8 @@ object TpchQueries {
                 col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
-        .agg(sum(Num.money(col("l_quantity"))).as("q_dec"))
-        .filter(col("q_dec") > 50)
+        .agg(Num.sumUnits(Num.cents(col("l_quantity"))).as("q_u"))
+        .filter(col("q_u") > lit(5000))
         .select("l_suppkey")
       Tables.supplier(s, d)
         .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
@@ -408,7 +407,7 @@ object TpchQueries {
         .filter(cc.isin("01", "12", "23", "34", "45", "06", "17"))
         .select(cc.as("cntrycode"), col("c_acctbal"), col("c_custkey"))
       val ap = cs.filter(col("c_acctbal") > 0)
-        .agg((sum(Num.money(col("c_acctbal"))).cast("double") /
+        .agg((Num.sumMoney(col("c_acctbal")) /
           count(lit(1))).as("ap"))
       val urgent = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT" &&

@@ -63,15 +63,19 @@ object WindowQueries {
     }),
 
     "q_window_running" -> ((s, d) => {
-      // running sum through DECIMAL so the prefix sums are exact (a running
-      // double sum would drift differently from the oracle's)
+      // running sum through exact long CENTS so the prefix sums are
+      // exact (a running double sum would drift differently from the
+      // oracle's DECIMAL text); each prefix sum S is an integer < 2^53
+      // (cents < 1e8/row — breaking it needs >9e7 max-price rows in ONE
+      // customer's partition), so double(S)/100.0 is the same nearest
+      // double the former DECIMAL(18,2) cast emitted
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
-            .cast(DoubleType).as("running"))
+          (sum(graft.functions.Num.cents(col("o_totalprice"))).over(w)
+            .cast(DoubleType) / lit(100.0)).as("running"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
