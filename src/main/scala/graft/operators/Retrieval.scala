@@ -236,9 +236,18 @@ object Retrieval {
     */
   def bm25SearchFrom(scores: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     // queries are usually derived from the same corpus — alias both
-    // sides so the self-join lineage is unambiguous
+    // sides so the self-join lineage is unambiguous. The probe side is
+    // BROADCAST by contract: a search workload is query-sized
+    // (thousands of (q_id, term) rows — benchmark probes, user
+    // queries), never corpus-sized, and its size estimate after the
+    // tokenize/explode derivation is too inflated for the planner to
+    // see that. Without the hint the plan was a SortMergeJoin that
+    // re-exchanged AND sorted the entire score table on term (guide
+    // §3.1: broadcast the side you KNOW is small); with it the score
+    // side keeps its partitioning and only the final per-(q_id, doc_id)
+    // aggregation shuffles.
     val sc = scores.alias("sc")
-    val q = queries.alias("q")
+    val q = broadcast(queries.alias("q"))
     val matched = q.join(sc, col("q.term") === col("sc.term") &&
         col("sc.doc_id") =!= col("q.q_id"))
       .groupBy(col("q.q_id").as("q_id"), col("sc.doc_id").as("doc_id"))

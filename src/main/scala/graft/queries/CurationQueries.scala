@@ -312,7 +312,14 @@ object CurationQueries {
       val tf = graft.operators.Layout.fanOutSmall(docs(s, d))
         .select(explode(split(lower(col("text")), " ")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("tf"))
-      val vocab = tf.agg(count(lit(1)).as("v"))
+      // `tf > 0` is a tautology (tf is a count, always >= 1) kept for
+      // plan shape only: without it Catalyst prunes the unused count
+      // out of this branch's aggregate, de-canonicalizing its subtree
+      // from tf's — and the corpus gets re-tokenized just to count
+      // distinct tokens. Referencing tf keeps vocab on the SHARED
+      // tokenize→tf exchange (AQE ReusedExchange; guide §2.4 — the
+      // same fix as bm25FromStats' df branch), v values unchanged.
+      val vocab = tf.filter(col("tf") > 0).agg(count(lit(1)).as("v"))
       val cbg = bgs.groupBy("bg").agg(count(lit(1)).as("cbg"))
       bgs.join(cbg, "bg")
         .join(tf.withColumnRenamed("tok", "prev"), "prev")
